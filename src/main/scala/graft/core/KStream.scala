@@ -1,0 +1,159 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed multi-stream — the scespet `MultiTerm[K,X]`/`VectTerm[K,X]` surface
+  * (/root/reference/src/scespet/core/types.scala:286-369, VectTerm.scala:25):
+  * a "vector" of per-key streams. In Spark a keyed stream is just rows with
+  * key columns, so reshape signals / chained vectors / per-key cell wiring
+  * (VectorStream.java, ChainedVector.java) have no runtime analog — new keys
+  * appearing in the data are handled by value-based grouping for free.
+  */
+final case class KStream(
+    df: DataFrame,
+    keys: Seq[String],
+    tsCol: String = "ts",
+    seqCol: String = "seq") {
+
+  private def keyCols: Seq[Column] = keys.map(col)
+  private def meta: Seq[Column] = keyCols ++ Seq(col(tsCol), col(seqCol))
+
+  /** Isomorphic per-cell projection (VectTerm.map, VectTerm.scala:178-215). */
+  def map(out: (String, Column)*): KStream =
+    KStream(df.select(meta ++ out.map { case (n, e) => e.as(n) }: _*), keys, tsCol, seqCol)
+
+  /** Per-key value filter (VectTerm.filter, :252-277). */
+  def filter(p: Column): KStream = KStream(df.filter(p), keys, tsCol, seqCol)
+
+  /** Per-key type filter (VectTerm.filterType, :224-244). */
+  def filterType(disc: Column, tpe: String): KStream = filter(disc === lit(tpe))
+
+  /** Key-subset filter (VectTerm.subset, :37). */
+  def subset(pred: Column): KStream = KStream(df.filter(pred), keys, tsCol, seqCol)
+
+  /** Dereference one key → single stream (VectTerm.apply, :63-111). */
+  def apply(keyValue: Any): EStream =
+    EStream(df.filter(col(keys.head) === lit(keyValue)), tsCol, seqCol)
+
+  /** Re-key (VectTerm.mapKeys, :59-61 / ReKeyedVector.scala:9-60). A `None`
+    * mapping (null) drops the key. The reference errors on two old keys
+    * colliding into one; relationally a collision just merges groups, which
+    * is the useful semantics — callers wanting the error can assert
+    * distinctness separately.
+    */
+  def mapKeys(f: Column, as: String = "k"): KStream =
+    KStream(
+      df.withColumn(as, f).filter(col(as).isNotNull),
+      Seq(as), tsCol, seqCol)
+
+  /** Multiplex back to a single (k, x) stream (VectTerm.toStream,
+    * :445-448) — identity in the relational model.
+    */
+  def toStream: EStream = EStream(df, tsCol, seqCol)
+
+  /** Set-building (VectTerm.toValueSet/:365-421, toKeySet/:355-363). */
+  def toValueSet(value: Column): DataFrame = df.select(value.as("v")).distinct()
+  def toKeySet: DataFrame = df.select(keyCols: _*).distinct()
+
+  /** Full key list as one growing value (VectTerm.keyList, :43-52);
+    * relationally the terminal snapshot is the distinct key set collected.
+    */
+  def keyList: DataFrame =
+    toKeySet.agg(sort_array(collect_list(col(keys.head))).as("key_list"))
+
+  /** Whole-vector snapshot function per event (VectTerm.mapVector,
+    * :145-176): at each event, a function of ALL keys' current values.
+    * Implemented as cross-key window arithmetic: e.g. `vectorSize` = how
+    * many keys have fired at or before each event.
+    */
+  def vectorSizeAtEachEvent(out: String = "n_keys"): DataFrame = {
+    val perKey = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+    val allTime = Window
+      .orderBy(col(tsCol), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__first", (row_number().over(perKey) === 1).cast("long"))
+      .withColumn(out, sum(col("__first")).over(allTime))
+      .drop("__first")
+  }
+
+  /** Per-key cumulative scan (VectTerm.scan, :487-493). */
+  def scanAll(out: String, agg: Column): KStream =
+    KStream(
+      df.withColumn(out, agg.over(WindowKernel.cumulative(keys, tsCol, seqCol))),
+      keys, tsCol, seqCol)
+
+  /** Per-key terminal reduce (VectTerm.reduce, :487-493). */
+  def reduceAll(aggs: (String, Column)*): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, e) => e.as(n) }: _*)
+
+  def group(slice: Slice): GroupedKStream = GroupedKStream(this, slice)
+  def window(gate: Column): WindowedKStream = WindowedKStream(this, gate)
+
+  /** Keyed either-fires zip (VectTerm.join, :454-456 / VectorJoin.scala). */
+  def joinZip(other: KStream, leftVals: Seq[(String, Column)], rightVals: Seq[(String, Column)]): KStream =
+    KStream(AsOf.zip(df, other.df, keys, leftVals, rightVals, tsCol, seqCol), keys, tsCol, seqCol)
+
+  /** Keyed left-fires as-of sample (VectTerm.take, :458-460). `rightKey`
+    * expresses the reference's keyMap (right-key derivation from left key).
+    */
+  def take(other: KStream, rightKeyOfLeft: Seq[Column], rightVals: Seq[(String, Column)]): KStream =
+    KStream(
+      AsOf.take(df, other.df, rightKeyOfLeft, other.keys.map(col), rightVals, tsCol, seqCol),
+      keys, tsCol, seqCol)
+
+  /** Snapshot every key's value on each fire of `trigger`
+    * (VectTerm.sample, :468-482).
+    */
+  def sample(trigger: EStream, myVals: Seq[(String, Column)]): DataFrame = {
+    // trigger ticks × keys, each as-of sampled: union-window per key with
+    // the trigger replicated into every key partition via cross join.
+    val ticks = trigger.df.select(col(trigger.tsCol).as(tsCol), col(trigger.seqCol).as(seqCol))
+    val keyed = toKeySet.crossJoin(ticks)
+    KStream(
+      AsOf.take(keyed, df, keys.map(col), keys.map(col), myVals, tsCol, seqCol),
+      keys, tsCol, seqCol).df
+  }
+}
+
+/** Per-key × per-slice aggregation (GroupedVectTerm, VectTerm.scala:609-696). */
+final case class GroupedKStream(s: KStream, slice: Slice) {
+  private def withId: DataFrame =
+    WindowKernel.withWindowId(s.df, s.keys, slice, s.tsCol, s.seqCol)
+
+  def reduce(aggs: (String, Column)*): DataFrame =
+    withId
+      .groupBy((s.keys :+ WindowKernel.WindowId).map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, e) => e.as(n) }: _*)
+
+  def scan(out: String, agg: Column): DataFrame = {
+    val w = Window
+      .partitionBy((s.keys :+ WindowKernel.WindowId).map(col): _*)
+      .orderBy(col(s.tsCol), col(s.seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withId.withColumn(out, agg.over(w))
+  }
+}
+
+/** Per-key boolean windows (VectTerm.window, :530-543). */
+final case class WindowedKStream(s: KStream, gate: Column) {
+  private def sessions: DataFrame =
+    WindowKernel
+      .withSessions(s.df, s.keys, gate, s.tsCol, s.seqCol)
+      .filter(col("in_window"))
+
+  def reduce(aggs: (String, Column)*): DataFrame =
+    sessions
+      .groupBy((s.keys :+ "session_id").map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, e) => e.as(n) }: _*)
+
+  def scan(out: String, agg: Column): DataFrame = {
+    val w = Window
+      .partitionBy((s.keys :+ "session_id").map(col): _*)
+      .orderBy(col(s.tsCol), col(s.seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions.withColumn(out, agg.over(w))
+  }
+}

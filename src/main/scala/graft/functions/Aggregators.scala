@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable.ArrayBuffer
+
+/** Typed `Aggregator[IN, BUF, OUT]` parity for scespet's mutable
+  * aggregation cells (`Agg`/`Reducer`/`CellAdder`+`AggOut`,
+  * /root/reference/src/scespet/core/types.scala:158-185,
+  * SliceCellLifecycle.scala:13-30,79-103): `zero` = newCell/open,
+  * `reduce` = add, `merge` = partition combine, `finish` = value/complete.
+  *
+  * Order-dependent cells buffer (ts, seq, v) and sort in `finish` — the
+  * distributed-order contract from SURVEY §7.5.1.
+  */
+object Aggregators {
+
+  type TimedValue = (Long, Long, Double) // (ts, seq, v)
+
+  /** Order-dependent EWMA cell (scespet EWMA, ReduceFuncs.scala:33-47). */
+  final class EwmaAgg(lambda: Double)
+      extends Aggregator[TimedValue, ArrayBuffer[TimedValue], Double] {
+    def zero: ArrayBuffer[TimedValue] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[TimedValue], a: TimedValue): ArrayBuffer[TimedValue] = { b += a; b }
+    def merge(a: ArrayBuffer[TimedValue], b: ArrayBuffer[TimedValue]): ArrayBuffer[TimedValue] = { a ++= b; a }
+    def finish(b: ArrayBuffer[TimedValue]): Double = {
+      val s = b.sortBy(x => (x._1, x._2))
+      if (s.isEmpty) Double.NaN
+      else s.iterator.drop(1).foldLeft(s.head._3)((acc, x) => lambda * x._3 + (1 - lambda) * acc)
+    }
+    def bufferEncoder: Encoder[ArrayBuffer[TimedValue]] = Encoders.kryo
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Pure streaming-mergeable VWAP (scespet Vwap, TradeAnalysis.scala:49-56). */
+  final class VwapAgg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Double)): Double = if (b._2 == 0) Double.NaN else b._1 / b._2
+    def bufferEncoder: Encoder[(Double, Double)] = Encoders.product
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Ordered append cell (scespet Append, BucketStreamTest.scala:55-58). */
+  final class AppendAgg[T](implicit e: Encoder[Seq[T]])
+      extends Aggregator[(Long, Long, T), ArrayBuffer[(Long, Long, T)], Seq[T]] {
+    def zero: ArrayBuffer[(Long, Long, T)] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[(Long, Long, T)], a: (Long, Long, T)): ArrayBuffer[(Long, Long, T)] = { b += a; b }
+    def merge(a: ArrayBuffer[(Long, Long, T)], b: ArrayBuffer[(Long, Long, T)]): ArrayBuffer[(Long, Long, T)] = { a ++= b; a }
+    def finish(b: ArrayBuffer[(Long, Long, T)]): Seq[T] =
+      b.sortBy(x => (x._1, x._2)).map(_._3).toSeq
+    def bufferEncoder: Encoder[ArrayBuffer[(Long, Long, T)]] = Encoders.kryo
+    def outputEncoder: Encoder[Seq[T]] = e
+  }
+}

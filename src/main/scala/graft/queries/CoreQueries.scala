@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.Reducers
+
+/** scespet operator parity over the `events` stream table
+  * (SURVEY.md §2.2–2.6). Each query goes through the graft library surface
+  * (EStream/KStream/WindowKernel/AsOf) and has a DuckDB oracle.
+  *
+  * `events` stream contract: ts = epoch nanos (Long), seq = event_id.
+  * Oracle mirrors with epoch_us(ts) / event_id.
+  */
+object CoreQueries {
+
+  private def ev(s: SparkSession, dir: String): EStream =
+    EStream(Q.events(s, dir))
+
+  /** `by(user_id)` — the key already IS a column, so demultiplexing is free
+    * (SURVEY §2.3: Spark groups by value, no graph surgery).
+    */
+  private def evKeyed(s: SparkSession, dir: String): KStream =
+    KStream(Q.events(s, dir), Seq("user_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- §2.2 projection / filter -------------------------------------
+    QueryDef(
+      "ev_map",
+      (s, dir) =>
+        ev(s, dir)
+          .map(
+            "event_id" -> col("seq"),
+            "user_id" -> col("user_id"),
+            "value" -> col("value"),
+            "v2" -> (col("value") * 2),
+            "etype_uc" -> upper(col("event_type")))
+          .df.select("event_id", "user_id", "value", "v2", "etype_uc")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value, value*2 AS v2,
+             upper(event_type) AS etype_uc
+             FROM events ORDER BY event_id""")),
+
+    QueryDef(
+      "ev_filter",
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("value") > 100 && col("event_type") =!= "error")
+          .df.select(col("seq").as("event_id"), col("user_id"), col("value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value FROM events
+             WHERE value > 100 AND event_type <> 'error' ORDER BY event_id""")),
+
+    QueryDef(
+      "ev_filter_type",
+      (s, dir) =>
+        ev(s, dir)
+          .filterType(col("event_type"), "purchase")
+          .df.select(col("seq").as("event_id"), col("value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, value FROM events
+             WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ---- §2.3 keying / §2.5 terminal reduce ---------------------------
+    QueryDef(
+      "ev_by_reduce",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .reduceAll(
+            "n" -> count(lit(1)),
+            "sum_value" -> Q.dsum(col("value")),
+            "min_value" -> min(col("value")),
+            "max_value" -> max(col("value")),
+            "n_purchase" -> count(when(col("event_type") === "purchase", 1)))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n,
+             sum(value::decimal(38,6)) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value,
+             count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef(
+      "ev_mapkeys",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .mapKeys(pmod(col("user_id"), lit(5)), "k")
+          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsum(col("value")))
+          .orderBy("k"),
+      Some("""SELECT user_id % 5 AS k, count(*) AS n,
+             sum(value::decimal(38,6)) AS sum_value
+             FROM events GROUP BY 1 ORDER BY k""")),
+
+    QueryDef(
+      "ev_valueset",
+      (s, dir) => ev(s, dir).valueSet(col("event_type")).orderBy("v"),
+      Some("SELECT DISTINCT event_type AS v FROM events ORDER BY v")),
+
+    QueryDef(
+      "ev_keylist",
+      (s, dir) =>
+        evKeyed(s, dir).toKeySet
+          .agg(array_join(
+            transform(sort_array(collect_list(col("user_id"))), _.cast("string")), ",")
+            .as("key_list")),
+      Some("""SELECT string_agg(user_id, ',' ORDER BY user_id) AS key_list
+             FROM (SELECT DISTINCT user_id FROM events)""")),
+
+    // ---- §2.5 scans (cumulative emit mode) ----------------------------
+    QueryDef(
+      "ev_fold_all",
+      (s, dir) =>
+        ev(s, dir)
+          .foldAll("run_sum", Q.dsum(col("value")))
+          .foldAll("run_cnt", count(lit(1)))
+          .df.select(col("seq").as("event_id"), col("run_sum"), col("run_cnt"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             sum(value::decimal(38,6)) OVER w AS run_sum,
+             count(*) OVER w AS run_cnt
+             FROM events
+             WINDOW w AS (ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
+
+    QueryDef(
+      "ev_scan_key",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .scanAll("run_sum", Q.dsum(col("value")))
+          .df.select(col("seq").as("event_id"), col("user_id"), col("run_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             sum(value::decimal(38,6)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             FROM events ORDER BY event_id""")),
+
+    // ---- §2.6 slicing: count / tumbling / trigger / boolean window ----
+    QueryDef(
+      "ev_slice_count",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.Count(10))
+          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "window_id"),
+      Some("""SELECT user_id, window_id,
+             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             FROM (SELECT *, (row_number() OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                     AS window_id FROM events)
+             GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
+
+    QueryDef(
+      "ev_slice_time",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.Tumbling(86400L * 1000 * 1000))
+          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "window_id"),
+      Some("""SELECT user_id,
+             epoch_us(ts) // 86400000000 AS window_id,
+             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             FROM events GROUP BY 1, 2 ORDER BY user_id, window_id""")),
+
+    QueryDef(
+      "ev_slice_trigger_after",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.TriggerCol(col("event_type") === "error", Align.After))
+          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "window_id"),
+      Some("""SELECT user_id, window_id,
+             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                     AS window_id FROM events)
+             GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
+
+    QueryDef(
+      "ev_slice_trigger_before",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.TriggerCol(col("event_type") === "error", Align.Before))
+          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "window_id"),
+      Some("""SELECT user_id, window_id,
+             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
+                     AS window_id FROM events)
+             GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
+
+    QueryDef(
+      "ev_window_bool",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .window(col("value") >= 50)
+          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "session_id"),
+      Some("""SELECT user_id, session_id,
+             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             FROM (SELECT *, sum(CASE WHEN g AND NOT coalesce(pg, false) THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
+                   FROM (SELECT *, value >= 50 AS g,
+                           lag(value >= 50) OVER (
+                             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pg
+                         FROM events))
+             WHERE g GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- §2.4 temporal joins ------------------------------------------
+    QueryDef(
+      "ev_asof_take",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        val purchases = KStream(all.filter(col("event_type") === "purchase"), Seq("user_id"))
+        val clicks = KStream(all.filter(col("event_type") === "click"), Seq("user_id"))
+        purchases
+          .take(clicks, Seq(col("user_id")), Seq("click_value" -> col("value")))
+          .df.select(col("seq").as("event_id"), col("user_id"),
+            col("value"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side,
+                      value, NULL::double AS cv FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side,
+                      NULL, value FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *, last_value(cv IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+               FROM u)
+             SELECT event_id, user_id, value, click_value
+             FROM c WHERE side=1 ORDER BY event_id""")),
+
+    QueryDef(
+      "ev_join_zip",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        val purchases = KStream(all.filter(col("event_type") === "purchase"), Seq("user_id"))
+        val clicks = KStream(all.filter(col("event_type") === "click"), Seq("user_id"))
+        purchases
+          .joinZip(clicks, Seq("p_val" -> col("value")), Seq("c_val" -> col("value")))
+          .df.select("user_id", "ts", "p_val", "c_val")
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH u AS (
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 1 AS side,
+                      value AS p_val, NULL::double AS c_val
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 0 AS side,
+                      NULL, value FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(p_val IGNORE NULLS) OVER w AS p_c,
+                 last_value(c_val IGNORE NULLS) OVER w AS c_c
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT user_id, ts, p_c AS p_val, c_c AS c_val
+             FROM c
+             QUALIFY row_number() OVER (
+               PARTITION BY user_id, ts ORDER BY side DESC, event_id DESC) = 1
+             ORDER BY user_id, ts""")),
+
+    // ---- §2.5 order-dependent aggregations ----------------------------
+    QueryDef(
+      "ev_ewma",
+      (s, dir) =>
+        Q.events(s, dir)
+          .groupBy("user_id")
+          .agg(Reducers.ewma(col("ts"), col("seq"), col("value"), 0.25).as("ewma"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+                         (acc, x) -> 0.25*x + 0.75*acc) AS ewma
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef(
+      "ev_append",
+      (s, dir) =>
+        Q.events(s, dir)
+          .groupBy("user_id")
+          .agg(array_join(
+            Reducers.appendOrdered(col("ts"), col("seq"), col("event_type")), ",")
+            .as("seq_str"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- §2.2 mapVector (cross-key snapshot) --------------------------
+    QueryDef(
+      "ev_vector_size",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .vectorSizeAtEachEvent("n_keys")
+          .select(col("seq").as("event_id"), col("n_keys"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, (sum(first_seen) OVER (
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS n_keys
+             FROM (SELECT *, CASE WHEN row_number() OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1
+                     THEN 1 ELSE 0 END AS first_seen FROM events)
+             ORDER BY event_id"""))
+  )
+}
