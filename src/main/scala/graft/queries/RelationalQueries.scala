@@ -1,8 +1,212 @@
 package graft.queries
 
-/** TPC-H-style relational coverage (joins, broadcast dims, windowed aggs)
-  * — filled in incrementally; see SparkEntry.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Reducers
+
+/** TPC-H-style relational coverage over the star schema.
+  *
+  * scespet has no relational joins (SURVEY §2.4 note) — these queries are
+  * the "beyond parity" surface that makes the engine a usable analytics
+  * library, and the scale showcase: every dimension join below broadcasts
+  * the small side explicitly (`broadcast(nation)` etc.), fact-fact joins
+  * shuffle on their keys, and aggregations are partial-agg friendly
+  * (decimal sums, counts — map-side combinable).
+  *
+  * Determinism contract vs the DuckDB oracle: see [[Q]] scaladoc.
   */
 object RelationalQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String): DataFrame = Tables.orders(s, dir)
+  private def cust(s: SparkSession, dir: String): DataFrame = Tables.customer(s, dir)
+  private def nat(s: SparkSession, dir: String): DataFrame = Tables.nation(s, dir)
+  private def reg(s: SparkSession, dir: String): DataFrame = Tables.region(s, dir)
+  private def prt(s: SparkSession, dir: String): DataFrame = Tables.part(s, dir)
+  private def supp(s: SparkSession, dir: String): DataFrame = Tables.supplier(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1: pricing summary. Pure partial-aggregable groupBy — one
+    // shuffle of 6 tiny groups regardless of fact size.
+    QueryDef(
+      "q1_pricing",
+      (s, dir) =>
+        li(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            Q.dsum(col("l_quantity")).as("sum_qty"),
+            Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             sum(l_quantity::decimal(38,6)) AS sum_qty,
+             sum(l_extendedprice::decimal(38,6)) AS sum_base_price,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS sum_disc_price,
+             count(*) AS count_order
+             FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // Q3-flavored: top-10 customers by revenue. Fact-fact join shuffles on
+    // orderkey; customer joins on custkey after the heavy reduction.
+    QueryDef(
+      "q3_top_customers",
+      (s, dir) => {
+        val revenue = li(s, dir)
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        revenue
+          .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name, revenue
+             FROM (SELECT o_custkey,
+                     sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   GROUP BY o_custkey)
+             JOIN customer ON o_custkey = c_custkey
+             ORDER BY revenue DESC, c_custkey LIMIT 10""")),
+
+    // Q5-flavored: revenue by nation. region/nation are tiny dims —
+    // broadcast them so the only shuffles are the two fact joins + final agg.
+    QueryDef(
+      "q5_nation_revenue",
+      (s, dir) =>
+        li(s, dir)
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue,
+             count(*) AS n_items
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // Per-brand VWAP (scespet Vwap bucket, TradeAnalysis.scala:49-56, lifted
+    // to a relational group): exact decimal sums, one final double division.
+    QueryDef(
+      "li_vwap_brand",
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(prt(s, dir)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(Reducers.vwap(col("l_extendedprice"), col("l_quantity")).as("vwap"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+             sum((l_extendedprice * l_quantity)::decimal(38,6))::double /
+             sum(l_quantity::decimal(38,6))::double AS vwap
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Top-3 parts by revenue within each return flag: two-level agg + ranking
+    // window (SURVEY §2.6 "not present in reference" — ranking added as
+    // first-class here). Window partitions by flag → parallel across groups.
+    QueryDef(
+      "li_topk_parts",
+      (s, dir) => {
+        val rev = li(s, dir)
+          .groupBy("l_returnflag", "l_partkey")
+          .agg(Q.dsum(col("l_extendedprice")).as("revenue"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("revenue").desc, col("l_partkey"))
+        rev.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("l_returnflag", "rk", "l_partkey", "revenue")
+          .orderBy("l_returnflag", "rk")
+      },
+      Some("""SELECT l_returnflag, rk, l_partkey, revenue
+             FROM (SELECT l_returnflag, l_partkey, revenue,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY revenue DESC, l_partkey) AS rk
+                   FROM (SELECT l_returnflag, l_partkey,
+                           sum(l_extendedprice::decimal(38,6)) AS revenue
+                         FROM lineitem GROUP BY l_returnflag, l_partkey))
+             WHERE rk <= 3 ORDER BY l_returnflag, rk""")),
+
+    // Customer order history as an event stream: per-customer cumulative
+    // spend in (orderdate, orderkey) order — fold_all on a relational table
+    // (scespet scan semantics over the order-event axis).
+    QueryDef(
+      "ord_running_spend",
+      (s, dir) =>
+        graft.core.KStream(
+          ord(s, dir)
+            .select(col("o_custkey"), col("o_orderkey"),
+              // NTZ→TZ cast is a no-op under the UTC session contract
+              unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+              col("o_orderkey").as("seq"), col("o_totalprice")),
+          Seq("o_custkey"))
+          .scanAll("run_spend", Q.dsum(col("o_totalprice")))
+          .df.select("o_custkey", "o_orderkey", "run_spend")
+          .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             sum(o_totalprice::decimal(38,6)) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+             FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // Semi/anti flavors (scespet nearest analog: subset / mapKeys→None,
+    // SURVEY §2.4 note): customers WITH orders vs WITHOUT any order.
+    QueryDef(
+      "cust_semi_anti",
+      (s, dir) => {
+        val c = cust(s, dir); val o = ord(s, dir)
+        val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_with"))
+        val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_without"))
+        withO.crossJoin(withoutO)
+      },
+      Some("""SELECT
+             (SELECT count(*) FROM customer WHERE c_custkey IN
+               (SELECT o_custkey FROM orders)) AS n_with,
+             (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders)) AS n_without""")),
+
+    // Monthly order volume per priority — tumbling Slice.Tumbling lifted to
+    // calendar months on a relational date column.
+    QueryDef(
+      "ord_monthly",
+      (s, dir) =>
+        ord(s, dir)
+          .groupBy(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy("ym", "o_orderpriority"),
+      Some("""SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+             o_orderpriority, count(*) AS n,
+             sum(o_totalprice::decimal(38,6)) AS total
+             FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
+
+    // Supplier×nation rollup through a broadcast dim chain.
+    QueryDef(
+      "supp_nation",
+      (s, dir) =>
+        supp(s, dir)
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_suppliers"), Q.dsum(col("s_acctbal")).as("total_bal"))
+          .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_suppliers,
+             sum(s_acctbal::decimal(38,6)) AS total_bal
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name"""))
+  )
 }
