@@ -1,8 +1,238 @@
 package graft.queries
 
-/** Deduplication operators over `documents` (exact, MinHash+LSH, SimHash,
-  * n-gram Jaccard).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication over `documents` — the four standard corpus-dedup layers:
+  *
+  *   1. exact (content-hash groupBy) — one shuffle of (hash, id);
+  *   2. MinHash + LSH banding — signatures are a pure map; the only
+  *      shuffle is the band-bucket join on (band_idx, band_hash), whose
+  *      fan-out is bounded by bucket sizes, NOT O(n²);
+  *   3. SimHash — 16-bit signature via in-row higher-order folds (no
+  *      explode, no shuffle; collision grouping shuffles 16-bit keys);
+  *   4. exact n-gram Jaccard — inverted shingle index join, document-
+  *      frequency-capped so hot shingles can't quadratic-blow-up.
+  *
+  * All hashes are md5-derived ([[Q.hash60]]) so the DuckDB oracle computes
+  * bit-identical candidates; Jaccard is one double division of exact ints.
   */
 object DedupQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Q.documents(s, dir)
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles. DuckDB twin: see [[shinglesSql]]. */
+  private val shingles: Column = array_distinct(
+    transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** DuckDB: distinct 3-gram shingles of `text` (range is end-exclusive →
+    * i in 1..len-2; slice toks[i:i+2] is inclusive → 3 tokens).
+    */
+  private val shinglesSql: String =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+       for i in range(1, greatest(len(toks) - 1, 1))])"""
+
+  private val H = 8 // minhash functions
+  private val BANDS = 4 // → rows-per-band = 2
+
+  private def minhash(i: Int): Column =
+    array_min(transform(col("shingles"), s => Q.hash60(concat(lit(s"$i|"), s))))
+
+  private def minhashSql(i: Int): String =
+    s"list_min(list_transform(shingles, s -> ${Q.hash60Sql(s"'$i|' || s")}))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash the content, group, count survivors. The shuffle
+    // carries only (60-bit hash, 1) pairs — map-side combinable.
+    QueryDef(
+      "dedup_exact",
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(Q.hash60(col("text")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .agg(
+            count(lit(1)).as("n_unique"),
+            Q.dsum(col("c")).cast("long").as("n_docs"),
+            count(when(col("c") > 1, 1)).as("n_dup_groups"),
+            coalesce(Q.dsum(when(col("c") > 1, col("c") - 1)), lit(0))
+              .cast("long").as("n_redundant")),
+      Some(s"""SELECT count(*) AS n_unique, sum(c)::bigint AS n_docs,
+             count(CASE WHEN c > 1 THEN 1 END) AS n_dup_groups,
+             coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)::bigint AS n_redundant
+             FROM (SELECT ${Q.hash60Sql("text")} AS h, count(*) AS c
+                   FROM documents GROUP BY 1)""")),
+
+    // Exact-dup survivor pairs: every non-survivor points at the min doc_id
+    // with identical content (the actual "drop these rows" artifact).
+    QueryDef(
+      "dedup_exact_pairs",
+      (s, dir) => {
+        val h = docs(s, dir).select(col("doc_id"), Q.hash60(col("text")).as("h"))
+        val surv = h.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+        h.join(surv, "h")
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select("doc_id", "keep_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${Q.hash60Sql("text")} AS h FROM documents),
+             s AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+             SELECT doc_id, keep_id FROM h JOIN s USING (h)
+             WHERE doc_id <> keep_id ORDER BY doc_id""")),
+
+    // MinHash + LSH: H=8 signatures, 4 bands × 2 rows. Candidates = docs
+    // sharing any band bucket; verified with exact shingle-set Jaccard.
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), shingles.as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        val sigs = base.select(
+          col("doc_id") +: col("shingles") +:
+            (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+        val banded = sigs.select(
+          col("doc_id"), col("shingles"),
+          explode(array((0 until BANDS).map { b =>
+            struct(lit(b).as("band"),
+              Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+                .as("bh"))
+          }: _*)).as("e"))
+          .select(col("doc_id"), col("shingles"),
+            col("e.band").as("band"), col("e.bh").as("bh"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+          .distinct()
+        val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
+        cand
+          .withColumn("inter", inter)
+          .withColumn("jaccard",
+            col("inter").cast("double") /
+              (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val mhs = (0 until H).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
+        val bandRows = (0 until BANDS).map { b =>
+          s"SELECT doc_id, shingles, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (
+             SELECT doc_id, $shinglesSql AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             WHERE len(toks) >= 3),
+           sigs AS (SELECT doc_id, shingles, $mhs FROM base),
+           banded AS ($bandRows),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           j AS (
+             SELECT id_a, id_b,
+               len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+             FROM cand JOIN base sa ON sa.doc_id = id_a
+                       JOIN base sb ON sb.doc_id = id_b)
+           SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
+           FROM j WHERE inter::double / (na + nb - inter) >= 0.8
+           ORDER BY id_a, id_b"""
+      }),
+
+    // SimHash: 16-bit signature from per-token votes, computed entirely
+    // in-row (aggregate over the distinct-token array — no shuffle at all),
+    // then collision groups.
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => {
+        val dtoks = array_distinct(toks)
+        val bits = (0 until 16).map { b =>
+          when(
+            aggregate(dtoks, lit(0L), (acc, t) =>
+              acc + when(shiftright(Q.hash60(t), b).bitwiseAND(1) === 1, 1L)
+                .otherwise(-1L)) > 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }
+        docs(s, dir)
+          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSql = (0 until 16).map { b =>
+          s"""CASE WHEN list_reduce(list_prepend(0::bigint,
+               list_transform(dtoks, t ->
+                 CASE WHEN (${Q.hash60Sql("t")} >> $b) & 1 = 1
+                      THEN 1::bigint ELSE -1::bigint END)),
+               (a, x) -> a + x) > 0 THEN ${1L << b} ELSE 0 END"""
+        }.mkString(" + ")
+        s"""SELECT doc_id, ($bitSql)::bigint AS simhash
+           FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks
+                 FROM documents)
+           ORDER BY doc_id"""
+      }),
+
+    // Exact n-gram Jaccard via inverted shingle index, document-frequency
+    // capped (df <= 100): the exact-verification path at scale — candidate
+    // generation is Σ df² over rare shingles, not n².
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), shingles.as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        val inv = base
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100)
+        val pairs = inv.as("a")
+          .join(rare, "sh")
+          .join(inv.as("b"), col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter_rare"))
+        val sz = base.select(col("doc_id"), size(col("shingles")).as("n"),
+          col("shingles"))
+        pairs
+          .join(sz.select(col("doc_id").as("id_a"), col("shingles").as("sa"),
+            col("n").as("na")), "id_a")
+          .join(sz.select(col("doc_id").as("id_b"), col("shingles").as("sb"),
+            col("n").as("nb")), "id_b")
+          .withColumn("inter",
+            size(filter(col("sa"), x => array_contains(col("sb"), x))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH base AS (
+             SELECT doc_id, $shinglesSql AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             WHERE len(toks) >= 3),
+           inv AS (SELECT doc_id, unnest(shingles) AS sh FROM base),
+           rare AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 100),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv a JOIN rare USING (sh)
+                        JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           j AS (
+             SELECT id_a, id_b,
+               len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+             FROM pairs JOIN base sa ON sa.doc_id = id_a
+                        JOIN base sb ON sb.doc_id = id_b)
+           SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
+           FROM j WHERE inter::double / (na + nb - inter) >= 0.8
+           ORDER BY id_a, id_b"""))
+  )
 }

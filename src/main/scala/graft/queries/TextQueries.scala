@@ -1,8 +1,178 @@
 package graft.queries
 
-/** Text-analysis pipeline operators over `documents` (token counting,
-  * quality scoring, language ID, fingerprinting).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pipeline operators over `documents` — the LLM-training-
+  * data surface (token counting, quality scoring, language ID,
+  * fingerprinting). Everything is a higher-order Column function over the
+  * token array (`transform`/`filter`/`aggregate`) — no UDFs, no explode
+  * unless the op is genuinely row-generating, so the whole stage stays in
+  * whole-stage codegen and scales as a pure map over the corpus.
   */
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Q.documents(s, dir)
+
+  /** Whitespace tokens of `text` (Q.tokens twin: string_split(text, ' ')). */
+  private val toks: Column = split(col("text"), " ")
+
+  /** Integer fold over tokens; both engines fold left with init 0. */
+  private def foldInt(arr: Column, f: (Column, Column) => Column): Column =
+    aggregate(arr, lit(0L), f)
+
+  // Stopword vote sets for the n-gram-free language-ID heuristic. The
+  // corpus vocabulary is ASCII word soup, so the votes are tiny — the
+  // OPERATOR (per-language token votes + deterministic argmax) is what we
+  // verify, not linguistic accuracy.
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "una", "en"))
+
+  private def inSet(set: Seq[String]): Column => Column = {
+    val lits = set.map(lit(_))
+    t => t.isInCollection(lits)
+  }
+
+  private def sqlSet(set: Seq[String]): String = set.map("'" + _ + "'").mkString("(", ",", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: pure per-row map, zero shuffles.
+    QueryDef(
+      "doc_stats",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          // one double division of two exact ints → cross-engine stable
+          (foldInt(toks, (acc, t) => acc + length(t)).cast("double") /
+            size(toks)).as("mean_tok_len"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             len(string_split(text,' '))::bigint AS n_tokens,
+             len(list_distinct(string_split(text,' ')))::bigint AS n_types,
+             length(text)::bigint AS n_chars_calc,
+             list_reduce(list_prepend(0::bigint,
+               list_transform(string_split(text,' '), t -> length(t)::bigint)),
+               (a,b) -> a+b)::double / len(string_split(text,' ')) AS mean_tok_len
+             FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: stopword ratio + type/token ratio (the standard
+    // cheap heuristics for corpus filtering).
+    QueryDef(
+      "doc_quality",
+      (s, dir) => {
+        val en = inSet(langSets.head._2)
+        docs(s, dir).select(
+          col("doc_id"),
+          (size(filter(toks, en)).cast("double") / size(toks)).as("stop_ratio"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+          (size(toks) >= 20 && size(toks) <= 1000).as("len_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             len(list_filter(string_split(text,' '),
+               t -> t IN ${sqlSet(langSets.head._2)}))::double
+               / len(string_split(text,' ')) AS stop_ratio,
+             len(list_distinct(string_split(text,' ')))::double
+               / len(string_split(text,' ')) AS ttr,
+             len(string_split(text,' ')) BETWEEN 20 AND 1000 AS len_ok
+             FROM documents ORDER BY doc_id""")),
+
+    // Language ID: per-language stopword votes, deterministic argmax with
+    // declaration-order tie-break (en > de > fr > es).
+    QueryDef(
+      "doc_langid",
+      (s, dir) => {
+        val votes = langSets.map { case (l, set) =>
+          l -> size(filter(toks, inSet(set))).cast("long")
+        }
+        val scored = docs(s, dir).select(
+          col("doc_id") +: votes.map { case (l, c) => c.as(s"v_$l") }: _*)
+        // argmax via greatest + chained CASE (first max in declared order)
+        val mx = greatest(votes.map { case (l, _) => col(s"v_$l") }: _*)
+        val pred = votes.map(_._1).foldRight(lit("und")) { case (l, acc) =>
+          when(col(s"v_$l") === mx && mx > 0, lit(l)).otherwise(acc)
+        }
+        scored.select(
+          col("doc_id"), col("v_en"), col("v_de"), col("v_fr"), col("v_es"),
+          pred.as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val vs = langSets.map { case (l, set) =>
+          s"len(list_filter(string_split(text,' '), t -> t IN ${sqlSet(set)}))::bigint AS v_$l"
+        }.mkString(", ")
+        s"""SELECT doc_id, v_en, v_de, v_fr, v_es,
+           CASE WHEN v_en = mx AND mx > 0 THEN 'en'
+                WHEN v_de = mx AND mx > 0 THEN 'de'
+                WHEN v_fr = mx AND mx > 0 THEN 'fr'
+                WHEN v_es = mx AND mx > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+           FROM (SELECT doc_id, v_en, v_de, v_fr, v_es,
+                   greatest(v_en, v_de, v_fr, v_es) AS mx
+                 FROM (SELECT doc_id, $vs FROM documents))
+           ORDER BY doc_id"""
+      }),
+
+    // Document fingerprinting: whole-text md5-60bit + a polynomial rolling
+    // hash over tokens (mod arithmetic keeps both engines in exact int64).
+    QueryDef(
+      "doc_fingerprint",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          Q.hash60(col("text")).as("fp_text"),
+          aggregate(toks, lit(0L), (acc, t) =>
+            (acc * 31L + Q.hash60(t) % 1000003L) % 1000000007L).as("fp_roll"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             ${Q.hash60Sql("text")} AS fp_text,
+             list_reduce(list_prepend(0::bigint,
+               list_transform(string_split(text,' '),
+                 t -> (${Q.hash60Sql("t")} % 1000003))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+             FROM documents ORDER BY doc_id""")),
+
+    // Global token frequency: the one genuinely row-generating op (explode
+    // = scespet's `valueSet(expand)` flattening, SURVEY §2.3). Partial
+    // aggregation makes the shuffle carry only (token, count) pairs.
+    QueryDef(
+      "doc_top_tokens",
+      (s, dir) =>
+        docs(s, dir)
+          .select(explode(toks).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, count(*) AS cnt
+             FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+             GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")),
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // "decode" is a deterministic stand-in (byte length / prefix hash) —
+    // the real image/audio decode would be a mapPartitions over the same
+    // binary column (libs not in this container; see graft.multimodal).
+    QueryDef(
+      "mm_binary_meta",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+            substring(col("text"), 1, 64).as("prefix"), col("source"))
+          .select(
+            col("doc_id"),
+            length(col("blob")).cast("long").as("n_bytes"),
+            Q.hash60(col("prefix")).as("prefix_fp"),
+            col("source"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
+             ${Q.hash60Sql("substr(text, 1, 64)")} AS prefix_fp, source
+             FROM documents ORDER BY doc_id"""))
+  )
 }
