@@ -1,7 +1,200 @@
 package graft.queries
 
-/** Similarity search over `embeddings` (brute-force cosine top-k, LSH ANN).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  *
+  *   - `knn_brute`: exact cosine top-k — the correctness baseline. One
+  *     broadcast of the query set; the corpus is scanned once, fully
+  *     parallel, no shuffle until the tiny per-query top-k.
+  *   - `emb_lsh_buckets` / `knn_lsh`: random-hyperplane LSH — the scale
+  *     path. Hyperplane components are md5-derived integers, so both
+  *     engines derive identical planes; bucketing is a pure map, and ANN
+  *     probes only the query's bucket instead of the full corpus.
+  *
+  * Float-determinism: elements are cast to double (exact), products and
+  * the left-to-right fold order are identical in both engines, so cosine
+  * doubles are bit-comparable (see [[Q]] scaladoc).
   */
 object SimilarityQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  /** Embeddings with double-cast vector + squared norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Q.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n2", aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+
+  private val embSql: String =
+    """emb AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> x::double) AS v,
+           list_reduce(list_prepend(0.0::double,
+             list_transform(list_transform(embedding, x -> x::double),
+               x -> x * x)), (a, x) -> a + x) AS n2
+         FROM embeddings)"""
+
+  /** Left-to-right dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::double,
+        list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+        (acc, x) -> acc + x)"""
+
+  /** Deterministic integer hyperplane component: plane p, dim j ∈ 1..DIM. */
+  private def planeC(p: Int, j: Column): Column =
+    Q.hash60(concat(lit(s"hp${p}_"), j.cast("string"))) % 2001L - 1000L
+
+  private def planeCSql(p: Int, j: String): String =
+    s"${Q.hash60Sql(s"'hp${p}_' || $j")} % 2001 - 1000"
+
+  /** LSH bucket id: sign bit of each hyperplane dot product. */
+  private def bucket: Column =
+    (0 until PLANES).map { p =>
+      val d = aggregate(
+        sequence(lit(1), size(col("v"))), lit(0.0),
+        (acc, i) => acc + element_at(col("v"), i) * planeC(p, i).cast("double"))
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql: String =
+    (0 until PLANES).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0::double,
+           list_transform(range(1, len(v) + 1),
+             i -> v[i] * (${planeCSql(p, "i")})::double)),
+           (acc, x) -> acc + x) > 0 THEN ${1L << p} ELSE 0 END"""
+    }.mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact cosine top-5 for query vectors 0..2: broadcast the 3 queries,
+    // one corpus scan, per-query top-k via ranking window over tiny groups.
+    QueryDef(
+      "knn_brute",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q, emb WHERE vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // LSH bucket histogram: verifies the bucketing map itself.
+    QueryDef(
+      "emb_lsh_buckets",
+      (s, dir) =>
+        emb(s, dir)
+          .withColumn("bucket", bucket)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some(s"""WITH $embSql
+             SELECT ($bucketSql)::bigint AS bucket, count(*) AS n
+             FROM emb GROUP BY 1 ORDER BY bucket""")),
+
+    // ANN: cosine top-5 probing ONLY the query's LSH bucket — the join key
+    // is the bucket, so each query compares against a small candidate set.
+    QueryDef(
+      "knn_lsh",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("bucket", bucket)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("bucket").as("qb"))
+        val scored = e.join(broadcast(q),
+          col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             b AS (SELECT vec_id, v, n2, ($bucketSql)::bigint AS bucket FROM emb),
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket AS qb
+                   FROM b WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q JOIN b ON bucket = qb AND vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // Embedding-cosine near-duplicate pairs: LSH-bucket candidates (same
+    // bucket ⇒ similar sign pattern), exact cosine verify ≥ 0.9 — the
+    // embedding twin of dedup_minhash_lsh.
+    QueryDef(
+      "emb_neardup",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("bucket", bucket)
+        val pairs = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.v").as("va"), col("b.v").as("vb"),
+            col("a.n2").as("na2"), col("b.n2").as("nb2"))
+          .withColumn("cos",
+            dot(col("va"), col("vb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
+        pairs.filter(col("cos") >= 0.9)
+          .select("id_a", "id_b", "cos")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $embSql,
+             b AS (SELECT vec_id, v, n2, ($bucketSql)::bigint AS bucket FROM emb),
+             p AS (
+               SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 ${dotSql("a.v", "b2.v")} / (sqrt(a.n2) * sqrt(b2.n2)) AS cos
+               FROM b a JOIN b b2
+                 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+             SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+             ORDER BY id_a, id_b""")),
+
+    // Per-label corpus stats: count + mean vector norm (decimal-exact sum
+    // of identically-computed doubles → deterministic mean).
+    QueryDef(
+      "emb_label_stats",
+      (s, dir) =>
+        emb(s, dir)
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(sqrt(col("n2")).cast("decimal(38,12)")).cast("double") /
+              count(lit(1))).as("mean_norm"))
+          .orderBy("label"),
+      Some(s"""WITH $embSql
+             SELECT label, count(*) AS n,
+               sum(sqrt(n2)::decimal(38,12))::double / count(*) AS mean_norm
+             FROM emb GROUP BY label ORDER BY label"""))
+  )
 }
