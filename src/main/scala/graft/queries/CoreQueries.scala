@@ -269,6 +269,34 @@ object CoreQueries {
                PARTITION BY user_id, ts ORDER BY side DESC, event_id DESC) = 1
              ORDER BY user_id, ts""")),
 
+    // ---- §2.5/§3.3 multi-input bound buckets --------------------------
+    // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
+    //   .reset(1.day).last() — tagged union + one grouped aggregation.
+    QueryDef(
+      "ev_bind_bucket",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        Buckets(Seq("user_id"))
+          .bind("p", all.filter(col("event_type") === "purchase"))(
+            "v" -> col("value"))
+          .bind("c", all.filter(col("event_type") === "click"))(
+            "v" -> col("value"))
+          .reset(Slice.Tumbling(86400L * 1000 * 1000))
+          .last(
+            "n_p" -> count(Buckets.fromTag("p", col("v"))),
+            "sum_p" -> coalesce(Q.dsum(Buckets.fromTag("p", col("v"))),
+              lit(0).cast("decimal(38,6)")),
+            "n_c" -> count(Buckets.fromTag("c", col("v"))))
+          .orderBy("user_id", "window_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) // 86400000000 AS window_id,
+             count(CASE WHEN event_type='purchase' THEN 1 END) AS n_p,
+             coalesce(sum(CASE WHEN event_type='purchase'
+               THEN value::decimal(38,6) END), 0) AS sum_p,
+             count(CASE WHEN event_type='click' THEN 1 END) AS n_c
+             FROM events WHERE event_type IN ('purchase','click')
+             GROUP BY 1, 2 ORDER BY user_id, window_id""")),
+
     // ---- §2.5 order-dependent aggregations ----------------------------
     QueryDef(
       "ev_ewma",
