@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming execution of the graft operator semantics.
+  *
+  * scespet is a push-graph CEP engine; its streaming analog in Spark is
+  * Structured Streaming (SURVEY §1.2, §4.2): event-time columns +
+  * watermarks for time slices, stateful operators for count/trigger
+  * slices and multi-input buckets. The batch kernel (WindowKernel) and
+  * these operators share semantics — the conformance spec runs the same
+  * data through both and asserts identical buckets.
+  */
+object Streams {
+
+  /** Tumbling event-time aggregation (scespet `Duration` slices on a
+    * stream): built-in `window()` + watermark — fully incremental,
+    * partial-agg + state-store backed, scales per key across executors.
+    *
+    * `ts` is epoch-micros (the graft stream contract); `width`/`delay`
+    * are SQL interval strings (e.g. "1 day", "10 minutes").
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      keys: Seq[String],
+      width: String,
+      delay: String,
+      aggs: (String, Column)*): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", delay)
+    withTime
+      .groupBy(window(col("event_time"), width) +: keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, e) => e.as(n) }: _*)
+  }
+}
+
+/** Typed stream element for the stateful operators (the scespet
+  * `(ts, seq, key, value)` event shape).
+  */
+final case class KeyedEvent(k: String, ts: Long, seq: Long, v: Double)
+
+/** A closed (or final partial) count-window bucket. */
+final case class CountBucket(
+    k: String, windowId: Long, n: Long, sum: Double, mn: Double, mx: Double)
+
+private final case class CountSliceState(
+    windowId: Long, n: Long, sum: Double, mn: Double, mx: Double)
+
+/** Count-based slicing on a live stream (scespet `Events(n)` /
+  * `group(3.events).reduce`, SliceTriggerSpec.scala:53-56): no Spark
+  * built-in exists, so per-key state in `flatMapGroupsWithState` counts
+  * events and emits a bucket each time N accumulate. Batch twin:
+  * `WindowKernel.withWindowId(Slice.Count(n))`.
+  *
+  * Ordering contract: within one micro-batch the group's events are
+  * sorted by (ts, seq) before folding; across batches arrival order must
+  * respect event order per key (the standard per-key-ordered-source
+  * assumption, e.g. a keyed Kafka topic).
+  */
+object CountSlices {
+
+  def apply(events: Dataset[KeyedEvent], n: Int): Dataset[CountBucket] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CountSliceState, CountBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[CountSliceState]) =>
+          var s = state.getOption.getOrElse(
+            CountSliceState(0L, 0L, 0.0, Double.MaxValue, Double.MinValue))
+          val out = Seq.newBuilder[CountBucket]
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            s = CountSliceState(s.windowId, s.n + 1, s.sum + e.v,
+              math.min(s.mn, e.v), math.max(s.mx, e.v))
+            if (s.n == n) {
+              out += CountBucket(key, s.windowId, s.n, s.sum, s.mn, s.mx)
+              s = CountSliceState(s.windowId + 1, 0L, 0.0, Double.MaxValue, Double.MinValue)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
+/** Streaming either-fires zip join (scespet `join`, MacroTerm.scala:190-204):
+  * per-key state holds the latest value of each side; every event emits the
+  * current pair (rendezvous: both sides in one batch-group are folded in
+  * (ts, seq) order, so a same-cycle pair emits once with both values).
+  * Batch twin: [[graft.core.AsOf.zip]].
+  */
+final case class ZipEvent(k: String, ts: Long, seq: Long, side: Int, v: Double)
+final case class ZipOut(k: String, ts: Long, left: Option[Double], right: Option[Double])
+private final case class ZipState(left: Option[Double], right: Option[Double])
+
+object ZipJoin {
+  def apply(events: Dataset[ZipEvent]): Dataset[ZipOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ZipState, ZipOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[ZipEvent], state: GroupState[ZipState]) =>
+          var s = state.getOption.getOrElse(ZipState(None, None))
+          val out = Seq.newBuilder[ZipOut]
+          // one emission per (ts) cycle: fold cycle groups in order
+          it.toSeq.sortBy(e => (e.ts, e.side, e.seq))
+            .groupBy(_.ts).toSeq.sortBy(_._1)
+            .foreach { case (ts, cycle) =>
+              cycle.foreach { e =>
+                s = if (e.side == 0) s.copy(right = Some(e.v))
+                    else s.copy(left = Some(e.v))
+              }
+              out += ZipOut(key, ts, s.left, s.right)
+            }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.streaming._
+
+/** Streaming ↔ batch semantic parity: the same events through the
+  * Structured Streaming operators and the batch WindowKernel must produce
+  * identical buckets (SURVEY §7.1: "API kept streaming-compatible").
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToCompletion[T](q: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      name: String): Unit = {
+    val sq = q.queryName(name).format("memory").start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+  }
+
+  test("streaming tumbling agg matches batch Slice.Tumbling buckets") {
+    val events = (0 until 40).map { i =>
+      KeyedEvent(if (i % 2 == 0) "a" else "b", i.toLong * 500000L, i.toLong, i.toDouble)
+    }
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(events.take(25): _*)
+    mem.addData(events.drop(25): _*)
+
+    val agg = Streams.tumblingAgg(
+      mem.toDF(), Seq("k"), "10 seconds", "0 seconds",
+      "n" -> count(lit(1)), "s" -> sum(col("v")))
+    runToCompletion(agg.writeStream.outputMode("complete"), "tumbling")
+
+    val streamed = spark.table("tumbling")
+      .select(col("k"), unix_micros(col("window.start")).as("wstart"), col("n"), col("s"))
+      .orderBy("k", "wstart")
+      .as[(String, Long, Long, Double)].collect().toSeq
+
+    val batch = KStream(events.toDF(), Seq("k"))
+      .group(Slice.Tumbling(10L * 1000 * 1000))
+      .reduce("n" -> count(lit(1)), "s" -> sum(col("v")))
+      .select(col("k"), (col("window_id") * 10L * 1000 * 1000).as("wstart"),
+        col("n"), col("s"))
+      .orderBy("k", "wstart")
+      .as[(String, Long, Long, Double)].collect().toSeq
+
+    streamed shouldBe batch
+  }
+
+  test("streaming count slices match batch Slice.Count buckets (closed windows)") {
+    val events = (0 until 23).map { i =>
+      KeyedEvent(if (i % 3 == 0) "x" else "y", i.toLong, i.toLong, (i % 7).toDouble)
+    }
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(events.take(10): _*)
+    mem.addData(events.drop(10): _*)
+
+    runToCompletion(CountSlices(mem.toDS(), 3).writeStream.outputMode("append"), "countslices")
+
+    val streamed = spark.table("countslices")
+      .orderBy("k", "windowId")
+      .as[CountBucket].collect().toSeq
+
+    // batch twin, keeping only CLOSED buckets (streaming hasn't seen the end)
+    val batch = KStream(events.toDF(), Seq("k"))
+      .group(Slice.Count(3))
+      .reduce("n" -> count(lit(1)), "sum" -> sum(col("v")),
+        "mn" -> min(col("v")), "mx" -> max(col("v")))
+      .filter(col("n") === 3)
+      .select(col("k"), col("window_id").as("windowId"), col("n"),
+        col("sum"), col("mn"), col("mx"))
+      .orderBy("k", "windowId")
+      .as[CountBucket].collect().toSeq
+
+    streamed shouldBe batch
+  }
+
+  test("streaming zip join matches batch AsOf.zip emissions") {
+    val l = Seq((1L, 0L, 10.0), (3L, 1L, 30.0), (6L, 3L, 60.0))
+    val r = Seq((0L, 10L, 100.0), (3L, 11L, 300.0), (4L, 12L, 400.0))
+    val zipEvents =
+      l.map { case (ts, seq, v) => ZipEvent("k", ts, seq, 1, v) } ++
+        r.map { case (ts, seq, v) => ZipEvent("k", ts, seq, 0, v) }
+
+    val mem = MemoryStream[ZipEvent](spark)
+    mem.addData(zipEvents: _*)
+    runToCompletion(ZipJoin(mem.toDS()).writeStream.outputMode("append"), "zipjoin")
+
+    val streamed = spark.table("zipjoin").orderBy("ts")
+      .select("ts", "left", "right")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+
+    val batch = EStream(l.toDF("ts", "seq", "lv"))
+      .joinZip(EStream(r.toDF("ts", "seq", "rv")),
+        Seq("left" -> col("lv")), Seq("right" -> col("rv")))
+      .df.orderBy("ts").select("ts", "left", "right")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+
+    streamed shouldBe batch
+  }
+}
