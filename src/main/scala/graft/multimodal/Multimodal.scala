@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, processed by per-partition batch functions.
+  *
+  * The Spark-side plumbing here is real and tested — schema, encoders,
+  * partition-batched extraction (`mapPartitions`, the Scala analog of
+  * `mapInPandas` batch shape), frame sampling, feature vectors. The codec
+  * decode itself is STUBBED ([[Codecs.decodeImage]] is `???`): the
+  * image/audio libraries are not in this container. Swapping the stub for
+  * a real decoder (javax.imageio / ffmpeg bindings) changes no plumbing.
+  *
+  * Scale: blobs never leave their partition — extraction is a pure map
+  * stage with no shuffle; feature outputs are small fixed-width vectors,
+  * so downstream joins/aggs shuffle features, not media bytes. For 100 TB
+  * of media, size `spark.sql.files.maxPartitionBytes` so one partition's
+  * blobs fit in executor memory, and store blobs in their own column
+  * (parquet keeps them column-isolated — metadata-only queries never read
+  * the bytes).
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media blob. */
+  final case class MediaMeta(
+      kind: String, // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      sampleRateHz: Int,
+      nFrames: Int)
+
+  final case class MediaRow(id: Long, blob: Array[Byte], meta: MediaMeta)
+
+  /** Fixed-width per-blob features: byte histogram (16 coarse bins) +
+    * length + a content fingerprint — the deterministic stand-in for a
+    * real embedding/feature extractor.
+    */
+  final case class MediaFeatures(
+      id: Long,
+      kind: String,
+      nBytes: Long,
+      fingerprint: Long,
+      histo: Array[Long])
+
+  final case class Frame(id: Long, frameIdx: Int, bytes: Array[Byte])
+
+  implicit private def mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit private def featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit private def frameEnc: Encoder[Frame] = Encoders.product[Frame]
+
+  /** FNV-1a 64-bit over the blob — cheap deterministic fingerprint. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Partition-batched feature extraction: one pass per partition, blobs
+    * stay local, output is fixed-width. This is where a real decoder would
+    * run ([[Codecs]]).
+    */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val histo = new Array[Long](16)
+        var i = 0
+        while (i < r.blob.length) { histo((r.blob(i) & 0xff) >> 4) += 1; i += 1 }
+        MediaFeatures(r.id, r.meta.kind, r.blob.length.toLong, fnv64(r.blob), histo)
+      }
+    }
+
+  /** Frame sampling: split the blob into fixed-size "frames" (stand-in for
+    * container demux) and keep every `stride`-th. Row-generating — the
+    * explode analog — but emitted per-partition with no shuffle.
+    */
+  def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] =
+    rows.flatMap { r =>
+      r.blob.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % stride == 0 => Frame(r.id, idx, chunk)
+      }
+    }
+
+  /** Resize stub shape: byte-domain downsample (every k-th byte) standing
+    * in for pixel-domain resize; preserves determinism and batch shape.
+    */
+  def downsample(rows: Dataset[MediaRow], k: Int): Dataset[MediaRow] =
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val out = Array.tabulate(math.max(1, r.blob.length / k))(i => r.blob(i * k))
+        r.copy(blob = out, meta = r.meta.copy(nFrames = out.length))
+      }
+    }
+}
+
+/** The genuinely-stubbed codec boundary: real decoders require native
+  * image/audio libraries not present in this container.
+  */
+object Codecs {
+  /** Decode an encoded image blob to (width, height, pixels). STUB. */
+  def decodeImage(blob: Array[Byte]): (Int, Int, Array[Int]) =
+    ??? // javax.imageio / turbojpeg binding goes here; plumbing above is real
+
+  /** Decode an audio blob to PCM samples. STUB. */
+  def decodeAudio(blob: Array[Byte]): Array[Short] = ???
+}
