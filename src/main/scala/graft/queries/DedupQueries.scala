@@ -21,14 +21,24 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Q.documents(s, dir)
 
-  private val toks: Column = split(col("text"), " ")
-
-  /** Distinct word 3-gram shingles. DuckDB twin: see [[shinglesSql]]. */
-  private val shingles: Column = array_distinct(
+  /** Distinct word 3-gram shingles over a MATERIALIZED token-array column.
+    * The lambda must reference an attribute, not the `split()` expression:
+    * an inlined split re-tokenizes the full text for every element access
+    * (O(len·tokens) per row — measured 30× slower). DuckDB twin:
+    * [[shinglesSql]].
+    */
+  private def shinglesOf(toks: Column): Column = array_distinct(
     transform(
       sequence(lit(1), greatest(size(toks) - 2, lit(0))),
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** documents → (doc_id, shingles) with the token array materialized. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesOf(col("toks")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** DuckDB: distinct 3-gram shingles of `text` (range is end-exclusive →
     * i in 1..len-2; slice toks[i:i+2] is inclusive → 3 tokens).
@@ -40,11 +50,27 @@ object DedupQueries {
   private val H = 8 // minhash functions
   private val BANDS = 4 // → rows-per-band = 2
 
+  // Universal hashing over ONE md5 per shingle (standard minhash trick —
+  // 8× fewer md5 calls than hashing per-function): h_i = (h·A_i + B_i)
+  // mod M, with h pre-reduced mod M so every product fits in int64
+  // exactly in both engines. M = 2^31 - 1 (prime).
+  private val M = 2147483647L
+  private def hashA(i: Int): Long = 1000003L * (i + 1) % M
+  private def hashB(i: Int): Long = 998244353L * (i + 7) % M
+
   private def minhash(i: Int): Column =
-    array_min(transform(col("shingles"), s => Q.hash60(concat(lit(s"$i|"), s))))
+    array_min(transform(col("hs"),
+      h => (h * hashA(i) + hashB(i)) % M))
 
   private def minhashSql(i: Int): String =
-    s"list_min(list_transform(shingles, s -> ${Q.hash60Sql(s"'$i|' || s")}))"
+    s"list_min(list_transform(hs, h -> (h * ${hashA(i)} + ${hashB(i)}) % $M))"
+
+  /** Per-shingle base hashes, reduced mod M. */
+  private val shingleHashes: Column =
+    transform(col("shingles"), s => Q.hash60(s) % M)
+
+  private val shingleHashesSql: String =
+    s"list_transform(shingles, s -> ${Q.hash60Sql("s")} % $M)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -90,30 +116,36 @@ object DedupQueries {
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), shingles.as("shingles"))
-          .filter(size(col("shingles")) > 0)
-        val sigs = base.select(
-          col("doc_id") +: col("shingles") +:
-            (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+        val base = shingled(s, dir)
+        val sigs = base
+          .select(col("doc_id"), shingleHashes.as("hs"))
+          .select(
+            col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+        // Narrow band rows: (doc_id, band, bh) only — candidate generation
+        // and its distinct() never shuffle the shingle arrays.
         val banded = sigs.select(
-          col("doc_id"), col("shingles"),
+          col("doc_id"),
           explode(array((0 until BANDS).map { b =>
             struct(lit(b).as("band"),
               Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
                 .as("bh"))
           }: _*)).as("e"))
-          .select(col("doc_id"), col("shingles"),
-            col("e.band").as("band"), col("e.bh").as("bh"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+          // shuffle once on the join key: both self-join sides canonicalize
+          // to the SAME exchange → ReusedExchange computes the md5-heavy
+          // signature lineage once instead of twice
+          .repartition(col("band"), col("bh"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+        // Exact verification only for the (few) LSH survivors.
         val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
         cand
+          .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
           .withColumn("inter", inter)
           .withColumn("jaccard",
             col("inter").cast("double") /
@@ -125,13 +157,14 @@ object DedupQueries {
       Some {
         val mhs = (0 until H).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
         val bandRows = (0 until BANDS).map { b =>
-          s"SELECT doc_id, shingles, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
+          s"SELECT doc_id, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
         }.mkString(" UNION ALL ")
         s"""WITH base AS (
              SELECT doc_id, $shinglesSql AS shingles
              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
              WHERE len(toks) >= 3),
-           sigs AS (SELECT doc_id, shingles, $mhs FROM base),
+           hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM base),
+           sigs AS (SELECT doc_id, $mhs FROM hashed),
            banded AS ($bandRows),
            cand AS (
              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -154,7 +187,9 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, dir) => {
-        val dtoks = array_distinct(toks)
+        // the array ARGUMENT of aggregate() is evaluated once per row, so
+        // inlining split here is linear (unlike inside an element lambda)
+        val dtoks = array_distinct(split(col("text"), " "))
         val bits = (0 until 16).map { b =>
           when(
             aggregate(dtoks, lit(0L), (acc, t) =>
@@ -186,26 +221,37 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), shingles.as("shingles"))
-          .filter(size(col("shingles")) > 0)
+        val base = shingled(s, dir)
         val inv = base
           .select(col("doc_id"), explode(col("shingles")).as("sh"))
         val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 100)
-        val pairs = inv.as("a")
-          .join(rare, "sh")
-          .join(inv.as("b"), col("a.sh") === col("b.sh") &&
+          .select("sh")
+        // Candidate pairs carry ONLY ids + the rare-intersection count —
+        // the Σdf² blowup stays narrow (two longs + a count per row).
+        // one exchange on the join key, reused by both self-join sides
+        val invRare = inv.join(rare, "sh").repartition(col("sh"))
+        val pairs = invRare.as("a")
+          .join(invRare.as("b"), col("a.sh") === col("b.sh") &&
             col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("inter_rare"))
-        val sz = base.select(col("doc_id"), size(col("shingles")).as("n"),
-          col("shingles"))
-        pairs
-          .join(sz.select(col("doc_id").as("id_a"), col("shingles").as("sa"),
-            col("n").as("na")), "id_a")
-          .join(sz.select(col("doc_id").as("id_b"), col("shingles").as("sb"),
-            col("n").as("nb")), "id_b")
+        // Per-doc totals: n shingles, of which n_rare are under the df cap.
+        val sz = invRare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+          .join(base.select(col("doc_id"), size(col("shingles")).as("n")), "doc_id")
+        // Sound upper bound: inter <= inter_rare + min(hot_a, hot_b), so
+        // prune every pair whose best-case jaccard is < 0.8 BEFORE touching
+        // the shingle arrays; exact-verify the survivors only.
+        val pruned = pairs
+          .join(sz.select(col("doc_id").as("id_a"), col("n").as("na"),
+            (col("n") - col("n_rare")).as("hot_a")), "id_a")
+          .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb"),
+            (col("n") - col("n_rare")).as("hot_b")), "id_b")
+          .withColumn("ub", col("inter_rare") + least(col("hot_a"), col("hot_b")))
+          .filter(col("ub").cast("double") / (col("na") + col("nb") - col("ub")) >= 0.8)
+        pruned
+          .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
           .withColumn("inter",
             size(filter(col("sa"), x => array_contains(col("sb"), x))))
           .withColumn("jaccard",

@@ -48,9 +48,18 @@ object SimilarityQueries {
         list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
         (acc, x) -> acc + x)"""
 
-  /** Deterministic integer hyperplane component: plane p, dim j ∈ 1..DIM. */
-  private def planeC(p: Int, j: Column): Column =
-    Q.hash60(concat(lit(s"hp${p}_"), j.cast("string"))) % 2001L - 1000L
+  /** Deterministic integer hyperplane component: plane p, dim j ∈ 1..DIM.
+    * Driver-side twin of [[Q.hash60]] (same md5 → same value as the
+    * oracle's SQL derivation) — the planes are CONSTANTS, so they are
+    * computed once here and embedded as literal arrays instead of running
+    * 512 md5s per data row.
+    */
+  private def planeC(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp${p}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble
+  }
 
   private def planeCSql(p: Int, j: String): String =
     s"${Q.hash60Sql(s"'hp${p}_' || $j")} % 2001 - 1000"
@@ -58,9 +67,9 @@ object SimilarityQueries {
   /** LSH bucket id: sign bit of each hyperplane dot product. */
   private def bucket: Column =
     (0 until PLANES).map { p =>
+      val plane = typedLit((1 to DIM).map(j => planeC(p, j)))
       val d = aggregate(
-        sequence(lit(1), size(col("v"))), lit(0.0),
-        (acc, i) => acc + element_at(col("v"), i) * planeC(p, i).cast("double"))
+        zip_with(col("v"), plane, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -157,7 +166,9 @@ object SimilarityQueries {
     QueryDef(
       "emb_neardup",
       (s, dir) => {
+        // one exchange on the join key, reused by both self-join sides
         val e = emb(s, dir).withColumn("bucket", bucket)
+          .repartition(col("bucket"))
         val pairs = e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
