@@ -78,6 +78,30 @@ final case class KStream(
       .drop("__first")
   }
 
+  /** mapVector for associative numeric folds: at each event, the sum of
+    * EVERY key's latest value (the reference's demean/cross-sectional
+    * examples, doc types.scala:312-317). Delta trick: each event changes
+    * the cross-key total by (v − previous v of this key), so the snapshot
+    * is a single cumulative sum — no per-event key scan, one global
+    * ordered pass (inherently sequential, exactly as in the reference).
+    */
+  def vectorSumAtEachEvent(value: Column, out: String = "vec_sum"): DataFrame = {
+    val perKey = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+    val allTime = Window
+      .orderBy(col(tsCol), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__delta", value - coalesce(lag(value, 1).over(perKey), lit(0)))
+      .withColumn(out, sum(col("__delta")).over(allTime))
+      .drop("__delta")
+  }
+
+  /** Nested grouping (VectTerm.groupby, :117-119 / NestedVector.scala):
+    * a vector of sub-vectors by a derived outer key — relationally just a
+    * second key column; all per-key operators then work on (k2, k).
+    */
+  def groupByNested(outer: Column, as: String = "k2"): KStream =
+    KStream(df.withColumn(as, outer), as +: keys, tsCol, seqCol)
+
   /** Per-key cumulative scan (VectTerm.scan, :487-493). */
   def scanAll(out: String, agg: Column): KStream =
     KStream(

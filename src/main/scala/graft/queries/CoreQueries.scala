@@ -323,6 +323,37 @@ object CoreQueries {
              string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- §2.3 nested grouping (VectTerm.groupby) ----------------------
+    QueryDef(
+      "ev_groupby_nested",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .groupByNested(pmod(col("user_id"), lit(3)), "k2")
+          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsum(col("value")))
+          .orderBy("k2", "user_id"),
+      Some("""SELECT user_id % 3 AS k2, user_id, count(*) AS n,
+             sum(value::decimal(38,6)) AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY k2, user_id""")),
+
+    // ---- §2.2 mapVector cross-key snapshot sum ------------------------
+    QueryDef(
+      "ev_vector_sum",
+      (s, dir) =>
+        evKeyed(s, dir)
+          // decimal deltas: windowed double sums differ across engines
+          // (DuckDB frames use a segment tree → different fp add order)
+          .vectorSumAtEachEvent(col("value").cast("decimal(38,6)"), "vec_sum")
+          .select(col("seq").as("event_id"), col("vec_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             sum(value::decimal(38,6) - coalesce(pv, 0)) OVER (
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vec_sum
+             FROM (SELECT *, lag(value::decimal(38,6)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+                   FROM events)
+             ORDER BY event_id""")),
+
     // ---- §2.2 mapVector (cross-key snapshot) --------------------------
     QueryDef(
       "ev_vector_size",

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{EStream, KStream}
+
+/** Source constructors — the scespet source surface (SURVEY §2.1)
+  * re-expressed as DataFrame builders.
+  */
+object Sources {
+
+  /** IteratorEvents analog (SimpleEvaluator.scala:33-62): lift an in-memory
+    * sequence into a timestamped stream; `tsOf(value, index)` assigns event
+    * time exactly like the reference's `(value, index) => ts` lambda, and
+    * the index becomes `seq` (the deterministic merge tie-break).
+    */
+  def fromSeq[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      values: Seq[T],
+      tsOf: (T, Int) => Long): EStream = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      implicitly[org.apache.spark.sql.Encoder[T]])
+    val rows = values.zipWithIndex.map { case (v, i) => (tsOf(v, i), i.toLong, v) }
+    EStream(spark.createDataset(rows)(enc).toDF("ts", "seq", "v"))
+  }
+
+  /** Timer analog (util/Timer.scala:10-30): a periodic event grid over
+    * [start, end) every `interval` — batch form of the unbounded periodic
+    * source (streaming twin: `spark.readStream.format("rate")`).
+    * Generated distributively via spark.range — no driver-side collection.
+    */
+  def timeGrid(spark: SparkSession, start: Long, end: Long, interval: Long): EStream = {
+    val n = math.max(0L, (end - start + interval - 1) / interval)
+    EStream(
+      spark.range(n)
+        .select((col("id") * interval + start).as("ts"), col("id").as("seq")))
+  }
+
+  /** asVector analog (EnvTermBuilder.scala:59-62): a static key universe as
+    * a keyed stream of key==value cells (small dimension — broadcastable).
+    */
+  def asVector[K: org.apache.spark.sql.Encoder](spark: SparkSession, keys: Seq[K]): KStream = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      implicitly[org.apache.spark.sql.Encoder[K]])
+    KStream(
+      spark.createDataset(keys.zipWithIndex.map { case (k, i) => (0L, i.toLong, k) })(enc)
+        .toDF("ts", "seq", "k"),
+      Seq("k"))
+  }
+
+  /** keyToStream / lazyVect analog (VectTerm.scala:424-440,
+    * EnvTermBuilder.scala:73-98): replace each key of a key set with a
+    * generated stream. The reference creates graph cells on demand; in
+    * plan-space the registry is materialized once per key and unioned —
+    * "effectively a left join of this vector onto vector[domain, gen(k)]".
+    * Use only with a bounded key domain (the reference has the same
+    * constraint: one live cell per key).
+    */
+  def keyToStream[K](
+      keys: Seq[K],
+      gen: K => DataFrame,
+      keyCol: String = "k"): KStream = {
+    val frames = keys.map { k =>
+      gen(k).withColumn(keyCol, lit(k))
+    }
+    KStream(frames.reduce(_.unionByName(_)), Seq(keyCol))
+  }
+}

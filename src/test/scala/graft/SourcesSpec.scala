@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Sources
+
+/** Source-surface goldens (SURVEY §2.1): IteratorEvents/Timer/asVector/
+  * keyToStream analogs.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromSeq lifts a sequence with the (value, index) => ts contract") {
+    val s = Sources.fromSeq[Int](spark, Seq(5, 6, 7), (_, i) => i * 10L)
+    s.df.orderBy("seq").select("ts", "seq", "v")
+      .as[(Long, Long, Int)].collect().toSeq shouldBe
+      Seq((0L, 0L, 5), (10L, 1L, 6), (20L, 2L, 7))
+  }
+
+  test("timeGrid generates the periodic event grid distributively") {
+    Sources.timeGrid(spark, 100L, 160L, 20L)
+      .df.orderBy("seq").select("ts").as[Long].collect().toSeq shouldBe
+      Seq(100L, 120L, 140L)
+  }
+
+  test("timer sampling: grid.take(stream) samples a stream periodically (Timer + sample)") {
+    val data = Seq((5L, 0L, 1.0), (25L, 1L, 2.0), (45L, 2L, 3.0)).toDF("ts", "seq", "px")
+    val got = Sources.timeGrid(spark, 10L, 60L, 20L)
+      .take(EStream(data), Seq("px" -> col("px")))
+      .df.orderBy("ts").select("ts", "px").as[(Long, Double)].collect().toSeq
+    got shouldBe Seq((10L, 1.0), (30L, 2.0), (50L, 3.0))
+  }
+
+  test("asVector: static key universe (EnvTermBuilder.asVector)") {
+    Sources.asVector[String](spark, Seq("x", "y"))
+      .toKeySet.orderBy("k").as[String].collect().toSeq shouldBe Seq("x", "y")
+  }
+
+  test("keyToStream: per-key generated streams unioned at plan time (lazyVect)") {
+    val ks = Sources.keyToStream[Int](
+      Seq(2, 3),
+      k => spark.range(2).select(
+        col("id").as("ts"), col("id").as("seq"), (col("id") * k).as("v")))
+    ks.reduceAll("s" -> sum(col("v")))
+      .orderBy("k").select("k", "s").as[(Int, Long)].collect().toSeq shouldBe
+      Seq((2, 2L), (3, 3L))
+  }
+
+  test("vectorSumAtEachEvent: cross-key snapshot sum via delta trick (mapVector)") {
+    // events: (k, ts, v): a=1 @0, b=10 @1, a=3 @2, b=20 @3
+    // snapshot sums: 1, 11, 13, 23
+    val rows = Seq(("a", 0L, 0L, 1.0), ("b", 1L, 1L, 10.0),
+      ("a", 2L, 2L, 3.0), ("b", 3L, 3L, 20.0)).toDF("k", "ts", "seq", "v")
+    KStream(rows, Seq("k"))
+      .vectorSumAtEachEvent(col("v"))
+      .orderBy("seq").select("vec_sum").as[Double].collect().toSeq shouldBe
+      Seq(1.0, 11.0, 13.0, 23.0)
+  }
+
+  test("groupByNested: two-level keys slice independently (VectTerm.groupby)") {
+    val rows = Seq(("a", 0L, 0L, 1), ("b", 1L, 1L, 2), ("a", 2L, 2L, 3), ("b", 3L, 3L, 4))
+      .toDF("k", "ts", "seq", "v")
+    KStream(rows, Seq("k"))
+      .groupByNested(pmod(col("v"), lit(2)), "parity")
+      .reduceAll("s" -> sum(col("v")))
+      .orderBy("parity", "k")
+      .select("parity", "k", "s").as[(Int, String, Long)].collect().toSeq shouldBe
+      Seq((0, "b", 6L), (1, "a", 4L))
+  }
+}
