@@ -33,12 +33,16 @@ object DedupQueries {
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
-  /** documents → (doc_id, shingles) with the token array materialized. */
+  /** documents → (doc_id, shingles) with the token array materialized.
+    * The non-empty filter is expressed on the TOKEN COUNT (shingles exist
+    * iff ≥3 tokens): filtering on size(shingles) would get pushed below
+    * the projection and re-inline the whole shingle expression per row.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOf(col("toks")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
 
   /** DuckDB: distinct 3-gram shingles of `text` (range is end-exclusive →
     * i in 1..len-2; slice toks[i:i+2] is inclusive → 3 tokens).
@@ -116,7 +120,11 @@ object DedupQueries {
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val base = shingled(s, dir)
+        // persist: base and the band table are each consumed by BOTH sides
+        // of a self-join plus the verify joins — a few MB at any SF shard,
+        // vs recomputing the md5/shingle chain per consumer (AQE's
+        // broadcast conversion defeats ReusedExchange here)
+        val base = shingled(s, dir).persist()
         val sigs = base
           .select(col("doc_id"), shingleHashes.as("hs"))
           .select(
@@ -131,10 +139,7 @@ object DedupQueries {
                 .as("bh"))
           }: _*)).as("e"))
           .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-          // shuffle once on the join key: both self-join sides canonicalize
-          // to the SAME exchange → ReusedExchange computes the md5-heavy
-          // signature lineage once instead of twice
-          .repartition(col("band"), col("bh"))
+          .persist()
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -221,7 +226,7 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val base = shingled(s, dir)
+        val base = shingled(s, dir).persist()
         val inv = base
           .select(col("doc_id"), explode(col("shingles")).as("sh"))
         val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -229,8 +234,7 @@ object DedupQueries {
           .select("sh")
         // Candidate pairs carry ONLY ids + the rare-intersection count —
         // the Σdf² blowup stays narrow (two longs + a count per row).
-        // one exchange on the join key, reused by both self-join sides
-        val invRare = inv.join(rare, "sh").repartition(col("sh"))
+        val invRare = inv.join(rare, "sh").persist()
         val pairs = invRare.as("a")
           .join(invRare.as("b"), col("a.sh") === col("b.sh") &&
             col("a.doc_id") < col("b.doc_id"))
