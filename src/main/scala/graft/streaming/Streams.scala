@@ -86,6 +86,89 @@ object CountSlices {
   }
 }
 
+/** Trigger-stream slicing on a live stream (scespet's stream-as-trigger
+  * slices, SliceTriggerSpec.scala:57-73): per-key state folds events in
+  * order; an event matching the trigger closes the bucket. `Align.After`
+  * semantics: the triggering event JOINS the closing bucket (end-
+  * inclusive, SliceAfterBucket.scala:13-16); `before = true` gives
+  * end-exclusive (the trigger event opens the new bucket). Batch twin:
+  * `WindowKernel.withWindowId(Slice.TriggerCol(…))`.
+  */
+object TriggerSlices {
+
+  def apply(
+      events: Dataset[KeyedEvent],
+      isTrigger: KeyedEvent => Boolean,
+      before: Boolean = false): Dataset[CountBucket] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CountSliceState, CountBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[CountSliceState]) =>
+          var s = state.getOption.getOrElse(
+            CountSliceState(0L, 0L, 0.0, Double.MaxValue, Double.MinValue))
+          val out = Seq.newBuilder[CountBucket]
+          def close(): Unit = {
+            if (s.n > 0) out += CountBucket(key, s.windowId, s.n, s.sum, s.mn, s.mx)
+            s = CountSliceState(s.windowId + 1, 0L, 0.0, Double.MaxValue, Double.MinValue)
+          }
+          def add(e: KeyedEvent): Unit =
+            s = CountSliceState(s.windowId, s.n + 1, s.sum + e.v,
+              math.min(s.mn, e.v), math.max(s.mx, e.v))
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            if (isTrigger(e)) {
+              if (before) { close(); add(e) } else { add(e); close() }
+            } else add(e)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
+/** Boolean-gated windows on a live stream (scespet `window(stream[Boolean])`,
+  * MacroTerm.scala:242-259): a bucket opens on a false→true gate edge and
+  * closes on true→false; the closing (gate=false) event is EXCLUDED
+  * (close precedence, WindowedReduce.scala:55-58). Batch twin:
+  * `WindowKernel.withSessions`.
+  */
+final case class GatedEvent(k: String, ts: Long, seq: Long, v: Double, gate: Boolean)
+private final case class GateState(
+    open: Boolean, sessionId: Long, n: Long, sum: Double, mn: Double, mx: Double)
+
+object GatedWindows {
+
+  def apply(events: Dataset[GatedEvent]): Dataset[CountBucket] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[GateState, CountBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[GatedEvent], state: GroupState[GateState]) =>
+          var s = state.getOption.getOrElse(
+            GateState(open = false, 0L, 0L, 0.0, Double.MaxValue, Double.MinValue))
+          val out = Seq.newBuilder[CountBucket]
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            (s.open, e.gate) match {
+              case (false, true) => // open edge: session starts WITH this event
+                s = GateState(open = true, s.sessionId + 1, 1L, e.v, e.v, e.v)
+              case (true, true) =>
+                s = s.copy(n = s.n + 1, sum = s.sum + e.v,
+                  mn = math.min(s.mn, e.v), mx = math.max(s.mx, e.v))
+              case (true, false) => // close edge excludes its event
+                out += CountBucket(key, s.sessionId, s.n, s.sum, s.mn, s.mx)
+                s = s.copy(open = false, n = 0L, sum = 0.0,
+                  mn = Double.MaxValue, mx = Double.MinValue)
+              case (false, false) => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
 /** Streaming either-fires zip join (scespet `join`, MacroTerm.scala:190-204):
   * per-key state holds the latest value of each side; every event emits the
   * current pair (rendezvous: both sides in one batch-group are folded in

@@ -76,6 +76,42 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming trigger slices match batch Slice.TriggerCol AFTER alignment") {
+    // the [1,1,1,10,1,1,1] golden (TestSingleTerms:157-181) on a stream
+    val vals = Seq(1, 1, 1, 10, 1, 1, 1)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      KeyedEvent("k", i.toLong, i.toLong, v.toDouble)
+    }
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(events.take(4): _*)
+    mem.addData(events.drop(4): _*)
+    runToCompletion(
+      TriggerSlices(mem.toDS(), _.v == 10.0).writeStream.outputMode("append"),
+      "trigslices")
+    // closed buckets only (the trailing [1,1,1] is still open)
+    spark.table("trigslices").orderBy("windowId")
+      .select("windowId", "sum").as[(Long, Double)].collect().toSeq shouldBe
+      Seq((0L, 13.0))
+  }
+
+  test("streaming gated windows match the batch boolean-window golden") {
+    // same gate pattern as WindowKernelSpec: windows [2,3] and [6,7,8]
+    val rows = Seq(
+      (1, false), (2, true), (3, true), (4, false),
+      (5, false), (6, true), (7, true), (8, true), (9, false))
+    val events = rows.zipWithIndex.map { case ((v, g), i) =>
+      GatedEvent("k", i.toLong, i.toLong, v.toDouble, g)
+    }
+    val mem = MemoryStream[GatedEvent](spark)
+    mem.addData(events.take(5): _*)
+    mem.addData(events.drop(5): _*)
+    runToCompletion(
+      GatedWindows(mem.toDS()).writeStream.outputMode("append"), "gated")
+    spark.table("gated").orderBy("windowId")
+      .select("sum", "n").as[(Double, Long)].collect().toSeq shouldBe
+      Seq((5.0, 2L), (21.0, 3L))
+  }
+
   test("streaming zip join matches batch AsOf.zip emissions") {
     val l = Seq((1L, 0L, 10.0), (3L, 1L, 30.0), (6L, 3L, 60.0))
     val r = Seq((0L, 10L, 100.0), (3L, 11L, 300.0), (4L, 12L, 400.0))
