@@ -269,6 +269,39 @@ object CoreQueries {
                PARTITION BY user_id, ts ORDER BY side DESC, event_id DESC) = 1
              ORDER BY user_id, ts""")),
 
+    // ---- scan emit-mode over slices (CUMULATIVE, types.scala:144-148) --
+    QueryDef(
+      "ev_slice_scan",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.Count(10))
+          .scan("run_sum", Q.dsum(col("value")))
+          .select(col("seq").as("event_id"), col("user_id"),
+            col("window_id"), col("run_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, window_id,
+             sum(value::decimal(38,6)) OVER (
+               PARTITION BY user_id, window_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             FROM (SELECT *, (row_number() OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                     AS window_id FROM events)
+             ORDER BY event_id""")),
+
+    // ---- semi-structured payloads: JSON props column -------------------
+    QueryDef(
+      "ev_props_json",
+      (s, dir) =>
+        ev(s, dir)
+          .map("event_type" -> col("event_type"),
+            "k" -> get_json_object(col("props"), "$.k").cast("long"))
+          .df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             sum(json_extract(props, '$.k')::bigint) AS sum_k
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.

@@ -195,6 +195,27 @@ object RelationalQueries {
              sum(o_totalprice::decimal(38,6)) AS total
              FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
 
+    // Q4-flavored: priority counts over orders with a correlated EXISTS
+    // (left-semi join — one shuffle pair, no fact duplication).
+    QueryDef(
+      "q4_priority_exists",
+      (s, dir) => {
+        val lateItems = li(s, dir)
+          .filter(col("l_shipdate") > expr("timestamp'1995-01-01 00:00:00'"))
+          .select("l_orderkey")
+        ord(s, dir)
+          .join(lateItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             FROM orders WHERE EXISTS (
+               SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey
+                 AND l_shipdate > TIMESTAMP '1995-01-01')
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Supplier×nation rollup through a broadcast dim chain.
     QueryDef(
       "supp_nation",
