@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming execution of the graft operator semantics.
   *
@@ -83,6 +84,49 @@ object CountSlices {
           state.update(s)
           out.result().iterator
       }
+  }
+}
+
+/** Per-event EWMA emission (scespet's CUMULATIVE emit mode for the
+  * order-dependent EWMA cell, ReduceFuncs.scala:33-47) on a live stream —
+  * built on Spark 4's `transformWithState` (the modern arbitrary-state
+  * API; requires the RocksDB state store provider). ValueState holds the
+  * per-key running value; each event emits `λ·v + (1−λ)·prev`.
+  * Batch twin: `functions.Reducers.ewma` per prefix.
+  */
+final case class EwmaOut(k: String, ts: Long, seq: Long, ewma: Double)
+
+class EwmaProcessor(lambda: Double)
+    extends StatefulProcessor[String, KeyedEvent, EwmaOut] {
+
+  @transient private var state: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Double](
+      "ewma", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[KeyedEvent],
+      timerValues: TimerValues): Iterator[EwmaOut] = {
+    val out = Seq.newBuilder[EwmaOut]
+    rows.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+      val next =
+        if (!state.exists()) e.v
+        else lambda * e.v + (1 - lambda) * state.get()
+      state.update(next)
+      out += EwmaOut(key, e.ts, e.seq, next)
+    }
+    out.result().iterator
+  }
+}
+
+object EwmaScan {
+  def apply(events: Dataset[KeyedEvent], lambda: Double): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .transformWithState(new EwmaProcessor(lambda), TimeMode.None(), OutputMode.Append())
   }
 }
 

@@ -112,6 +112,26 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("transformWithState EWMA scan matches the Scala recurrence (RocksDB state)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val vals = Seq(1.0, 2.0, 4.0, 8.0, 3.0)
+      val events = vals.zipWithIndex.map { case (v, i) =>
+        KeyedEvent("k", i.toLong, i.toLong, v)
+      }
+      val mem = MemoryStream[KeyedEvent](spark)
+      mem.addData(events.take(3): _*)
+      mem.addData(events.drop(3): _*)
+      runToCompletion(
+        EwmaScan(mem.toDS(), 0.25).writeStream.outputMode("append"), "ewmascan")
+      val got = spark.table("ewmascan").orderBy("seq")
+        .select("ewma").as[Double].collect().toSeq
+      val expect = vals.tail.scanLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
+      got shouldBe expect
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming zip join matches batch AsOf.zip emissions") {
     val l = Seq((1L, 0L, 10.0), (3L, 1L, 30.0), (6L, 3L, 60.0))
     val r = Seq((0L, 10L, 100.0), (3L, 11L, 300.0), (4L, 12L, 400.0))
