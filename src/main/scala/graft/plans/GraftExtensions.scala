@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions:
+  *
+  *   SparkSession.builder.withExtensions(new GraftExtensions)   // or
+  *   --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * then `SELECT fnv64(text) FROM docs` works from SQL as well as the DSL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("fnv64"),
+        new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "fnv64 takes exactly one argument")
+          Fnv64(children.head)
+        }))
+  }
+}
