@@ -49,12 +49,14 @@ object AsOf {
     require(leftKey.size == rightKey.size)
     val jk = leftKey.indices.map(i => s"__jk$i")
 
+    // native-typed join keys: the window partitions (= shuffles) on them,
+    // so a string cast here would widen every shuffled row at scale
     val l = left
-      .withColumns(jk.zip(leftKey.map(_.cast("string"))).toMap)
+      .withColumns(jk.zip(leftKey).toMap)
       .withColumn(Side, lit(1))
       .withColumns(rightVals.map { case (n, _) => n -> lit(null) }.toMap)
     val r0 = right
-      .withColumns(jk.zip(rightKey.map(_.cast("string"))).toMap)
+      .withColumns(jk.zip(rightKey).toMap)
       .withColumn(Side, lit(0))
     val r = r0.select(
       (jk.map(col) :+ col(tsCol) :+ col(seqCol) :+ col(Side)) ++
