@@ -76,6 +76,77 @@ object DedupQueries {
   private val shingleHashesSql: String =
     s"list_transform(shingles, s -> ${Q.hash60Sql("s")} % $M)"
 
+  /** Verified near-dup pairs (id_a, id_b, jaccard ≥ 0.8) via MinHash+LSH.
+    * persist: base and the band table are each consumed by BOTH sides of a
+    * self-join plus the verify joins — a few MB at any SF shard, vs
+    * recomputing the md5/shingle chain per consumer (AQE's broadcast
+    * conversion defeats ReusedExchange here).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir).persist()
+    val sigs = base
+      .select(col("doc_id"), shingleHashes.as("hs"))
+      .select(
+        col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+    // Narrow band rows: (doc_id, band, bh) only — candidate generation
+    // and its distinct() never shuffle the shingle arrays.
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+            .as("bh"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .persist()
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Exact verification only for the (few) LSH survivors.
+    val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(id_a, id_b, jaccard)` — the oracle
+    * twin of [[minhashPairs]].
+    */
+  private def minhashPairsCtes: String = {
+    val mhs = (0 until H).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
+    val bandRows = (0 until BANDS).map { b =>
+      s"SELECT doc_id, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""base AS (
+         SELECT doc_id, $shinglesSql AS shingles
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3),
+       hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM base),
+       sigs AS (SELECT doc_id, $mhs FROM hashed),
+       banded AS ($bandRows),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       j AS (
+         SELECT id_a, id_b,
+           len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+         FROM cand JOIN base sa ON sa.doc_id = id_a
+                   JOIN base sb ON sb.doc_id = id_b),
+       pairs AS (
+         SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
+         FROM j WHERE inter::double / (na + nb - inter) >= 0.8)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash the content, group, count survivors. The shuffle
@@ -119,72 +190,35 @@ object DedupQueries {
     // sharing any band bucket; verified with exact shingle-set Jaccard.
     QueryDef(
       "dedup_minhash_lsh",
-      (s, dir) => {
-        // persist: base and the band table are each consumed by BOTH sides
-        // of a self-join plus the verify joins — a few MB at any SF shard,
-        // vs recomputing the md5/shingle chain per consumer (AQE's
-        // broadcast conversion defeats ReusedExchange here)
-        val base = shingled(s, dir).persist()
-        val sigs = base
-          .select(col("doc_id"), shingleHashes.as("hs"))
-          .select(
-            col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
-        // Narrow band rows: (doc_id, band, bh) only — candidate generation
-        // and its distinct() never shuffle the shingle arrays.
-        val banded = sigs.select(
-          col("doc_id"),
-          explode(array((0 until BANDS).map { b =>
-            struct(lit(b).as("band"),
-              Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
-                .as("bh"))
-          }: _*)).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-          .persist()
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        // Exact verification only for the (few) LSH survivors.
-        val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
-        cand
-          .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
-          .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
-          .withColumn("inter", inter)
-          .withColumn("jaccard",
-            col("inter").cast("double") /
-              (size(col("sa")) + size(col("sb")) - col("inter")))
-          .filter(col("jaccard") >= 0.8)
+      (s, dir) =>
+        minhashPairs(s, dir)
           .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH $minhashPairsCtes
+           SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""")),
+
+    // Duplicate CLUSTERS: connected components over the verified near-dup
+    // pairs (min-label propagation, O(diameter) distributed iterations) —
+    // the "assign every doc to its dup group" artifact. Oracle: recursive
+    // CTE reachability closure.
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => {
+        val edges = minhashPairs(s, dir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        graft.operators.ConnectedComponents.run(edges)
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy("doc_id")
       },
-      Some {
-        val mhs = (0 until H).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
-        val bandRows = (0 until BANDS).map { b =>
-          s"SELECT doc_id, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
-        }.mkString(" UNION ALL ")
-        s"""WITH base AS (
-             SELECT doc_id, $shinglesSql AS shingles
-             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-             WHERE len(toks) >= 3),
-           hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM base),
-           sigs AS (SELECT doc_id, $mhs FROM hashed),
-           banded AS ($bandRows),
-           cand AS (
-             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM banded a JOIN banded b
-               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           j AS (
-             SELECT id_a, id_b,
-               len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
-               len(sa.shingles) AS na, len(sb.shingles) AS nb
-             FROM cand JOIN base sa ON sa.doc_id = id_a
-                       JOIN base sb ON sb.doc_id = id_b)
-           SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
-           FROM j WHERE inter::double / (na + nb - inter) >= 0.8
-           ORDER BY id_a, id_b"""
-      }),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+           lbl(id, comp) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s.b, l.comp FROM lbl l JOIN sym s ON s.a = l.id)
+           SELECT id AS doc_id, min(comp) AS cluster_id
+           FROM lbl GROUP BY id ORDER BY doc_id""")),
 
     // SimHash: 16-bit signature from per-token votes, computed entirely
     // in-row (aggregate over the distinct-token array — no shuffle at all),
