@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core._
+
+/** ScalaCheck-generated invariants for the window-id kernel (SURVEY §5
+  * plan: "ScalaCheck for slice-alignment invariants"). Golden tests pin
+  * exact values; these pin the structural laws on arbitrary inputs
+  * (deterministic seeds — no scalatestplus bridge in the offline cache):
+  *
+  *  1. partition law — every slicing assigns each row exactly one window,
+  *     and per-window sums re-add to the stream total;
+  *  2. count law — Count(n) windows have exactly n rows except the last;
+  *  3. alignment law — BEFORE/AFTER window ids differ ONLY on trigger rows
+  *     (the trigger row opens the new bucket under BEFORE).
+  */
+class SlicePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genValues: Gen[(List[Int], Int)] = for {
+    n <- Gen.choose(1, 40)
+    vs <- Gen.listOfN(n, Gen.choose(-5, 20))
+    w <- Gen.choose(1, 7)
+  } yield (vs, w)
+
+  private def cases(count: Int): Seq[(List[Int], Int)] =
+    (1 to count).flatMap(i => genValues(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def stream(vs: List[Int]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, v) }.toDF("ts", "seq", "v")
+
+  test("partition law: per-window sums re-add to the total for every slice spec") {
+    cases(6).foreach { case (vs, n) =>
+      val specs: Seq[Slice] = Seq(
+        Slice.Count(n), Slice.Tumbling(n.toLong),
+        Slice.TriggerCol(col("v") % 3 === 0, Align.After),
+        Slice.TriggerCol(col("v") % 3 === 0, Align.Before),
+        Slice.Termination)
+      specs.foreach { spec =>
+        val buckets = EStream(stream(vs)).group(spec)
+          .reduce("s" -> sum(col("v")), "n" -> count(lit(1)))
+        withClue(s"spec=$spec vs=$vs: ") {
+          buckets.agg(sum("s"), sum("n")).as[(Long, Long)].collect().head shouldBe
+            ((vs.map(_.toLong).sum, vs.size.toLong))
+        }
+      }
+    }
+  }
+
+  test("count law: Count(n) buckets are full except possibly the last") {
+    cases(6).foreach { case (vs, n) =>
+      val sizes = EStream(stream(vs)).group(Slice.Count(n))
+        .reduce("n" -> count(lit(1)))
+        .orderBy("window_id").select("n").as[Long].collect().toSeq
+      withClue(s"n=$n vs=$vs: ") {
+        sizes.init.foreach(_ shouldBe n.toLong)
+        sizes.last should be <= n.toLong
+        sizes.sum shouldBe vs.size.toLong
+      }
+    }
+  }
+
+  test("alignment law: BEFORE and AFTER ids agree except on trigger rows") {
+    cases(6).foreach { case (vs, _) =>
+      val trig = col("v") % 3 === 0
+      def ids(a: Align) = WindowKernel
+        .withWindowId(stream(vs), Nil, Slice.TriggerCol(trig, a))
+        .orderBy("seq")
+        .select(col("v"), col(WindowKernel.WindowId)).as[(Int, Long)].collect()
+      ids(Align.After).zip(ids(Align.Before)).foreach { case ((v, ia), (_, ib)) =>
+        withClue(s"v=$v vs=$vs: ") {
+          if (v % 3 == 0) ib shouldBe ia + 1
+          else ib shouldBe ia
+        }
+      }
+    }
+  }
+}
