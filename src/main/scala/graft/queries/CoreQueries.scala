@@ -356,6 +356,18 @@ object CoreQueries {
              string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- Avg reducer: exact-sum mean, one double division -------------
+    QueryDef(
+      "ev_avg",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .reduceAll("mean_value" ->
+            (Q.dsum(col("value")).cast("double") / count(lit(1))))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             sum(value::decimal(38,6))::double / count(*) AS mean_value
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ---- §2.3 nested grouping (VectTerm.groupby) ----------------------
     QueryDef(
       "ev_groupby_nested",
