@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.Reducers
+
+/** CEP order-lifecycle parity — the reference's OrderReportsExample /
+  * TradeAnalysis pattern (filterType → by(orderId) → boolean liveness
+  * window → VWAP of fills): New(qty) … Fill(qty, px) … Terminated events
+  * on one stream, demultiplexed per order.
+  */
+class OrderLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (ts, orderId, etype, qty, px)
+  private def events = Seq(
+    (0L, "A", "New", 100, 0.0),
+    (1L, "B", "New", 50, 0.0),
+    (2L, "A", "Fill", 40, 10.0),
+    (3L, "B", "Fill", 50, 20.0),
+    (4L, "A", "Fill", 60, 11.0),
+    (5L, "A", "Terminated", 0, 0.0),
+    (6L, "B", "Terminated", 0, 0.0),
+    (7L, "A", "Fill", 99, 99.0)) // after termination — must be excluded
+    .zipWithIndex.map { case ((ts, o, e, q, p), i) => (ts, i.toLong, o, e, q, p) }
+    .toDF("ts", "seq", "order_id", "etype", "qty", "px")
+
+  test("filterType + by(orderId) + reduce: per-order fill VWAP") {
+    val fills = EStream(events).filterType(col("etype"), "Fill")
+      .by(col("order_id"), "k")
+    // liveness window: exclude fills after Terminated via as-of against
+    // the termination stream (take: latest term event ts <= fill ts)
+    val terms = EStream(events).filterType(col("etype"), "Terminated")
+      .by(col("order_id"), "k")
+    val gated = fills
+      .take(terms, Seq(col("k")), Seq("term_seen" -> lit(1)))
+      .filter(col("term_seen").isNull)
+    val got = gated
+      .reduceAll("vwap" -> Reducers.vwap(col("px"), col("qty")),
+        "filled" -> sum(col("qty")))
+      .orderBy("k")
+      .select("k", "vwap", "filled").as[(String, Double, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("A", (40 * 10.0 + 60 * 11.0) / 100.0, 100L),
+      ("B", 20.0, 50L))
+  }
+
+  test("boolean liveness window: New opens, Terminated closes (order state machine)") {
+    val keyed = KStream(events, Seq("order_id"))
+    // gate: alive = cumulative(News) > cumulative(Terminateds)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("order_id").orderBy("ts", "seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withGate = keyed.df.withColumn("alive",
+      sum(when(col("etype") === "New", 1).otherwise(0)).over(w) >
+        sum(when(col("etype") === "Terminated", 1).otherwise(0)).over(w))
+    val got = KStream(withGate, Seq("order_id"))
+      .window(col("alive") && col("etype") === "Fill")
+      .reduce("q" -> sum(col("qty")))
+      .filter(col("q").isNotNull)
+      .orderBy("order_id")
+      .select("order_id", "q").as[(String, Long)].collect().toSeq
+    got shouldBe Seq(("A", 100L), ("B", 50L))
+  }
+
+  test("KStream.sample: snapshot every key's latest value on trigger ticks") {
+    val prices = KStream(
+      Seq(("A", 0L, 0L, 10.0), ("B", 1L, 1L, 20.0), ("A", 4L, 2L, 11.0))
+        .toDF("k", "ts", "seq", "px"),
+      Seq("k"))
+    val ticks = EStream(Seq((2L, 0L, 0), (5L, 1L, 0)).toDF("ts", "seq", "x"))
+    val got = prices.sample(ticks, Seq("px" -> col("px")))
+      .orderBy("ts", "k")
+      .select("k", "ts", "px").as[(String, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      ("A", 2L, 10.0), ("B", 2L, 20.0),
+      ("A", 5L, 11.0), ("B", 5L, 20.0))
+  }
+}
