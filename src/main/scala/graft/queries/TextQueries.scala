@@ -155,6 +155,40 @@ object TextQueries {
              FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
              GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")),
 
+    // Normalization: lowercase → strip non-alphanumerics → collapse
+    // whitespace (the standard pre-dedup canonicalization pass).
+    QueryDef(
+      "doc_normalize",
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        docs(s, dir).select(
+          col("doc_id"),
+          length(norm).cast("long").as("n_chars_norm"),
+          Q.hash60(norm).as("norm_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))::bigint AS n_chars_norm,
+             ${Q.hash60Sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS norm_fp
+             FROM documents ORDER BY doc_id""")),
+
+    // BPE-ish token counting: word pieces + punctuation singletons via the
+    // standard pretokenizer regex (whitespace tokens counted separately in
+    // doc_stats).
+    QueryDef(
+      "doc_tokens_bpe",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_count(lower(col("text")), lit("[a-z0-9_]+|[^a-z0-9_\\s]"))
+            .cast("long").as("n_bpe"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]'))::bigint AS n_bpe
+             FROM documents ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic stand-in (byte length / prefix hash) —
     // the real image/audio decode would be a mapPartitions over the same
