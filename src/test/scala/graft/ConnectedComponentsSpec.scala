@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions.col
+
+/** Both CC strategies (driver union-find, distributed min-label loop)
+  * produce min-reachable-id components.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // components: {1,2,3,7}, {4,5}, {8,9}
+  private def edges = Seq((2L, 1L), (2L, 3L), (3L, 7L), (4L, 5L), (9L, 8L))
+    .toDF("a", "b")
+
+  private val expected = Seq(
+    (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (7L, 1L), (8L, 8L), (9L, 8L))
+
+  test("adaptive run (local union-find path)") {
+    ConnectedComponents.run(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq shouldBe expected
+  }
+
+  test("distributed min-label loop matches") {
+    ConnectedComponents.run(edges, localThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq shouldBe expected
+  }
+
+  test("chain graph needs multiple propagation rounds") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    ConnectedComponents.run(chain, localThreshold = 0L)
+      .agg(org.apache.spark.sql.functions.countDistinct(col("comp")),
+        org.apache.spark.sql.functions.min(col("comp")))
+      .as[(Long, Long)].collect().head shouldBe ((1L, 1L))
+  }
+}
