@@ -211,6 +211,29 @@ object CoreQueries {
                          FROM events))
              WHERE g GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // boolean-window CUMULATIVE emit mode (WindowedBucket_Continuous)
+    QueryDef(
+      "ev_window_scan",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .window(col("value") >= 50)
+          .scan("run_sum", Q.dsum(col("value")))
+          .select(col("seq").as("event_id"), col("user_id"),
+            col("session_id"), col("run_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, session_id,
+             sum(value::decimal(38,6)) OVER (
+               PARTITION BY user_id, session_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             FROM (SELECT *, sum(CASE WHEN g AND NOT coalesce(pg, false) THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
+                   FROM (SELECT *, value >= 50 AS g,
+                           lag(value >= 50) OVER (
+                             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pg
+                         FROM events))
+             WHERE g ORDER BY event_id""")),
+
     // ---- §2.4 temporal joins ------------------------------------------
     QueryDef(
       "ev_asof_take",

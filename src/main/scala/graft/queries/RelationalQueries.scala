@@ -195,6 +195,39 @@ object RelationalQueries {
              sum(o_totalprice::decimal(38,6)) AS total
              FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
 
+    // Q7-flavored: trade volume between customer-nation and supplier-nation
+    // pairs — the same tiny dim broadcast twice under different roles.
+    QueryDef(
+      "q7_nation_pairs",
+      (s, dir) => {
+        val n1 = broadcast(nat(s, dir)
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+        val n2 = broadcast(nat(s, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+        li(s, dir)
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(supp(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("c_nationkey") === col("cnk"))
+          .join(n2, col("s_nationkey") === col("snk"))
+          .filter(col("cust_nation") < col("supp_nation"))
+          .groupBy("cust_nation", "supp_nation")
+          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+            count(lit(1)).as("n_items"))
+          .orderBy("cust_nation", "supp_nation")
+      },
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS volume,
+             count(*) AS n_items
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE n1.n_name < n2.n_name
+             GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""")),
+
     // Q4-flavored: priority counts over orders with a correlated EXISTS
     // (left-semi join — one shuffle pair, no fact duplication).
     QueryDef(
