@@ -120,6 +120,27 @@ final case class KStream(
   def joinZip(other: KStream, leftVals: Seq[(String, Column)], rightVals: Seq[(String, Column)]): KStream =
     KStream(AsOf.zip(df, other.df, keys, leftVals, rightVals, tsCol, seqCol), keys, tsCol, seqCol)
 
+  /** joinZip with a keyMap (VectorJoin's `keyMap: K => K2`): the right
+    * stream is re-keyed by an expression over ITS columns before the
+    * temporal zip, reproducing `join(other, keyMap)` — e.g. joining a
+    * per-(feed,symbol) vector onto a per-symbol vector.
+    */
+  def joinZipMapped(
+      other: KStream,
+      rightKeyOfRight: Seq[Column],
+      leftVals: Seq[(String, Column)],
+      rightVals: Seq[(String, Column)]): KStream = {
+    // build the right frame under this stream's key names
+    val r = other.df.select(
+      (keys.zip(rightKeyOfRight).map { case (n, e) => e.as(n) } :+
+        col(other.tsCol).as(tsCol) :+ col(other.seqCol).as(seqCol)) ++
+        rightVals.map { case (n, e) => e.as(n) }: _*)
+    KStream(
+      AsOf.zip(df, r, keys, leftVals, rightVals.map { case (n, _) => n -> col(n) },
+        tsCol, seqCol),
+      keys, tsCol, seqCol)
+  }
+
   /** Keyed left-fires as-of sample (VectTerm.take, :458-460). `rightKey`
     * expresses the reference's keyMap (right-key derivation from left key).
     */

@@ -64,6 +64,22 @@ class AsOfSpec extends SparkSpec {
     got shouldBe Seq(("a", 1, 11), ("b", 2, 20))
   }
 
+  test("joinZipMapped: right stream re-keyed by keyMap before the zip (VectorJoin keyMap)") {
+    // left keyed by symbol; right keyed by (feed, symbol) — keyMap drops feed
+    val l = Seq(("VOD", 1L, 0L, 1.0), ("MSFT", 2L, 1L, 2.0))
+      .toDF("sym", "ts", "seq", "pos")
+    val r = Seq(("reuters.VOD", 0L, 10L, 100.0), ("reuters.MSFT", 1L, 11L, 200.0))
+      .toDF("feedsym", "ts", "seq", "px")
+    val got = KStream(l, Seq("sym"))
+      .joinZipMapped(
+        KStream(r, Seq("feedsym")),
+        Seq(substring_index(col("feedsym"), ".", -1)),
+        Seq("pos" -> col("pos")), Seq("px" -> col("px")))
+      .df.filter(col("pos").isNotNull).orderBy("sym")
+      .select("sym", "pos", "px").as[(String, Double, Double)].collect().toSeq
+    got shouldBe Seq(("MSFT", 2.0, 200.0), ("VOD", 1.0, 100.0))
+  }
+
   test("sample: trigger stream samples this stream's latest value") {
     val trig = Seq((2L, 0L, 0), (10L, 1L, 0)).toDF("ts", "seq", "x")
     val got = EStream(right).sample(EStream(trig), Seq("rv" -> col("rv")))

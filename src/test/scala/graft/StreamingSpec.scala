@@ -112,6 +112,29 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("multi-input streaming bucket: two tagged streams into one tumbling window agg") {
+    // scespet bucketStream.bind(xs).bind(ys).reset(duration) on live
+    // streams: tag + union BEFORE the stateful agg (same shape as batch
+    // Buckets.taggedUnion)
+    val xs = MemoryStream[KeyedEvent](spark)
+    val ys = MemoryStream[KeyedEvent](spark)
+    xs.addData((0 until 10).map(i => KeyedEvent("k", i.toLong * 1000000L, i.toLong, 1.0)): _*)
+    ys.addData((0 until 5).map(i => KeyedEvent("k", i.toLong * 2000000L, 100L + i, 10.0)): _*)
+    val tagged = xs.toDF().withColumn("tag", lit("x"))
+      .unionByName(ys.toDF().withColumn("tag", lit("y")))
+    val agg = Streams.tumblingAgg(tagged, Seq("k"), "5 seconds", "0 seconds",
+      "nx" -> count(when(col("tag") === "x", 1)),
+      "ny" -> count(when(col("tag") === "y", 1)),
+      "s" -> sum(col("v")))
+    runToCompletion(agg.writeStream.outputMode("complete"), "mbucket")
+    val got = spark.table("mbucket")
+      .select(unix_micros(col("window.start")).as("w"), col("nx"), col("ny"), col("s"))
+      .orderBy("w").as[(Long, Long, Long, Double)].collect().toSeq
+    // window [0,5s): x at 0..4s (5), y at 0,2,4s (3) → sum 5 + 30
+    // window [5,10s): x at 5..9s (5), y at 6,8s (2) → sum 5 + 20
+    got shouldBe Seq((0L, 5L, 3L, 35.0), (5000000L, 5L, 2L, 25.0))
+  }
+
   test("transformWithState EWMA scan matches the Scala recurrence (RocksDB state)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
