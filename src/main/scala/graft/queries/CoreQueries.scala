@@ -379,6 +379,28 @@ object CoreQueries {
              string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- lag/lead: inter-event deltas (ranking-window family) ---------
+    QueryDef(
+      "ev_lag_delta",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .map("event_id" -> col("seq"),
+            "gap_us" -> (col("ts") - lag(col("ts"), 1).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("user_id").orderBy("ts", "seq"))),
+            "dv" -> (col("value").cast("decimal(38,6)") -
+              lag(col("value").cast("decimal(38,6)"), 1).over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("user_id").orderBy("ts", "seq"))))
+          .df.select("event_id", "gap_us", "dv")
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             value::decimal(38,6) - lag(value::decimal(38,6)) OVER w AS dv
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             ORDER BY event_id""")),
+
     // ---- Avg reducer: exact-sum mean, one double division -------------
     QueryDef(
       "ev_avg",

@@ -112,6 +112,27 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("gap-based session_window streaming agg (the built-in cousin of edge-based windows)") {
+    // scespet windows are EDGE-based (GatedWindows); Spark's built-in
+    // session_window is GAP-based — both belong to the engine's surface.
+    val events = Seq(0L, 1L, 2L, 10L, 11L, 30L).zipWithIndex.map { case (sec, i) =>
+      KeyedEvent("k", sec * 1000000L, i.toLong, 1.0)
+    }
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(events: _*)
+    val agg = mem.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(session_window(col("event_time"), "5 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    runToCompletion(agg.writeStream.outputMode("complete"), "sessions")
+    val got = spark.table("sessions")
+      .select(unix_micros(col("session_window.start")).as("w"), col("n"))
+      .orderBy("w").as[(Long, Long)].collect().toSeq
+    // gaps > 5s split sessions: {0,1,2}, {10,11}, {30}
+    got shouldBe Seq((0L, 3L), (10000000L, 2L), (30000000L, 1L))
+  }
+
   test("multi-input streaming bucket: two tagged streams into one tumbling window agg") {
     // scespet bucketStream.bind(xs).bind(ys).reset(duration) on live
     // streams: tag + union BEFORE the stateful agg (same shape as batch
