@@ -249,6 +249,54 @@ object RelationalQueries {
                  AND l_shipdate > TIMESTAMP '1995-01-01')
              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Set operations (beyond reference; nearest analog is valueSet
+    // distinct-union): users seen in purchases vs clicks.
+    QueryDef(
+      "ev_set_ops",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+        val c = ev.filter(col("event_type") === "click").select("user_id").distinct()
+        val both = p.intersect(c).agg(count(lit(1)).as("n_both"))
+        val pOnly = p.except(c).agg(count(lit(1)).as("n_purchase_only"))
+        val either = p.union(c).distinct().agg(count(lit(1)).as("n_either"))
+        both.crossJoin(pOnly).crossJoin(either)
+      },
+      Some("""SELECT
+             (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+               INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='click')) AS n_both,
+             (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+               EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='click')) AS n_purchase_only,
+             (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+               UNION SELECT DISTINCT user_id FROM events WHERE event_type='click')) AS n_either""")),
+
+    // Distinct aggregates (beyond reference): per-type distinct users.
+    QueryDef(
+      "ev_count_distinct",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ROLLUP hierarchy totals (beyond reference; scespet keys are flat).
+    QueryDef(
+      "ord_rollup",
+      (s, dir) =>
+        ord(s, dir)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             sum(o_totalprice::decimal(38,6)) AS total
+             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // Supplier×nation rollup through a broadcast dim chain.
     QueryDef(
       "supp_nation",
