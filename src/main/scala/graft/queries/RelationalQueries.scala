@@ -249,6 +249,25 @@ object RelationalQueries {
                  AND l_shipdate > TIMESTAMP '1995-01-01')
              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // The SQL text surface: the same pricing summary through spark.sql
+    // over a registered view — proves a reference user can drive this
+    // engine from SQL, not only the DSL.
+    QueryDef(
+      "sql_pricing",
+      (s, dir) => {
+        li(s, dir).createOrReplaceTempView("graft_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS decimal(38,6))) AS sum_qty,
+             count(*) AS n
+             FROM graft_lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             sum(l_quantity::decimal(38,6)) AS sum_qty, count(*) AS n
+             FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
     // Set operations (beyond reference; nearest analog is valueSet
     // distinct-union): users seen in purchases vs clicks.
     QueryDef(

@@ -80,6 +80,11 @@ class StreamOpsSpec extends SparkSpec {
       .as[String].collect().head shouldBe "abcd"
   }
 
+  test("apply(k): dereference one key to a single stream (VectTerm.apply)") {
+    KStream(trades, Seq("name"))("MSFT.O")
+      .df.agg(sum("qty")).as[Long].collect().head shouldBe 7L
+  }
+
   test("mapKeys drops null-mapped keys and merges collisions (ReKeyedVector)") {
     val got = KStream(trades, Seq("name"))
       .mapKeys(when(col("name") === "VOD.L", lit("V")), "k")

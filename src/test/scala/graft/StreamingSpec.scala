@@ -112,6 +112,25 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("rate-micro-batch source: the streaming Timer analog (deterministic grid)") {
+    // scespet Timer(duration) on a live stream = Spark's rate source;
+    // rate-micro-batch emits a deterministic row count per batch.
+    val q = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", "10")
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", "1000")
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      .writeStream.queryName("timer").format("memory").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val Array((n, mx)) = spark.table("timer").as[(Long, Long)].collect()
+    n should be >= 10L // at least one deterministic batch of 10
+    mx shouldBe n - 1 // values are the 0-based grid index
+  }
+
   test("gap-based session_window streaming agg (the built-in cousin of edge-based windows)") {
     // scespet windows are EDGE-based (GatedWindows); Spark's built-in
     // session_window is GAP-based — both belong to the engine's surface.
