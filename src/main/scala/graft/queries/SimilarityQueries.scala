@@ -170,6 +170,62 @@ object SimilarityQueries {
              WHERE rk <= 5 ORDER BY q_id, rk"""
       }),
 
+    // IVF ANN: coarse quantization — K fixed centroids (deterministic:
+    // the first K vectors), every vector assigned to its nearest centroid
+    // by cosine, queries probe ONLY their own cell. The inverted-file
+    // twin of knn_lsh: assignment is a pure map over the corpus (K tiny
+    // cosines per row), the probe join keys on cell id.
+    QueryDef(
+      "knn_ivf",
+      (s, dir) => {
+        val K = 8
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // nearest centroid per vector (max cosine, centroid id tie-break)
+        val assigned = e.join(broadcast(cents), lit(true))
+          .withColumn("ccos",
+            dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+        val q = assigned.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("cell").as("qcell"))
+        val scored = assigned.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        scored.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             assigned AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) DESC, c_id) AS rk
+                 FROM emb, cents)
+               WHERE rk = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell AS qcell
+                   FROM assigned WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q JOIN assigned ON cell = qcell AND vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
     // Embedding-cosine near-duplicate pairs: LSH-bucket candidates (same
     // bucket ⇒ similar sign pattern), exact cosine verify ≥ 0.9 — the
     // embedding twin of dedup_minhash_lsh.
