@@ -112,6 +112,50 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("watermark drops late data beyond the threshold (append mode)") {
+    val mem = MemoryStream[KeyedEvent](spark)
+    val agg = Streams.tumblingAgg(mem.toDF(), Seq("k"), "10 seconds", "5 seconds",
+      "n" -> count(lit(1)))
+    val q = agg.writeStream.queryName("late").format("memory")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at 0-9s and 30-39s → watermark advances to 34s
+      mem.addData(KeyedEvent("k", 5L * 1000000, 0, 1.0),
+        KeyedEvent("k", 35L * 1000000, 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: an event at 2s — far behind the 34s watermark → dropped;
+      // an event at 36s → lands in the open [30,40) window
+      mem.addData(KeyedEvent("k", 2L * 1000000, 2, 1.0),
+        KeyedEvent("k", 36L * 1000000, 3, 1.0))
+      q.processAllAvailable()
+      // batch 3: advance time to close [30,40)
+      mem.addData(KeyedEvent("k", 60L * 1000000, 4, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late")
+      .select(unix_micros(col("window.start")).as("w"), col("n"))
+      .orderBy("w").as[(Long, Long)].collect().toSeq
+    // [0,10s) closed with ONLY the on-time event (late 2s row dropped);
+    // [30,40s) closed with both its events
+    got shouldBe Seq((0L, 1L), (30000000L, 2L))
+  }
+
+  test("streaming parquet sink round-trips through a checkpoint") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData((0 until 20).map(i => KeyedEvent("k" + (i % 2), i.toLong, i.toLong, i.toDouble)): _*)
+    val q = mem.toDS().writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 20L
+    back.agg(sum("v")).as[Double].collect().head shouldBe (0 until 20).sum.toDouble
+  }
+
   test("rate-micro-batch source: the streaming Timer analog (deterministic grid)") {
     // scespet Timer(duration) on a live stream = Spark's rate source;
     // rate-micro-batch emits a deterministic row count per batch.
