@@ -189,6 +189,42 @@ object TextQueries {
              len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]'))::bigint AS n_bpe
              FROM documents ORDER BY doc_id""")),
 
+    // END-TO-END pipeline composition: quality gate → exact-dedup
+    // survivors → per-language corpus stats. The shape every training-data
+    // prep job has; each stage is one of the operators verified above, and
+    // the composition still matches the oracle exactly.
+    QueryDef(
+      "pipeline_clean_corpus",
+      (s, dir) => {
+        val toksC = split(col("text"), " ")
+        val quality = docs(s, dir)
+          .withColumn("n_tokens", size(toksC))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+        val survivors = quality
+          .withColumn("h", Q.hash60(col("text")))
+          .withColumn("keep", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("h").orderBy("doc_id")) === 1)
+          .filter(col("keep"))
+        survivors
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            Q.dsum(col("n_tokens")).cast("long").as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH quality AS (
+             SELECT *, len(string_split(text, ' ')) AS n_tokens
+             FROM documents WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+           survivors AS (
+             SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY ${Q.hash60Sql("text")} ORDER BY doc_id) AS rn
+               FROM quality)
+             WHERE rn = 1)
+           SELECT lang, count(*) AS n_docs,
+             sum(n_tokens::decimal(38,6))::bigint AS total_tokens
+           FROM survivors GROUP BY lang ORDER BY lang""")),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic stand-in (byte length / prefix hash) —
     // the real image/audio decode would be a mapPartitions over the same
