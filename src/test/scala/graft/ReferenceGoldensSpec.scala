@@ -71,6 +71,44 @@ class ReferenceGoldensSpec extends SparkSpec {
     got shouldBe Seq("a", "ab", "abc", "f", "fg", "fgh", "fghi")
   }
 
+  // keyed fixture: "a0b1c2d3e4f5g6h7i8j9k" keyed by isDigit → Alpha/Digit
+  // (BucketVectStreamTest.scala:34-43)
+  private def alnum = "a0b1c2d3e4f5g6h7i8j9k".zipWithIndex.map { case (c, i) =>
+    (i.toLong, i.toLong, if (c.isDigit) "Digit" else "Alpha", c.toString)
+  }.toDF("ts", "seq", "k", "c")
+
+  private def keyedTriggerGolden(align: Align): Seq[(String, String)] =
+    KStream(alnum, Seq("k"))
+      .group(Slice.TriggerCol(col("c").isin("b", "5", "d"), align))
+      .reduce("s" -> array_join(graft.functions.Reducers
+        .appendOrdered(col("ts"), col("seq"), col("c")), ""))
+      .orderBy("k", "window_id")
+      .select("k", "s").as[(String, String)].collect().toSeq
+
+  test("'vect grouped reduce' golden: per-key AFTER triggers (BucketVectStreamTest:138-146)") {
+    keyedTriggerGolden(Align.After) shouldBe Seq(
+      ("Alpha", "ab"), ("Alpha", "cd"), ("Alpha", "efghijk"),
+      ("Digit", "012345"), ("Digit", "6789"))
+  }
+
+  test("'vect grouped reduce - exclusive' golden: per-key BEFORE triggers (BucketVectStreamTest:148-158)") {
+    keyedTriggerGolden(Align.Before) shouldBe Seq(
+      ("Alpha", "a"), ("Alpha", "bc"), ("Alpha", "defghijk"),
+      ("Digit", "01234"), ("Digit", "56789"))
+  }
+
+  test("'grouped reduce' keyed golden: per-key 3-event buckets (BucketVectStreamTest:128-136)") {
+    val got = KStream(alnum, Seq("k"))
+      .group(Slice.Count(3))
+      .reduce("s" -> array_join(graft.functions.Reducers
+        .appendOrdered(col("ts"), col("seq"), col("c")), ""))
+      .orderBy("k", "window_id")
+      .select("k", "s").as[(String, String)].collect().toSeq
+    got shouldBe Seq(
+      ("Alpha", "abc"), ("Alpha", "def"), ("Alpha", "ghi"), ("Alpha", "jk"),
+      ("Digit", "012"), ("Digit", "345"), ("Digit", "678"), ("Digit", "9"))
+  }
+
   test("'windowed reduce' golden: abc, fghi (BucketStreamTest:199-204)") {
     val got = WindowKernel.withSessions(chars, Nil, col("gate"))
       .filter(col("in_window"))
