@@ -64,6 +64,53 @@ class BucketsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  // ---- XYCollector sliced goldens (TestMultiBucketing.scala:131-177) ----
+  // counter 0..26 keyed Even/Odd (X input); Y input = multiples of 5 (a
+  // filtered substream, so every Y fire coincides with an X fire — the
+  // rendezvous case); GLOBAL slice trigger at i=11 and i=22. countX counts
+  // X-only cycles, countBoth counts both-fired cycles.
+  private def xyFixture(align: Align) = {
+    val spark0 = spark; import spark0.implicits._
+    val counter = (0 to 26).map(i =>
+      (i.toLong, i.toLong, if (i % 2 == 0) "Even" else "Odd", i))
+      .toDF("ts", "seq", "k", "v")
+    val union = Buckets.taggedUnion(Seq("k"),
+      Seq(
+        Buckets.Bind("x", counter, Seq("v" -> col("v"))),
+        Buckets.Bind("y", counter.filter(col("v") % 5 === 0), Seq("v" -> col("v")))))
+    // the trigger is UNKEYED (it slices every key's bucket): window ids
+    // come from a global-partition kernel pass, grouping stays per key
+    val withId = WindowKernel.withWindowId(
+      union, Nil, Slice.TriggerCol(col("v") > 0 && col("v") % 11 === 0, align))
+    val cycles = withId
+      .groupBy("k", WindowKernel.WindowId, "ts")
+      .agg(
+        max(when(col("tag") === "x", col("v"))).as("xv"),
+        max(when(col("tag") === "x", 1).otherwise(0)).as("sawX"),
+        max(when(col("tag") === "y", 1).otherwise(0)).as("sawY"))
+    cycles.groupBy("k", WindowKernel.WindowId)
+      .agg(
+        min(col("xv")).as("firstX"),
+        max(col("xv")).as("lastX"),
+        sum(when(col("sawX") === 1 && col("sawY") === 0, 1).otherwise(0)).as("countX"),
+        sum(when(col("sawX") === 1 && col("sawY") === 1, 1).otherwise(0)).as("countBoth"))
+      .orderBy("k", WindowKernel.WindowId)
+      .select("k", "firstX", "lastX", "countX", "countBoth")
+      .as[(String, Int, Int, Long, Long)].collect().toSeq
+  }
+
+  test("'bucket sliced reduce pre' golden: BEFORE alignment (TestMultiBucketing:131-152)") {
+    xyFixture(Align.Before) shouldBe Seq(
+      ("Even", 0, 10, 4L, 2L), ("Even", 12, 20, 4L, 1L), ("Even", 22, 26, 3L, 0L),
+      ("Odd", 1, 9, 4L, 1L), ("Odd", 11, 21, 5L, 1L), ("Odd", 23, 25, 1L, 1L))
+  }
+
+  test("'bucket sliced reduce post' golden: AFTER alignment (TestMultiBucketing:154-177)") {
+    xyFixture(Align.After) shouldBe Seq(
+      ("Even", 0, 10, 4L, 2L), ("Even", 12, 22, 5L, 1L), ("Even", 24, 26, 2L, 0L),
+      ("Odd", 1, 11, 5L, 1L), ("Odd", 13, 21, 4L, 1L), ("Odd", 23, 25, 1L, 1L))
+  }
+
   test("keyed bound bucket groups per key (GroupedTerm2.bind)") {
     val a = Seq(("k1", 0L, 0L, 1), ("k2", 1L, 1L, 2)).toDF("k", "ts", "seq", "x")
     val b = Seq(("k1", 2L, 2L, 5)).toDF("k", "ts", "seq", "y")
