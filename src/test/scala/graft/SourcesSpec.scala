@@ -46,6 +46,40 @@ class SourcesSpec extends SparkSpec {
       Seq((2, 2L), (3, 3L))
   }
 
+  test("three-source multi-stream goldens: dereference/subset/mapKeys (TestMultiTerms:55-121)") {
+    // eventsA: 0..5 @ ts 10i+1, B: 10..15 @ 10i+2, C: 20..25 @ 10i+3
+    val ranges = Map("A" -> (0 to 5), "B" -> (10 to 15), "C" -> (20 to 25))
+    val phase = Map("A" -> 1L, "B" -> 2L, "C" -> 3L)
+    val multi = Sources.keyToStream[String](
+      Seq("A", "B", "C"),
+      k => ranges(k).zipWithIndex.map { case (v, i) =>
+        (10L * i + phase(k), 10L * i + phase(k), v)
+      }.toDF("ts", "seq", "v"))
+
+    // dereference single stream from multi (TestMultiTerms:88-94)
+    multi("A").df.orderBy("ts").select("v").as[Int].collect().toSeq shouldBe (0 to 5)
+    multi("C").df.orderBy("ts").select("v").as[Int].collect().toSeq shouldBe (20 to 25)
+
+    // subset (TestMultiTerms:102-107)
+    multi.subset(col("k") === "C")
+      .df.orderBy("ts").select("v").as[Int].collect().toSeq shouldBe (20 to 25)
+
+    // mapKeys to lowercase: nothing on old keys, everything on new
+    // (TestMultiTerms:109-120)
+    val rekeyed = multi.mapKeys(lower(col("k")))
+    rekeyed("A").df.count() shouldBe 0L
+    rekeyed("b").df.orderBy("ts").select("v").as[Int].collect().toSeq shouldBe (10 to 15)
+  }
+
+  test("toValueSet with expand: growing k.1/k.2 set (TestMultiTerms:171-191)") {
+    val names = Seq("FOO", "BAR", "BAZ", "FOOBAR").zipWithIndex
+      .map { case (n, i) => (i.toLong + 1, i.toLong, n) }.toDF("ts", "seq", "v")
+    EStream(names)
+      .valueSetExpand(array(concat(col("v"), lit(".1")), concat(col("v"), lit(".2"))))
+      .orderBy("v").as[String].collect().toSeq shouldBe
+      Seq("BAR.1", "BAR.2", "BAZ.1", "BAZ.2", "FOO.1", "FOO.2", "FOOBAR.1", "FOOBAR.2")
+  }
+
   test("vectorSumAtEachEvent: cross-key snapshot sum via delta trick (mapVector)") {
     // events: (k, ts, v): a=1 @0, b=10 @1, a=3 @2, b=20 @3
     // snapshot sums: 1, 11, 13, 23
