@@ -379,6 +379,29 @@ object CoreQueries {
              string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- mode aggregation (scespet SpreadStats mode-of-spread,
+    // RealTradeTests.scala:263-281): most frequent bucketed value per key.
+    QueryDef(
+      "ev_mode",
+      (s, dir) =>
+        Q.events(s, dir)
+          .groupBy(col("event_type"), floor(col("value") / 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")
+              .orderBy(col("cnt").desc, col("bucket"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("bucket").as("mode_bucket"), col("cnt"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, bucket AS mode_bucket, cnt
+             FROM (SELECT event_type, bucket, cnt, row_number() OVER (
+                     PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rk
+                   FROM (SELECT event_type, floor(value / 10) AS bucket,
+                           count(*) AS cnt
+                         FROM events GROUP BY 1, 2))
+             WHERE rk = 1 ORDER BY event_type""")),
+
     // ---- lag/lead: inter-event deltas (ranking-window family) ---------
     QueryDef(
       "ev_lag_delta",
