@@ -44,6 +44,37 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Order-lifecycle fold (scespet OrderState,
+    * OrderReportsExample.scala:38-54): folds New/Fill/Terminate events of
+    * one order into its terminal state. All fields are merge-commutative
+    * (first-non-null stock, summed fills/cashflow, AND-ed liveness), so
+    * the cell distributes without an ordering contract.
+    */
+  final case class OrderEvent(
+      etype: String, ts: Long, orderId: String, stock: String, px: Double, qty: Int)
+  final case class OrderState(
+      stock: String, orderQty: Int, fillQty: Int, cashFlow: Double, running: Boolean)
+
+  final class OrderStateAgg extends Aggregator[OrderEvent, OrderState, OrderState] {
+    def zero: OrderState = OrderState(null, 0, 0, 0.0, true)
+    def reduce(b: OrderState, e: OrderEvent): OrderState = e.etype match {
+      case "New" => b.copy(stock = e.stock, orderQty = e.qty)
+      case "Fill" => b.copy(fillQty = b.fillQty + e.qty,
+        cashFlow = b.cashFlow + e.qty * e.px)
+      case "Terminate" => b.copy(running = false)
+      case _ => b
+    }
+    def merge(a: OrderState, b: OrderState): OrderState = OrderState(
+      if (a.stock != null) a.stock else b.stock,
+      a.orderQty max b.orderQty,
+      a.fillQty + b.fillQty,
+      a.cashFlow + b.cashFlow,
+      a.running && b.running)
+    def finish(b: OrderState): OrderState = b
+    def bufferEncoder: Encoder[OrderState] = Encoders.product
+    def outputEncoder: Encoder[OrderState] = Encoders.product
+  }
+
   /** Ordered append cell (scespet Append, BucketStreamTest.scala:55-58). */
   final class AppendAgg[T](implicit e: Encoder[Seq[T]])
       extends Aggregator[(Long, Long, T), ArrayBuffer[(Long, Long, T)], Seq[T]] {

@@ -64,6 +64,31 @@ class OrderLifecycleSpec extends SparkSpec {
     got shouldBe Seq(("A", 100L), ("B", 50L))
   }
 
+  test("OrderState Aggregator golden: the exact OrderReportsExample event list (:28-36)") {
+    import graft.functions.Aggregators.{OrderEvent, OrderStateAgg}
+    val evs = Seq(
+      OrderEvent("New", 0, "ord1", "MSFT", 101, 100),
+      OrderEvent("New", 1000, "ord2", "IBM", 1.2, 100),
+      OrderEvent("Fill", 20000, "ord2", null, 1.3, 10),
+      OrderEvent("Fill", 21000, "ord2", null, 1.3, 10),
+      OrderEvent("Fill", 22000, "ord1", null, 101.3, 20),
+      OrderEvent("Fill", 25000, "ord1", null, 101.1, 50),
+      OrderEvent("Terminate", 25000, "ord1", null, 0, 0),
+      OrderEvent("Fill", 26000, "ord2", null, 1.4, 20),
+      OrderEvent("Terminate", 27000, "ord2", null, 0, 0))
+    val got = spark.createDataset(evs)
+      .groupByKey(_.orderId)
+      .agg(new OrderStateAgg().toColumn.name("state"))
+      .collect().toMap
+    got("ord1").stock shouldBe "MSFT"
+    got("ord1").fillQty shouldBe 70
+    got("ord1").cashFlow shouldBe (20 * 101.3 + 50 * 101.1)
+    got("ord1").running shouldBe false
+    got("ord2").fillQty shouldBe 40
+    got("ord2").cashFlow shouldBe (10 * 1.3 + 10 * 1.3 + 20 * 1.4)
+    got("ord2").running shouldBe false
+  }
+
   test("KStream.sample: snapshot every key's latest value on trigger ticks") {
     val prices = KStream(
       Seq(("A", 0L, 0L, 10.0), ("B", 1L, 1L, 20.0), ("A", 4L, 2L, 11.0))
