@@ -189,6 +189,42 @@ object TextQueries {
              len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]'))::bigint AS n_bpe
              FROM documents ORDER BY doc_id""")),
 
+    // Deterministic sampling: hash-gate instead of seeded RNG — the same
+    // 10% sample on any engine, any partitioning, any run.
+    QueryDef(
+      "doc_sample",
+      (s, dir) =>
+        docs(s, dir)
+          .filter(Q.hash60(concat(lit("sample|"), col("doc_id"))) % 100 < 10)
+          .agg(count(lit(1)).as("n_sampled"),
+            Q.dsum(col("n_chars")).cast("long").as("sampled_chars")),
+      Some(s"""SELECT count(*) AS n_sampled,
+             sum(n_chars::decimal(38,6))::bigint AS sampled_chars
+             FROM documents
+             WHERE ${Q.hash60Sql("'sample|' || doc_id")} % 100 < 10""")),
+
+    // Deterministic train/val/test split: hash-range assignment
+    // (80/10/10) — reproducible and leak-free by construction.
+    QueryDef(
+      "doc_split",
+      (s, dir) => {
+        val h = Q.hash60(concat(lit("split|"), col("doc_id"))) % 100
+        docs(s, dir)
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            Q.dsum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("split")
+      },
+      Some(s"""SELECT CASE WHEN h < 80 THEN 'train'
+                         WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             sum(n_chars::decimal(38,6))::bigint AS total_chars
+             FROM (SELECT *, ${Q.hash60Sql("'split|' || doc_id")} % 100 AS h
+                   FROM documents)
+             GROUP BY 1 ORDER BY split""")),
+
     // END-TO-END pipeline composition: quality gate → exact-dedup
     // survivors → per-language corpus stats. The shape every training-data
     // prep job has; each stage is one of the operators verified above, and
