@@ -122,11 +122,8 @@ object RelationalQueries {
         val rev = li(s, dir)
           .groupBy("l_returnflag", "l_partkey")
           .agg(Q.dsum(col("l_extendedprice")).as("revenue"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_returnflag")
-          .orderBy(col("revenue").desc, col("l_partkey"))
-        rev.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
+        graft.operators.TopK.perGroup(rev, Seq("l_returnflag"),
+            Seq(col("revenue").desc, col("l_partkey")), 3)
           .select("l_returnflag", "rk", "l_partkey", "revenue")
           .orderBy("l_returnflag", "rk")
       },

@@ -195,7 +195,7 @@ object TextQueries {
       "doc_sample",
       (s, dir) =>
         docs(s, dir)
-          .filter(Q.hash60(concat(lit("sample|"), col("doc_id"))) % 100 < 10)
+          .filter(graft.operators.Sampling.sampleGate("sample", col("doc_id"), 10))
           .agg(count(lit(1)).as("n_sampled"),
             Q.dsum(col("n_chars")).cast("long").as("sampled_chars")),
       Some(s"""SELECT count(*) AS n_sampled,
@@ -208,10 +208,9 @@ object TextQueries {
     QueryDef(
       "doc_split",
       (s, dir) => {
-        val h = Q.hash60(concat(lit("split|"), col("doc_id"))) % 100
         docs(s, dir)
-          .withColumn("split",
-            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .withColumn("split", graft.operators.Sampling.splitAssign(
+            "split", col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)))
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"),
             Q.dsum(col("n_chars")).cast("long").as("total_chars"))
