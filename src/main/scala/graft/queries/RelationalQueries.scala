@@ -49,6 +49,41 @@ object RelationalQueries {
              FROM lineitem GROUP BY l_returnflag, l_linestatus
              ORDER BY l_returnflag, l_linestatus""")),
 
+    // TPC-H Q6: forecast revenue — a pure selective scan-and-sum; the
+    // filters land in PushedFilters and the scan reads 3 columns.
+    QueryDef(
+      "q6_forecast",
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(Q.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT sum((l_extendedprice * l_discount)::decimal(38,6)) AS revenue,
+             count(*) AS n
+             FROM lineitem
+             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // Q10-flavored: customers ranked by returned-item revenue.
+    QueryDef(
+      "q10_returns",
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      Some("""SELECT c_custkey, c_name,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE l_returnflag = 'R'
+             GROUP BY c_custkey, c_name
+             ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     // Q3-flavored: top-10 customers by revenue. Fact-fact join shuffles on
     // orderkey; customer joins on custkey after the heavy reduction.
     QueryDef(
