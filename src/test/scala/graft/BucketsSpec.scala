@@ -64,6 +64,17 @@ class BucketsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("bound bucket .all(): cumulative emit per union event (PartialBuiltSlicedBucket.all)") {
+    val got = Buckets(Nil)
+      .bind("x", xs)("v" -> col("x"))
+      .bind("y", ys)("v" -> col("y"))
+      .reset(Slice.Termination)
+      .all("run", sum(col("v")))
+      .orderBy("ts", "seq").select("run").as[Long].collect().toSeq
+    // merged order by (ts, seq): x@0, y@0, x@1, x@2, y@2, x@3, x@4, y@4, x@5
+    got shouldBe Seq(1L, 11L, 12L, 13L, 23L, 24L, 25L, 35L, 36L)
+  }
+
   // ---- XYCollector sliced goldens (TestMultiBucketing.scala:131-177) ----
   // counter 0..26 keyed Even/Odd (X input); Y input = multiples of 5 (a
   // filtered substream, so every Y fire coincides with an X fire — the

@@ -112,6 +112,17 @@ class StreamingSpec extends SparkSpec {
       Seq((5.0, 2L), (21.0, 3L))
   }
 
+  test("streaming exact dedup: dropDuplicates keeps first occurrence across batches") {
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(KeyedEvent("a", 0, 0, 1.0), KeyedEvent("b", 1, 1, 2.0))
+    mem.addData(KeyedEvent("a", 2, 2, 99.0), KeyedEvent("c", 3, 3, 3.0)) // dup key "a"
+    runToCompletion(
+      mem.toDS().dropDuplicates("k").writeStream.outputMode("append"), "dedupstream")
+    spark.table("dedupstream").orderBy("k")
+      .select("k", "v").as[(String, Double)].collect().toSeq shouldBe
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+  }
+
   test("watermark drops late data beyond the threshold (append mode)") {
     val mem = MemoryStream[KeyedEvent](spark)
     val agg = Streams.tumblingAgg(mem.toDF(), Seq("k"), "10 seconds", "5 seconds",
