@@ -50,6 +50,36 @@ object Sources {
       Seq("k"))
   }
 
+  /** Seeded per-key random-walk source (test/programs/package.scala:16-52,
+    * RandomWalkTests.scala:19-24): `n` steps per key, deterministic for a
+    * given seed AND partitioning-independent — the per-step noise is a
+    * pure hash of (seed, key, step), not a stateful RNG, so the walk is
+    * reproducible on any cluster layout. Generated distributively.
+    */
+  def randomWalk(
+      spark: SparkSession,
+      keys: Seq[String],
+      n: Int,
+      seed: Long,
+      stepTs: Long = 1000000L): KStream = {
+    val keyDf = spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING).toDF("k")
+    val steps = keyDf
+      .crossJoin(spark.range(n).select(col("id").as("step")))
+      .withColumn("ts", col("step") * stepTs)
+      .withColumn("seq", col("step"))
+      // uniform [-0.5, 0.5) step from a 60-bit hash
+      .withColumn("noise",
+        (conv(substring(md5(concat_ws("|", lit(seed), col("k"), col("step"))), 1, 15), 16, 10)
+          .cast("long").cast("double") / 1.152921504606847e18) - 0.5)
+      .withColumn("v", sum(col("noise")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("step")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .select("k", "ts", "seq", "v")
+    KStream(steps, Seq("k"))
+  }
+
   /** keyToStream / lazyVect analog (VectTerm.scala:424-440,
     * EnvTermBuilder.scala:73-98): replace each key of a key set with a
     * generated stream. The reference creates graph cells on demand; in

@@ -46,6 +46,20 @@ class SourcesSpec extends SparkSpec {
       Seq((2, 2L), (3, 3L))
   }
 
+  test("randomWalk: seeded, reproducible, partitioning-independent (RandomWalkTests parity)") {
+    def walk = Sources.randomWalk(spark, Seq("VOD.L", "MSFT.O"), 50, seed = 42L)
+    val a = walk.df.orderBy("k", "seq").select("k", "v").as[(String, Double)].collect().toSeq
+    val b = walk.df.repartition(7).orderBy("k", "seq").select("k", "v").as[(String, Double)].collect().toSeq
+    a shouldBe b // bit-identical across partitionings
+    a.size shouldBe 100
+    // walks are bounded (50 steps of |step| < 0.5)
+    a.map(_._2).foreach(v => math.abs(v) should be < 25.0)
+    // different seeds give different walks
+    val c = Sources.randomWalk(spark, Seq("VOD.L"), 50, seed = 43L)
+      .df.orderBy("seq").select("v").as[Double].collect().toSeq
+    c should not be a.filter(_._1 == "VOD.L").map(_._2)
+  }
+
   test("three-source multi-stream goldens: dereference/subset/mapKeys (TestMultiTerms:55-121)") {
     // eventsA: 0..5 @ ts 10i+1, B: 10..15 @ 10i+2, C: 20..25 @ 10i+3
     val ranges = Map("A" -> (0 to 5), "B" -> (10 to 15), "C" -> (20 to 25))
