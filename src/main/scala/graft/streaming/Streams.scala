@@ -224,7 +224,12 @@ final case class ZipOut(k: String, ts: Long, left: Option[Double], right: Option
 private final case class ZipState(left: Option[Double], right: Option[Double])
 
 object ZipJoin {
-  def apply(events: Dataset[ZipEvent]): Dataset[ZipOut] = {
+  def apply(events: Dataset[ZipEvent]): Dataset[ZipOut] =
+    run(events, emitOnRightOnly = true)
+
+  private[streaming] def run(
+      events: Dataset[ZipEvent],
+      emitOnRightOnly: Boolean): Dataset[ZipOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.k)
@@ -241,10 +246,20 @@ object ZipJoin {
                 s = if (e.side == 0) s.copy(right = Some(e.v))
                     else s.copy(left = Some(e.v))
               }
-              out += ZipOut(key, ts, s.left, s.right)
+              if (emitOnRightOnly || cycle.exists(_.side == 1))
+                out += ZipOut(key, ts, s.left, s.right)
             }
           state.update(s)
           out.result().iterator
       }
   }
+}
+
+/** Streaming left-fires as-of (scespet `take`/`sample`, MacroTerm.scala:
+  * 209-230): emit the pair ONLY when the left side fires; right events
+  * just update state. Batch twin: [[graft.core.AsOf.take]].
+  */
+object TakeJoin {
+  def apply(events: Dataset[ZipEvent]): Dataset[ZipOut] =
+    ZipJoin.run(events, emitOnRightOnly = false)
 }

@@ -250,6 +250,24 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming take join matches batch AsOf.take (emit only on left fires)") {
+    val l = Seq((1L, 0L, 10.0), (3L, 1L, 30.0), (5L, 2L, 50.0), (6L, 3L, 60.0))
+    val r = Seq((0L, 10L, 100.0), (3L, 11L, 300.0), (4L, 12L, 400.0))
+    val zipEvents =
+      l.map { case (ts, seq, v) => ZipEvent("k", ts, seq, 1, v) } ++
+        r.map { case (ts, seq, v) => ZipEvent("k", ts, seq, 0, v) }
+    val mem = MemoryStream[ZipEvent](spark)
+    mem.addData(zipEvents: _*)
+    runToCompletion(TakeJoin(mem.toDS()).writeStream.outputMode("append"), "takejoin")
+    val got = spark.table("takejoin").orderBy("ts")
+      .select("ts", "left", "right")
+      .as[(Long, Double, Option[Double])].collect().toSeq
+    // same-ts right event visible to the left fire (rendezvous, AsOfSpec)
+    got shouldBe Seq(
+      (1L, 10.0, Some(100.0)), (3L, 30.0, Some(300.0)),
+      (5L, 50.0, Some(400.0)), (6L, 60.0, Some(400.0)))
+  }
+
   test("streaming zip join matches batch AsOf.zip emissions") {
     val l = Seq((1L, 0L, 10.0), (3L, 1L, 30.0), (6L, 3L, 60.0))
     val r = Seq((0L, 10L, 100.0), (3L, 11L, 300.0), (4L, 12L, 400.0))
