@@ -122,6 +122,45 @@ class BucketsSpec extends SparkSpec {
       ("Odd", 1, 11, 5L, 1L), ("Odd", 13, 21, 4L, 1L), ("Odd", 23, 25, 1L, 1L))
   }
 
+  test("'bucket windows reduce' golden: toggle-gated windows over the XY fixture (TestMultiBucketing:299-319)") {
+    val spark0 = spark; import spark0.implicits._
+    val counter = (0 to 26).map(i =>
+      (i.toLong, i.toLong, if (i % 2 == 0) "Even" else "Odd", i))
+      .toDF("ts", "seq", "k", "v")
+    val union = Buckets.taggedUnion(Seq("k"),
+      Seq(
+        Buckets.Bind("x", counter, Seq("v" -> col("v"))),
+        Buckets.Bind("y", counter.filter(col("v") % 5 === 0), Seq("v" -> col("v")))))
+    // windowOpen toggles on each GLOBAL trigger fire (11, 22); the gate is
+    // the toggle parity INCLUDING the current cycle → the close event (11)
+    // is excluded, the open event (22) is included — the reference's
+    // close-comes-first contract.
+    val toggles = org.apache.spark.sql.expressions.Window
+      .orderBy("ts")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gated = union.withColumn("gate",
+      sum(when(col("v") > 0 && col("v") % 11 === 0, 1).otherwise(0)).over(toggles) % 2 === 0)
+    val sessions = WindowKernel.withSessions(gated, Seq("k"), col("gate"))
+      .filter(col("in_window"))
+    val cycles = sessions
+      .groupBy("k", "session_id", "ts")
+      .agg(
+        max(when(col("tag") === "x", col("v"))).as("xv"),
+        max(when(col("tag") === "x", 1).otherwise(0)).as("sawX"),
+        max(when(col("tag") === "y", 1).otherwise(0)).as("sawY"))
+    val got = cycles.groupBy("k", "session_id")
+      .agg(
+        min(col("xv")).as("firstX"), max(col("xv")).as("lastX"),
+        sum(when(col("sawX") === 1 && col("sawY") === 0, 1).otherwise(0)).as("countX"),
+        sum(when(col("sawX") === 1 && col("sawY") === 1, 1).otherwise(0)).as("countBoth"))
+      .orderBy("k", "session_id")
+      .select("k", "firstX", "lastX", "countX", "countBoth")
+      .as[(String, Int, Int, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("Even", 0, 10, 4L, 2L), ("Even", 22, 26, 3L, 0L),
+      ("Odd", 1, 9, 4L, 1L), ("Odd", 23, 25, 1L, 1L))
+  }
+
   test("keyed bound bucket groups per key (GroupedTerm2.bind)") {
     val a = Seq(("k1", 0L, 0L, 1), ("k2", 1L, 1L, 2)).toDF("k", "ts", "seq", "x")
     val b = Seq(("k1", 2L, 2L, 5)).toDF("k", "ts", "seq", "y")
