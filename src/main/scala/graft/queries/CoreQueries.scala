@@ -430,7 +430,7 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .reduceAll("mean_value" ->
-            (Q.dsum(col("value")).cast("double") / count(lit(1))))
+            graft.functions.Reducers.avgExact(col("value")))
           .orderBy("user_id"),
       Some("""SELECT user_id,
              sum(value::decimal(38,6))::double / count(*) AS mean_value
