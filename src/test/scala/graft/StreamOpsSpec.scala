@@ -80,6 +80,24 @@ class StreamOpsSpec extends SparkSpec {
       .as[String].collect().head shouldBe "abcd"
   }
 
+  test("mapKeepNull: exposeNull=false drops null projections (map+filter fusion)") {
+    val got = EStream(trades)
+      .mapKeepNull(exposeNull = false,
+        "big" -> when(col("qty") >= 4, col("qty")))
+      .df.orderBy("seq").select("big").as[Int].collect().toSeq
+    got shouldBe Seq(4, 5, 6)
+    EStream(trades)
+      .mapKeepNull(exposeNull = true, "big" -> when(col("qty") >= 4, col("qty")))
+      .df.count() shouldBe 6L
+  }
+
+  test("toValueSet and keyList on a keyed stream (VectTerm:355-421,43-52)") {
+    val ks = KStream(trades, Seq("name"))
+    ks.toValueSet(col("name")).orderBy("v")
+      .as[String].collect().toSeq shouldBe Seq("MSFT.O", "VOD.L")
+    ks.keyList.as[Seq[String]].collect().head shouldBe Seq("MSFT.O", "VOD.L")
+  }
+
   test("apply(k): dereference one key to a single stream (VectTerm.apply)") {
     KStream(trades, Seq("name"))("MSFT.O")
       .df.agg(sum("qty")).as[Long].collect().head shouldBe 7L
