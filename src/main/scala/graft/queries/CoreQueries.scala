@@ -379,6 +379,28 @@ object CoreQueries {
              string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq_str
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- Timer + sample (scespet Timer(1.day) sampling a scan,
+    // util/Timer.scala:10-30 + MacroTerm.sample): a generated daily grid
+    // as-of samples the running event count.
+    QueryDef(
+      "ev_timer_sample",
+      (s, dir) => {
+        val start = 1704067200000000L // 2024-01-01T00:00Z in epoch-µs
+        val grid = graft.sources.Sources.timeGrid(
+          s, start, start + 7L * 86400000000L, 86400000000L)
+        val counted = EStream(Q.events(s, dir))
+          .foldAll("n_so_far", count(lit(1)))
+        grid.take(counted, Seq("n_so_far" -> col("n_so_far")))
+          .df.select(col("ts"),
+            coalesce(col("n_so_far"), lit(0L)).as("n_so_far"))
+          .orderBy("ts")
+      },
+      Some("""SELECT t.ts,
+             (SELECT count(*) FROM events e WHERE epoch_us(e.ts) <= t.ts) AS n_so_far
+             FROM (SELECT unnest(generate_series(1704067200000000,
+                     1704067200000000 + 7*86400000000 - 1, 86400000000)) AS ts) t
+             ORDER BY t.ts""")),
+
     // ---- mode aggregation (scespet SpreadStats mode-of-spread,
     // RealTradeTests.scala:263-281): most frequent bucketed value per key.
     QueryDef(
