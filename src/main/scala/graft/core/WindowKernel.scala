@@ -84,6 +84,8 @@ object WindowKernel {
     case Slice.Tumbling(width) =>
       // Integer `div`, NOT floor(a/b): double division loses precision for
       // epoch-nano ts beyond 2^53 and would disagree with an exact oracle.
+      // Contract: ts >= 0 (epoch time) — `div` truncates toward zero, so a
+      // negative ts would disagree with DuckDB's flooring `//`.
       df.withColumn(WindowId, expr(s"CAST(`$tsCol` AS BIGINT) div ${width}L"))
 
     case Slice.Count(n) =>
