@@ -325,6 +325,40 @@ object CoreQueries {
              sum(json_extract(props, '$.k')::bigint) AS sum_k
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- the STREAMING execution path, batch-verified: the same events
+    // flow through readStream → watermark → windowed state store → memory
+    // sink, and the result must hash-match the plain-SQL oracle. This is
+    // Structured Streaming itself under the correctness gate.
+    QueryDef(
+      "stream_tumbling",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        // the file stream source wants a directory: glob the one table file
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("ts div 1000"))
+        val agg = graft.streaming.Streams.tumblingAgg(
+          src, Seq("user_id"), "1 day", "0 seconds",
+          "n" -> count(lit(1)),
+          "sum_value" -> Q.dsum(col("value")))
+        val name = "stream_tumbling_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("window.start")).as("wstart"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "wstart")
+      },
+      Some("""SELECT user_id,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS wstart,
+             count(*) AS n, sum(value::decimal(38,6)) AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY user_id, wstart""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.
