@@ -359,6 +359,42 @@ object CoreQueries {
              count(*) AS n, sum(value::decimal(38,6)) AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY user_id, wstart""")),
 
+    // ---- stateful streaming count-slices under the gate: the custom
+    // flatMapGroupsWithState operator (no Spark built-in for N-event
+    // windows) verified against the window-function SQL oracle. Closed
+    // buckets only — a live stream never sees termination, so the batch
+    // twin filters to full buckets.
+    QueryDef(
+      "stream_count_slices",
+      (s, dir) => {
+        import s.implicits._
+        val events = Q.events(s, dir)
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"), col("value").as("v"))
+          .as[graft.streaming.KeyedEvent]
+        val name = "stream_cs_" + System.nanoTime()
+        // feed the WHOLE table as one batch through the real streaming op
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.KeyedEvent](s)
+        mem.addData(events.collect().toSeq: _*)
+        val sq = graft.streaming.CountSlices(mem.toDS(), 10)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"),
+            col("windowId").as("window_id"), col("n"),
+            col("sum").cast("decimal(38,6)").as("sum_value"))
+          .orderBy("user_id", "window_id")
+      },
+      Some("""SELECT user_id, window_id, n, sum_value FROM (
+               SELECT user_id, window_id, count(*) AS n,
+                 sum(value::decimal(38,6)) AS sum_value
+               FROM (SELECT *, (row_number() OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                       AS window_id FROM events)
+               GROUP BY user_id, window_id)
+             WHERE n = 10 ORDER BY user_id, window_id""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.
