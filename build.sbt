@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to this process's stdout/stderr instead of
+// through sbt's logger: under `sbt -error` the logger drops fork stdout
+// (info level) entirely — which is how round 1's Bench JSON line vanished
+// (BENCH_r01 `parsed: null`). With StdoutOutput, `sbt -batch -error
+// "runMain graft.Bench"` emits the JSON as the only stdout line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Driver bench contract: run the catalog on SPARK_GRAFT_SF_DIR, print ONE
   * JSON line with total + per-query seconds.
@@ -9,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * compilation) and a timed run. `clearCache()` between the runs drops any
   * DataFrame persisted inside the query, so the timed run recomputes the
   * full pipeline — steady-state cost, not cache replay.
+  *
+  * Handoff hardening (round-1 BENCH had `parsed: null` — the JSON line was
+  * buried in sbt stdout): the JSON is ALSO written to `BENCH.json` in the
+  * working directory and to `$SPARK_GRAFT_BENCH_OUT` if set, and printed
+  * last after a sentinel-free flush. Failed queries are reported in a
+  * `"failed"` map (name → error class) instead of being silently dropped.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,13 +36,29 @@ object Bench {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        name -> dt
-      } catch { case _: Throwable => name -> -1.0 }
+        (name, Right(dt): Either[String, Double])
+      } catch {
+        case e: Throwable =>
+          spark.catalog.clearCache()
+          (name, Left(e.getClass.getSimpleName): Either[String, Double])
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (n, Right(d)) => n -> d }
+    val failed = results.collect { case (n, Left(e)) => n -> e }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH.json"), json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()
+    // last stdout line, after Spark's own shutdown logging is done
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

@@ -22,7 +22,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KStream(Tables.events(spark, "/root/testdata/sf0.001"), Seq("user_id"))
       .group(Slice.Tumbling(86400L * 1000 * 1000))
-      .reduce("sum_value" -> sum(col("value").cast("decimal(38,6)")), "n" -> count(lit(1)))
+      .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

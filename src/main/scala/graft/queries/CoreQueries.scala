@@ -69,13 +69,13 @@ object CoreQueries {
         evKeyed(s, dir)
           .reduceAll(
             "n" -> count(lit(1)),
-            "sum_value" -> Q.dsum(col("value")),
+            "sum_value" -> Q.dsumD(col("value")),
             "min_value" -> min(col("value")),
             "max_value" -> max(col("value")),
             "n_purchase" -> count(when(col("event_type") === "purchase", 1)))
           .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS n,
-             sum(value::decimal(38,6)) AS sum_value,
+             sum(value::decimal(38,6))::double AS sum_value,
              min(value) AS min_value, max(value) AS max_value,
              count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase
              FROM events GROUP BY user_id ORDER BY user_id""")),
@@ -85,10 +85,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .mapKeys(pmod(col("user_id"), lit(5)), "k")
-          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsum(col("value")))
+          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsumD(col("value")))
           .orderBy("k"),
       Some("""SELECT user_id % 5 AS k, count(*) AS n,
-             sum(value::decimal(38,6)) AS sum_value
+             sum(value::decimal(38,6))::double AS sum_value
              FROM events GROUP BY 1 ORDER BY k""")),
 
     QueryDef(
@@ -113,10 +113,11 @@ object CoreQueries {
         ev(s, dir)
           .foldAll("run_sum", Q.dsum(col("value")))
           .foldAll("run_cnt", count(lit(1)))
-          .df.select(col("seq").as("event_id"), col("run_sum"), col("run_cnt"))
+          .df.select(col("seq").as("event_id"),
+            col("run_sum").cast("double").as("run_sum"), col("run_cnt"))
           .orderBy("event_id"),
       Some("""SELECT event_id,
-             sum(value::decimal(38,6)) OVER w AS run_sum,
+             (sum(value::decimal(38,6)) OVER w)::double AS run_sum,
              count(*) OVER w AS run_cnt
              FROM events
              WINDOW w AS (ORDER BY epoch_us(ts), event_id
@@ -128,12 +129,13 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .scanAll("run_sum", Q.dsum(col("value")))
-          .df.select(col("seq").as("event_id"), col("user_id"), col("run_sum"))
+          .df.select(col("seq").as("event_id"), col("user_id"),
+            col("run_sum").cast("double").as("run_sum"))
           .orderBy("event_id"),
       Some("""SELECT event_id, user_id,
-             sum(value::decimal(38,6)) OVER (
+             (sum(value::decimal(38,6)) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS run_sum
              FROM events ORDER BY event_id""")),
 
     // ---- §2.6 slicing: count / tumbling / trigger / boolean window ----
@@ -142,10 +144,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .group(Slice.Count(10))
-          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
           .orderBy("user_id", "window_id"),
       Some("""SELECT user_id, window_id,
-             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, (row_number() OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
                      AS window_id FROM events)
@@ -156,11 +158,11 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .group(Slice.Tumbling(86400L * 1000 * 1000))
-          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
           .orderBy("user_id", "window_id"),
       Some("""SELECT user_id,
              epoch_us(ts) // 86400000000 AS window_id,
-             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM events GROUP BY 1, 2 ORDER BY user_id, window_id""")),
 
     QueryDef(
@@ -168,10 +170,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .group(Slice.TriggerCol(col("event_type") === "error", Align.After))
-          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
           .orderBy("user_id", "window_id"),
       Some("""SELECT user_id, window_id,
-             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
@@ -183,10 +185,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .group(Slice.TriggerCol(col("event_type") === "error", Align.Before))
-          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
           .orderBy("user_id", "window_id"),
       Some("""SELECT user_id, window_id,
-             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
@@ -198,10 +200,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .window(col("value") >= 50)
-          .reduce("sum_value" -> Q.dsum(col("value")), "n" -> count(lit(1)))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
           .orderBy("user_id", "session_id"),
       Some("""SELECT user_id, session_id,
-             sum(value::decimal(38,6)) AS sum_value, count(*) AS n
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, sum(CASE WHEN g AND NOT coalesce(pg, false) THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
@@ -219,12 +221,12 @@ object CoreQueries {
           .window(col("value") >= 50)
           .scan("run_sum", Q.dsum(col("value")))
           .select(col("seq").as("event_id"), col("user_id"),
-            col("session_id"), col("run_sum"))
+            col("session_id"), col("run_sum").cast("double").as("run_sum"))
           .orderBy("event_id"),
       Some("""SELECT event_id, user_id, session_id,
-             sum(value::decimal(38,6)) OVER (
+             (sum(value::decimal(38,6)) OVER (
                PARTITION BY user_id, session_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS run_sum
              FROM (SELECT *, sum(CASE WHEN g AND NOT coalesce(pg, false) THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
@@ -300,12 +302,12 @@ object CoreQueries {
           .group(Slice.Count(10))
           .scan("run_sum", Q.dsum(col("value")))
           .select(col("seq").as("event_id"), col("user_id"),
-            col("window_id"), col("run_sum"))
+            col("window_id"), col("run_sum").cast("double").as("run_sum"))
           .orderBy("event_id"),
       Some("""SELECT event_id, user_id, window_id,
-             sum(value::decimal(38,6)) OVER (
+             (sum(value::decimal(38,6)) OVER (
                PARTITION BY user_id, window_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS run_sum
              FROM (SELECT *, (row_number() OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
                      AS window_id FROM events)
@@ -322,7 +324,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-             sum(json_extract(props, '$.k')::bigint) AS sum_k
+             sum(json_extract(props, '$.k')::bigint)::bigint AS sum_k
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- the STREAMING execution path, batch-verified: the same events
@@ -341,7 +343,7 @@ object CoreQueries {
         val agg = graft.streaming.Streams.tumblingAgg(
           src, Seq("user_id"), "1 day", "0 seconds",
           "n" -> count(lit(1)),
-          "sum_value" -> Q.dsum(col("value")))
+          "sum_value" -> Q.dsumD(col("value")))
         val name = "stream_tumbling_" + System.nanoTime()
         val q = agg.writeStream.queryName(name).format("memory")
           .outputMode("complete")
@@ -356,7 +358,7 @@ object CoreQueries {
       },
       Some("""SELECT user_id,
              (epoch_us(ts) // 86400000000) * 86400000000 AS wstart,
-             count(*) AS n, sum(value::decimal(38,6)) AS sum_value
+             count(*) AS n, sum(value::decimal(38,6))::double AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY user_id, wstart""")),
 
     // ---- stateful streaming count-slices under the gate: the custom
@@ -368,27 +370,31 @@ object CoreQueries {
       "stream_count_slices",
       (s, dir) => {
         import s.implicits._
-        val events = Q.events(s, dir)
-          .select(col("user_id").cast("string").as("k"), col("ts"),
-            col("seq"), col("value").as("v"))
+        // file-stream source, same pattern as stream_tumbling: the events
+        // table flows through readStream — nothing is ever materialized on
+        // the driver (the round-1 collect()+MemoryStream harness was a
+        // driver OOM at scale, VERDICT r1 "What's wrong" #3).
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id").cast("string").as("k"),
+            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            col("value").as("v"))
           .as[graft.streaming.KeyedEvent]
         val name = "stream_cs_" + System.nanoTime()
-        // feed the WHOLE table as one batch through the real streaming op
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[graft.streaming.KeyedEvent](s)
-        mem.addData(events.collect().toSeq: _*)
-        val sq = graft.streaming.CountSlices(mem.toDS(), 10)
+        val sq = graft.streaming.CountSlices(src, 10)
           .writeStream.queryName(name).format("memory").outputMode("append").start()
         try sq.processAllAvailable() finally sq.stop()
         s.table(name)
           .select(col("k").cast("long").as("user_id"),
             col("windowId").as("window_id"), col("n"),
-            col("sum").cast("decimal(38,6)").as("sum_value"))
+            col("sum").cast("decimal(38,6)").cast("double").as("sum_value"))
           .orderBy("user_id", "window_id")
       },
       Some("""SELECT user_id, window_id, n, sum_value FROM (
                SELECT user_id, window_id, count(*) AS n,
-                 sum(value::decimal(38,6)) AS sum_value
+                 sum(value::decimal(38,6))::double AS sum_value
                FROM (SELECT *, (row_number() OVER (
                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
                        AS window_id FROM events)
@@ -411,14 +417,14 @@ object CoreQueries {
           .last(
             "n_p" -> count(Buckets.fromTag("p", col("v"))),
             "sum_p" -> coalesce(Q.dsum(Buckets.fromTag("p", col("v"))),
-              lit(0).cast("decimal(38,6)")),
+              lit(0).cast("decimal(38,6)")).cast("double"),
             "n_c" -> count(Buckets.fromTag("c", col("v"))))
           .orderBy("user_id", "window_id")
       },
       Some("""SELECT user_id, epoch_us(ts) // 86400000000 AS window_id,
              count(CASE WHEN event_type='purchase' THEN 1 END) AS n_p,
              coalesce(sum(CASE WHEN event_type='purchase'
-               THEN value::decimal(38,6) END), 0) AS sum_p,
+               THEN value::decimal(38,6) END), 0)::double AS sum_p,
              count(CASE WHEN event_type='click' THEN 1 END) AS n_c
              FROM events WHERE event_type IN ('purchase','click')
              GROUP BY 1, 2 ORDER BY user_id, window_id""")),
@@ -489,7 +495,7 @@ object CoreQueries {
       Some("""SELECT event_type, bucket AS mode_bucket, cnt
              FROM (SELECT event_type, bucket, cnt, row_number() OVER (
                      PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rk
-                   FROM (SELECT event_type, floor(value / 10) AS bucket,
+                   FROM (SELECT event_type, floor(value / 10)::bigint AS bucket,
                            count(*) AS cnt
                          FROM events GROUP BY 1, 2))
              WHERE rk = 1 ORDER BY event_type""")),
@@ -506,12 +512,12 @@ object CoreQueries {
             "dv" -> (col("value").cast("decimal(38,6)") -
               lag(col("value").cast("decimal(38,6)"), 1).over(
                 org.apache.spark.sql.expressions.Window
-                  .partitionBy("user_id").orderBy("ts", "seq"))))
+                  .partitionBy("user_id").orderBy("ts", "seq"))).cast("double"))
           .df.select("event_id", "gap_us", "dv")
           .orderBy("event_id"),
       Some("""SELECT event_id,
              epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
-             value::decimal(38,6) - lag(value::decimal(38,6)) OVER w AS dv
+             (value::decimal(38,6) - lag(value::decimal(38,6)) OVER w)::double AS dv
              FROM events
              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
              ORDER BY event_id""")),
@@ -534,10 +540,10 @@ object CoreQueries {
       (s, dir) =>
         evKeyed(s, dir)
           .groupByNested(pmod(col("user_id"), lit(3)), "k2")
-          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsum(col("value")))
+          .reduceAll("n" -> count(lit(1)), "sum_value" -> Q.dsumD(col("value")))
           .orderBy("k2", "user_id"),
       Some("""SELECT user_id % 3 AS k2, user_id, count(*) AS n,
-             sum(value::decimal(38,6)) AS sum_value
+             sum(value::decimal(38,6))::double AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY k2, user_id""")),
 
     // ---- §2.2 mapVector cross-key snapshot sum ------------------------
@@ -548,12 +554,13 @@ object CoreQueries {
           // decimal deltas: windowed double sums differ across engines
           // (DuckDB frames use a segment tree → different fp add order)
           .vectorSumAtEachEvent(col("value").cast("decimal(38,6)"), "vec_sum")
-          .select(col("seq").as("event_id"), col("vec_sum"))
+          .select(col("seq").as("event_id"),
+            col("vec_sum").cast("double").as("vec_sum"))
           .orderBy("event_id"),
       Some("""SELECT event_id,
-             sum(value::decimal(38,6) - coalesce(pv, 0)) OVER (
+             (sum(value::decimal(38,6) - coalesce(pv, 0)) OVER (
                ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vec_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS vec_sum
              FROM (SELECT *, lag(value::decimal(38,6)) OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
                    FROM events)

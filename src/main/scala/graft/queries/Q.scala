@@ -33,8 +33,19 @@ object Q {
   /** DuckDB twin of [[hash60]] as SQL text. */
   def hash60Sql(expr: String): String = s"('0x'||substr(md5($expr),1,15))::bigint"
 
-  /** Exact decimal sum (order-independent, cross-engine bit-stable). */
+  /** Exact decimal sum (order-independent, cross-engine bit-stable).
+    * INTERNAL accumulator type — never leave DECIMAL in a final select
+    * (the driver's hash is representation-sensitive: Decimal('2436.000000')
+    * vs the oracle's 2436.0 is a fail). Use [[dsumD]] at output boundaries.
+    */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+
+  /** Output-boundary exact sum: decimal accumulation, ONE correctly-rounded
+    * cast to double at the end. DuckDB twin: `sum(x::decimal(38,6))::double`.
+    * Only valid in agg contexts (a cast-wrapped aggregate can't take
+    * `.over(w)` — for window scans cast the output column instead).
+    */
+  def dsumD(c: Column): Column = dsum(c).cast("double")
 
   /** Whitespace tokenization — identical in both engines for the
     * single-space-joined synthetic corpus. DuckDB twin: string_split(x, ' ').

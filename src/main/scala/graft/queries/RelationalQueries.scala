@@ -36,15 +36,15 @@ object RelationalQueries {
         li(s, dir)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            Q.dsum(col("l_quantity")).as("sum_qty"),
-            Q.dsum(col("l_extendedprice")).as("sum_base_price"),
-            Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            Q.dsumD(col("l_quantity")).as("sum_qty"),
+            Q.dsumD(col("l_extendedprice")).as("sum_base_price"),
+            Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             sum(l_quantity::decimal(38,6)) AS sum_qty,
-             sum(l_extendedprice::decimal(38,6)) AS sum_base_price,
-             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS sum_disc_price,
+             sum(l_quantity::decimal(38,6))::double AS sum_qty,
+             sum(l_extendedprice::decimal(38,6))::double AS sum_base_price,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double AS sum_disc_price,
              count(*) AS count_order
              FROM lineitem GROUP BY l_returnflag, l_linestatus
              ORDER BY l_returnflag, l_linestatus""")),
@@ -56,9 +56,9 @@ object RelationalQueries {
       (s, dir) =>
         li(s, dir)
           .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-          .agg(Q.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          .agg(Q.dsumD(col("l_extendedprice") * col("l_discount")).as("revenue"),
             count(lit(1)).as("n")),
-      Some("""SELECT sum((l_extendedprice * l_discount)::decimal(38,6)) AS revenue,
+      Some("""SELECT sum((l_extendedprice * l_discount)::decimal(38,6))::double AS revenue,
              count(*) AS n
              FROM lineitem
              WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
@@ -72,11 +72,11 @@ object RelationalQueries {
           .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
           .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name")
-          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .agg(Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20),
       Some("""SELECT c_custkey, c_name,
-             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double AS revenue
              FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
@@ -92,7 +92,7 @@ object RelationalQueries {
         val revenue = li(s, dir)
           .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_custkey")
-          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .agg(Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         revenue
           .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("revenue"))
@@ -101,7 +101,7 @@ object RelationalQueries {
       },
       Some("""SELECT c_custkey, c_name, revenue
              FROM (SELECT o_custkey,
-                     sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue
+                     sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double AS revenue
                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                    GROUP BY o_custkey)
              JOIN customer ON o_custkey = c_custkey
@@ -119,11 +119,11 @@ object RelationalQueries {
           .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name,
-             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS revenue,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double AS revenue,
              count(*) AS n_items
              FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
@@ -156,7 +156,7 @@ object RelationalQueries {
       (s, dir) => {
         val rev = li(s, dir)
           .groupBy("l_returnflag", "l_partkey")
-          .agg(Q.dsum(col("l_extendedprice")).as("revenue"))
+          .agg(Q.dsumD(col("l_extendedprice")).as("revenue"))
         graft.operators.TopK.perGroup(rev, Seq("l_returnflag"),
             Seq(col("revenue").desc, col("l_partkey")), 3)
           .select("l_returnflag", "rk", "l_partkey", "revenue")
@@ -167,7 +167,7 @@ object RelationalQueries {
                      row_number() OVER (PARTITION BY l_returnflag
                        ORDER BY revenue DESC, l_partkey) AS rk
                    FROM (SELECT l_returnflag, l_partkey,
-                           sum(l_extendedprice::decimal(38,6)) AS revenue
+                           sum(l_extendedprice::decimal(38,6))::double AS revenue
                          FROM lineitem GROUP BY l_returnflag, l_partkey))
              WHERE rk <= 3 ORDER BY l_returnflag, rk""")),
 
@@ -185,12 +185,13 @@ object RelationalQueries {
               col("o_orderkey").as("seq"), col("o_totalprice")),
           Seq("o_custkey"))
           .scanAll("run_spend", Q.dsum(col("o_totalprice")))
-          .df.select("o_custkey", "o_orderkey", "run_spend")
+          .df.select(col("o_custkey"), col("o_orderkey"),
+            col("run_spend").cast("double").as("run_spend"))
           .orderBy("o_custkey", "o_orderkey"),
       Some("""SELECT o_custkey, o_orderkey,
-             sum(o_totalprice::decimal(38,6)) OVER (
+             (sum(o_totalprice::decimal(38,6)) OVER (
                PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS run_spend
              FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // Semi/anti flavors (scespet nearest analog: subset / mapKeys→None,
@@ -220,11 +221,11 @@ object RelationalQueries {
           .groupBy(
             (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
             col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("o_totalprice")).as("total"))
           .orderBy("ym", "o_orderpriority"),
       Some("""SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
              o_orderpriority, count(*) AS n,
-             sum(o_totalprice::decimal(38,6)) AS total
+             sum(o_totalprice::decimal(38,6))::double AS total
              FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
 
     // Q7-flavored: trade volume between customer-nation and supplier-nation
@@ -244,12 +245,12 @@ object RelationalQueries {
           .join(n2, col("s_nationkey") === col("snk"))
           .filter(col("cust_nation") < col("supp_nation"))
           .groupBy("cust_nation", "supp_nation")
-          .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          .agg(Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
             count(lit(1)).as("n_items"))
           .orderBy("cust_nation", "supp_nation")
       },
       Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-             sum((l_extendedprice * (1 - l_discount))::decimal(38,6)) AS volume,
+             sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double AS volume,
              count(*) AS n_items
              FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
@@ -290,13 +291,13 @@ object RelationalQueries {
         li(s, dir).createOrReplaceTempView("graft_lineitem")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS decimal(38,6))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS decimal(38,6))) AS DOUBLE) AS sum_qty,
              count(*) AS n
              FROM graft_lineitem GROUP BY l_returnflag, l_linestatus
              ORDER BY l_returnflag, l_linestatus""")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             sum(l_quantity::decimal(38,6)) AS sum_qty, count(*) AS n
+             sum(l_quantity::decimal(38,6))::double AS sum_qty, count(*) AS n
              FROM lineitem GROUP BY l_returnflag, l_linestatus
              ORDER BY l_returnflag, l_linestatus""")),
 
@@ -340,11 +341,11 @@ object RelationalQueries {
       (s, dir) =>
         ord(s, dir)
           .rollup("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("o_totalprice")).as("total"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             sum(o_totalprice::decimal(38,6)) AS total
+             sum(o_totalprice::decimal(38,6))::double AS total
              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
@@ -355,10 +356,10 @@ object RelationalQueries {
         supp(s, dir)
           .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(count(lit(1)).as("n_suppliers"), Q.dsum(col("s_acctbal")).as("total_bal"))
+          .agg(count(lit(1)).as("n_suppliers"), Q.dsumD(col("s_acctbal")).as("total_bal"))
           .orderBy("n_name"),
       Some("""SELECT n_name, count(*) AS n_suppliers,
-             sum(s_acctbal::decimal(38,6)) AS total_bal
+             sum(s_acctbal::decimal(38,6))::double AS total_bal
              FROM supplier JOIN nation ON s_nationkey = n_nationkey
              GROUP BY n_name ORDER BY n_name"""))
   )

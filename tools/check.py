@@ -1,14 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [only_name ...]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching SQL from oracle_sql.json in DuckDB with the sfDir parquet tables
-registered as views. Sorts columns by name, sorts rows, and compares cell
-values exactly (floats: bit-exact, mirroring a hash compare).
+registered as views. Sorts columns by name, sorts rows, and compares the
+canonical VALUE REPRESENTATION of every cell — mirroring the driver's
+representation hash. Decimal('2436.000000') vs float 2436.0 is a FAIL here
+even though the values are numerically equal (this exact class cost 31
+queries in round 1: CORRECTNESS_r01.json / VERDICT.md "What's wrong" #1).
+Int width (int32 vs int64) canonicalizes to python int, matching a
+value-string hash.
 """
-import json, sys, glob, os
+import json, sys, glob, os, math
 import duckdb
 import pandas as pd
 import numpy as np
@@ -17,10 +22,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def cell_repr(x):
+    """Canonical per-cell representation: numpy scalars unwrap to python
+    (int width is not representation), None/NaN/NaT fold to NULL, floats
+    keep full repr (bit-sensitive), Decimal keeps scale (repr-sensitive)."""
+    if x is None:
+        return "NULL"
+    if isinstance(x, np.generic):
+        x = x.item()
+    if isinstance(x, float):
+        return "NULL" if math.isnan(x) else repr(x)
+    try:
+        if pd.isna(x):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return repr(x)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    key = df.apply(lambda row: tuple(cell_repr(v) for v in row), axis=1) \
+        if len(df) else None
     if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
+        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")]
     return df.reset_index(drop=True)
 
 
@@ -31,23 +56,17 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWS spark={len(a)} oracle={len(b)}"
     a, b = canon(a), canon(b)
     for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-            av = av.astype(np.float64); bv = bv.astype(np.float64)
-            neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
-            if neq.any():
-                i = int(np.argmax(neq))
-                return f"VAL col={c} row={i} spark={av[i]!r} oracle={bv[i]!r} diff={av[i]-bv[i]!r} ({int(neq.sum())} cells)"
-        else:
-            aa, bb = a[c].astype(object), b[c].astype(object)
-            neq = ~((aa == bb) | (aa.isna() & bb.isna()))
-            if neq.any():
-                i = int(np.argmax(neq.to_numpy()))
-                return f"VAL col={c} row={i} spark={aa[i]!r} oracle={bb[i]!r} ({int(neq.sum())} cells)"
+        ar = [cell_repr(v) for v in a[c]]
+        br = [cell_repr(v) for v in b[c]]
+        bad = [i for i, (x, y) in enumerate(zip(ar, br)) if x != y]
+        if bad:
+            i = bad[0]
+            return (f"REPR col={c} row={i} spark={ar[i]} oracle={br[i]} "
+                    f"({len(bad)} cells)")
     return "OK"
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -56,6 +75,8 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        names = [n for n in names if n in only]
     n_ok = 0
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
@@ -77,4 +98,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
