@@ -95,6 +95,39 @@ final case class KStream(
       .drop("__delta")
   }
 
+  /** General mapVector (VectTerm.mapVector, VectTerm.scala:145-176): at
+    * EACH event, expose the whole-vector snapshot — every key's latest
+    * value as of that event, the firing event's own update included
+    * (rendezvous: the reference recomputes f AFTER the cell updates) — as
+    * a key-sorted `array<struct<k,v>>` column named `out`; the caller
+    * applies ANY Column function of it (demean, rank, size, head…).
+    * Keys that have not fired yet are absent (the reference's vector only
+    * holds created cells).
+    *
+    * Plan shape: the event axis × key universe, each (key, tick) pair
+    * as-of samples that key's latest value (one shuffle + sort, AsOf.take),
+    * then snapshots regroup per tick. O(events × keys) rows — inherent to
+    * "arbitrary f of ALL keys at every event" (the reference also touches
+    * every cell per event); for associative folds use the O(n) delta
+    * specializations below ([[vectorSizeAtEachEvent]]/[[vectorSumAtEachEvent]]).
+    */
+  def mapVector(value: Column, out: String = "snapshot"): DataFrame = {
+    require(keys.size == 1, "mapVector supports single-key vectors")
+    val k = keys.head
+    val ticks = df.select(col(tsCol), col(seqCol))
+    val keyed = toKeySet.crossJoin(ticks)
+    val sampled = AsOf.take(
+      keyed,
+      df.select(col(k), col(tsCol), col(seqCol), value.as("__v")),
+      Seq(col(k)), Seq(col(k)), Seq("__v" -> col("__v")), tsCol, seqCol)
+    val snap = sampled
+      .filter(col("__v").isNotNull)
+      .groupBy(col(tsCol), col(seqCol))
+      .agg(sort_array(collect_list(struct(col(k).as("k"), col("__v").as("v"))))
+        .as(out))
+    df.join(snap, Seq(tsCol, seqCol))
+  }
+
   /** Nested grouping (VectTerm.groupby, :117-119 / NestedVector.scala):
     * a vector of sub-vectors by a derived outer key — relationally just a
     * second key column; all per-key operators then work on (k2, k).

@@ -580,6 +580,41 @@ object CoreQueries {
              FROM (SELECT *, CASE WHEN row_number() OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1
                      THEN 1 ELSE 0 END AS first_seen FROM events)
+             ORDER BY event_id""")),
+
+    // ---- §2.2 GENERAL mapVector: arbitrary whole-vector snapshot fn ----
+    // Per event, demean the firing value against the mean of EVERY key's
+    // latest value — through the general snapshot operator (array of all
+    // keys' values), not the associative delta shortcut. Determinism: the
+    // snapshot mean is an exact decimal sum over the array (order-free)
+    // and ONE double division; the oracle computes the identical operands
+    // via the delta-window technique.
+    QueryDef(
+      "ev_mapvector_demean",
+      (s, dir) => {
+        val snapSum = aggregate(
+          col("snap"), lit(0).cast("decimal(38,6)"),
+          (acc, e) => acc + e.getField("v").cast("decimal(38,6)"))
+        evKeyed(s, dir)
+          .mapVector(col("value"), "snap")
+          .select(col("seq").as("event_id"),
+            (col("value") - snapSum.cast("double") / size(col("snap")))
+              .as("demean"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, value - (vec_sum::double / n_keys) AS demean
+             FROM (SELECT event_id, value,
+                     sum(value::decimal(38,6) - coalesce(pv, 0)) OVER cum AS vec_sum,
+                     (sum(first_seen) OVER cum)::bigint AS n_keys
+                   FROM (SELECT *,
+                           lag(value::decimal(38,6)) OVER pk AS pv,
+                           CASE WHEN row_number() OVER pk = 1
+                                THEN 1 ELSE 0 END AS first_seen
+                         FROM events
+                         WINDOW pk AS (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id))
+                   WINDOW cum AS (ORDER BY epoch_us(ts), event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              ORDER BY event_id"""))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{functions}
+import org.apache.spark.sql.functions.{col, when, lower, lit, element_at, aggregate}
+import graft.core._
+
+/** General mapVector goldens — the reference's whole-vector-function
+  * examples reproduced exactly:
+  *
+  *   - TestMultiTerms.scala:122-132 "map subset keys": after a mapKeys
+  *     subset to one key, `mapVector(_.getSize)` emits 1 on every event
+  *     and `mapVector(v => v.get(0))` is the first cell's value stream;
+  *   - the cross-sectional demean over the reference's 3-key test stream
+  *     (TestMultiTerms.scala:55-57 data: A=0..5 @ ts 10i+1, B=10..15
+  *     @ 10i+2, C=20..25 @ 10i+3).
+  */
+class MapVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** createTestMultiStream (TestMultiTerms.scala:70-79): three interleaved
+    * per-key streams on one event axis; seq = global arrival order.
+    */
+  private def multi = {
+    val rows =
+      (0 to 5).map(i => (10L * i + 1, "A", i.toDouble)) ++
+        (0 to 5).map(i => (10L * i + 2, "B", (i + 10).toDouble)) ++
+        (0 to 5).map(i => (10L * i + 3, "C", (i + 20).toDouble))
+    rows.sortBy(_._1).zipWithIndex
+      .map { case ((ts, k, v), i) => (ts, i.toLong, k, v) }
+      .toDF("ts", "seq", "k", "v")
+  }
+
+  test("mapVector(getSize) after mapKeys subset emits 1 per event " +
+    "(TestMultiTerms.scala:122-128)") {
+    val subset = KStream(multi, Seq("k"))
+      .mapKeys(when(col("k") === "C", lower(col("k"))), "k2")
+    val sizes = subset.mapVector(col("v"), "snap")
+      .select(functions.size(col("snap")))
+      .as[Int].collect().toSeq
+    sizes shouldBe Seq.fill(6)(1)
+  }
+
+  test("mapVector(v.get(0)) is the first cell's value stream " +
+    "(TestMultiTerms.scala:130-132)") {
+    val subset = KStream(multi, Seq("k"))
+      .mapKeys(when(col("k") === "C", lower(col("k"))), "k2")
+    val first = subset.mapVector(col("v"), "snap")
+      .orderBy("seq")
+      .select(element_at(col("snap"), 1).getField("v"))
+      .as[Double].collect().toSeq
+    first shouldBe (20 to 25).map(_.toDouble)
+  }
+
+  test("cross-sectional demean: snapshot holds every key's LATEST value, " +
+    "firing event included (VectTerm.scala:145-176 rendezvous)") {
+    val ks = KStream(multi, Seq("k"))
+    val snaps = ks.mapVector(col("v"), "snap")
+      .orderBy("seq")
+      .select(col("ts"), col("k"), col("v"),
+        aggregate(col("snap"), lit(0.0), (a, e) => a + e.getField("v")),
+        functions.size(col("snap")))
+      .as[(Long, String, Double, Double, Int)].collect()
+
+    // ts=1: only A(0) fired → snapshot [0], size 1
+    snaps(0) shouldBe ((1L, "A", 0.0, 0.0, 1))
+    // ts=3: A=0, B=10, C=20 all live → sum 30, size 3
+    snaps(2) shouldBe ((3L, "C", 20.0, 30.0, 3))
+    // ts=51 (A fires 5): latest B=14 (ts 42), C=24 (ts 43) → sum 43
+    val at51 = snaps.find(_._1 == 51L).get
+    at51 shouldBe ((51L, "A", 5.0, 43.0, 3))
+    // every event's own value is already in its snapshot (rendezvous)
+    snaps.foreach { case (_, _, v, sum, n) =>
+      if (n == 1) sum shouldBe v
+    }
+  }
+}
