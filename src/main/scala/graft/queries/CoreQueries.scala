@@ -582,6 +582,62 @@ object CoreQueries {
                      THEN 1 ELSE 0 END AS first_seen FROM events)
              ORDER BY event_id""")),
 
+    // ---- slice-emission contracts under the driver gate ---------------
+    // Trailing PARTIAL bucket at termination (SliceAfterBucket.scala:
+    // 161-166): the last count-slice window per key emits even though it
+    // never reached N events. This query pins exactly those rows.
+    QueryDef(
+      "ev_slice_partial_tail",
+      (s, dir) => {
+        val buckets = evKeyed(s, dir)
+          .group(Slice.Count(10))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
+        buckets
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("window_id").desc)))
+          .filter(col("rk") === 1)
+          .select("user_id", "window_id", "n", "sum_value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, window_id, n, sum_value
+             FROM (SELECT user_id, window_id,
+                     count(*) AS n, sum(value::decimal(38,6))::double AS sum_value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY window_id DESC) AS rk
+                   FROM (SELECT *, (row_number() OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                           AS window_id FROM events)
+                   GROUP BY user_id, window_id)
+             WHERE rk = 1 ORDER BY user_id""")),
+
+    // EMPTY-bucket suppression (SliceAfterBucket.scala:196-204): time
+    // slices with zero events emit NO row. Over the sparse error-only
+    // substream the window_id span has holes; this asserts (a) every
+    // emitted bucket is non-empty (min_n >= 1 by construction — a
+    // gap-filling regression would emit n=0 rows and change min_n/counts)
+    // and (b) the emitted-window count vs the id span exposes the holes.
+    QueryDef(
+      "ev_slice_empty_suppress",
+      (s, dir) => {
+        val buckets = evKeyed(s, dir)
+          .filter(col("event_type") === "error")
+          .group(Slice.Tumbling(86400L * 1000 * 1000))
+          .reduce("n" -> count(lit(1)))
+        buckets.groupBy("user_id")
+          .agg(count(lit(1)).as("n_windows"),
+            (max(col("window_id")) - min(col("window_id")) + 1).as("id_span"),
+            min(col("n")).as("min_n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_windows,
+             max(window_id) - min(window_id) + 1 AS id_span,
+             min(n) AS min_n
+             FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS window_id,
+                     count(*) AS n
+                   FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+             GROUP BY user_id ORDER BY user_id""")),
+
     // ---- §2.2 GENERAL mapVector: arbitrary whole-vector snapshot fn ----
     // Per event, demean the firing value against the mean of EVERY key's
     // latest value — through the general snapshot operator (array of all

