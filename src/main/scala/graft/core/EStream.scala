@@ -54,11 +54,28 @@ final case class EStream(df: DataFrame, tsCol: String = "ts", seqCol: String = "
     df.select(explode(values).as("v")).distinct()
 
   /** Whole-stream cumulative scan (fold_all, MacroTerm.scala:42-53):
-    * aggregate over the unbounded-preceding rows frame.
+    * aggregate over the unbounded-preceding rows frame. GENERAL path —
+    * plans as a single-partition window (the fold may be order-dependent,
+    * e.g. EWMA — inherently sequential). For associative folds use
+    * [[foldAllAssoc]], which distributes.
     */
   def foldAll(out: String, agg: Column): EStream =
     EStream(
       df.withColumn(out, agg.over(WindowKernel.cumulative(Nil, tsCol, seqCol))),
+      tsCol, seqCol)
+
+  /** Distributed fold_all for ASSOCIATIVE reductions (exact decimal sums,
+    * counts, min/max): two-pass prefix scan — within-partition running
+    * values in parallel + broadcast per-partition offsets
+    * ([[graft.operators.DistributedScan]]). Same rows as [[foldAll]],
+    * O(n/P) wall-clock instead of a one-reducer window.
+    *
+    * @param outs (outputCol, perRowContribution, combine∈{sum,min,max}) —
+    *             e.g. a running count is `("n", lit(1L), "sum")`.
+    */
+  def foldAllAssoc(outs: (String, Column, String)*): EStream =
+    EStream(
+      graft.operators.DistributedScan.runningAggs(df, tsCol, seqCol, outs),
       tsCol, seqCol)
 
   /** Single value at termination (reduce_all, MacroTerm.scala:63-84). */

@@ -70,11 +70,12 @@ final case class KStream(
     */
   def vectorSizeAtEachEvent(out: String = "n_keys"): DataFrame = {
     val perKey = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
-    val allTime = Window
-      .orderBy(col(tsCol), col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__first", (row_number().over(perKey) === 1).cast("long"))
-      .withColumn(out, sum(col("__first")).over(allTime))
+    val marked = df.withColumn("__first",
+      (row_number().over(perKey) === 1).cast("long"))
+    // global cumulative count of first-sightings: associative → two-pass
+    // distributed prefix scan, not a single-partition window
+    graft.operators.DistributedScan
+      .runningAggs(marked, tsCol, seqCol, Seq((out, col("__first"), "sum")))
       .drop("__first")
   }
 
@@ -87,11 +88,13 @@ final case class KStream(
     */
   def vectorSumAtEachEvent(value: Column, out: String = "vec_sum"): DataFrame = {
     val perKey = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
-    val allTime = Window
-      .orderBy(col(tsCol), col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__delta", value - coalesce(lag(value, 1).over(perKey), lit(0)))
-      .withColumn(out, sum(col("__delta")).over(allTime))
+    val deltas = df.withColumn("__delta",
+      value - coalesce(lag(value, 1).over(perKey), lit(0)))
+    // the delta stream sums associatively (use exact types for cross-
+    // engine determinism) → distributed prefix scan replaces the global
+    // one-reducer window
+    graft.operators.DistributedScan
+      .runningAggs(deltas, tsCol, seqCol, Seq((out, col("__delta"), "sum")))
       .drop("__delta")
   }
 

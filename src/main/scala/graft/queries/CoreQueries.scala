@@ -111,8 +111,11 @@ object CoreQueries {
       "ev_fold_all",
       (s, dir) =>
         ev(s, dir)
-          .foldAll("run_sum", Q.dsum(col("value")))
-          .foldAll("run_cnt", count(lit(1)))
+          // associative folds → distributed two-pass prefix scan (>1 task
+          // in the scan stage; the general foldAll stays for EWMA-likes)
+          .foldAllAssoc(
+            ("run_sum", col("value").cast("decimal(38,6)"), "sum"),
+            ("run_cnt", lit(1L), "sum"))
           .df.select(col("seq").as("event_id"),
             col("run_sum").cast("double").as("run_sum"), col("run_cnt"))
           .orderBy("event_id"),
@@ -465,7 +468,7 @@ object CoreQueries {
         val grid = graft.sources.Sources.timeGrid(
           s, start, start + 7L * 86400000000L, 86400000000L)
         val counted = EStream(Q.events(s, dir))
-          .foldAll("n_so_far", count(lit(1)))
+          .foldAllAssoc(("n_so_far", lit(1L), "sum"))
         grid.take(counted, Seq("n_so_far" -> col("n_so_far")))
           .df.select(col("ts"),
             coalesce(col("n_so_far"), lit(0L)).as("n_so_far"))
