@@ -94,14 +94,60 @@ object Multimodal {
     }
 }
 
-/** The genuinely-stubbed codec boundary: real decoders require native
-  * image/audio libraries not present in this container.
+/** Codec boundary. Image decode is REAL (javax.imageio is JDK stdlib —
+  * PNG/JPEG/GIF/BMP, no native deps); audio decode stays stubbed (no
+  * codec library in this container; javax.sound handles WAV only).
   */
 object Codecs {
-  /** Decode an encoded image blob to (width, height, pixels). STUB. */
-  def decodeImage(blob: Array[Byte]): (Int, Int, Array[Int]) =
-    ??? // javax.imageio / turbojpeg binding goes here; plumbing above is real
 
-  /** Decode an audio blob to PCM samples. STUB. */
+  /** Decode an encoded image blob to (width, height, ARGB pixels) via
+    * `javax.imageio.ImageIO` — executor-local, no native libraries.
+    * Returns None for undecodable/unsupported bytes (corrupt-blob rows
+    * survive the pipeline as nulls instead of failing the task — the
+    * right contract for a 100 TB crawl where some blobs are junk).
+    */
+  def decodeImage(blob: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-image decoded stats: dims + mean luma (Rec.601 integer weights,
+    * deterministic) — the feature-extraction step over REAL pixels.
+    */
+  final case class ImageStats(id: Long, width: Int, height: Int, meanLuma: Double)
+
+  /** Partition-batched decode + stats: blobs stay local, output is tiny.
+    * Undecodable blobs drop (flatMap None) — count them upstream if the
+    * drop rate matters.
+    */
+  def imageStats(rows: Dataset[Multimodal.MediaRow]): Dataset[ImageStats] = {
+    implicit val enc: Encoder[ImageStats] = Encoders.product[ImageStats]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.blob).map { case (w, h, px) =>
+          var lumaSum = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            // integer Rec.601: (299 R + 587 G + 114 B) / 1000
+            lumaSum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            i += 1
+          }
+          ImageStats(r.id, w, h,
+            if (px.isEmpty) 0.0 else lumaSum.toDouble / px.length)
+        }
+      }
+    }
+  }
+
+  /** Decode an audio blob to PCM samples. STUB — no audio codec library
+    * in this container; the Spark-side plumbing is [[Multimodal]]'s.
+    */
   def decodeAudio(blob: Array[Byte]): Array[Short] = ???
 }

@@ -97,4 +97,26 @@ object Sources {
     }
     KStream(frames.reduce(_.unionByName(_)), Seq(keyCol))
   }
+
+  /** UNBOUNDED keyToStream — the lazyVect flavor (EnvTermBuilder.scala:
+    * 73-98, VectTerm.scala:424-440): the key DOMAIN comes from DATA (e.g.
+    * `KStream.toKeySet`, or any frame of discovered keys), not a driver-
+    * side list, and the per-key stream is a PLAN-SPACE generator — a
+    * Column function from the key to an `array<struct<ts,seq,…>>` of its
+    * events. The reference creates one live cell per key on first
+    * `indexOf` miss; here a key's stream materializes distributively via
+    * explode, so a billion discovered keys never touch the driver.
+    *
+    * @param gen key column → array of event structs; each struct MUST
+    *            carry `ts` and `seq` fields (the stream contract).
+    */
+  def keyToStreamDynamic(
+      keySet: DataFrame,
+      keyCol: String,
+      gen: Column => Column): KStream = {
+    val exploded = keySet
+      .select(col(keyCol), explode(gen(col(keyCol))).as("__e"))
+      .select(col(keyCol), col("__e.*"))
+    KStream(exploded, Seq(keyCol))
+  }
 }

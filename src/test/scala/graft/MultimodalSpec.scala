@@ -43,4 +43,36 @@ class MultimodalSpec extends SparkSpec {
     out.blob(1) shouldBe 4.toByte
     out.meta.nFrames shouldBe 64
   }
+
+  /** Encode a real PNG in-memory (javax.imageio round trip). */
+  private def png(w: Int, h: Int, rgbOf: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbOf(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("Codecs.decodeImage: REAL PNG decode through the extraction " +
+    "pipeline (javax.imageio, no stub)") {
+    import graft.multimodal.Codecs
+    // 4x2: top row white, bottom row black → mean luma 127.5
+    val blob = png(4, 2, (_, y) => if (y == 0) 0xffffff else 0x000000)
+    val junk = "not an image".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, blob, MediaMeta("image", 4, 2, 0, 1)),
+      MediaRow(2L, junk, MediaMeta("image", 0, 0, 0, 0))))
+    val stats = Codecs.imageStats(ds).collect().sortBy(_.id)
+    // junk blob drops instead of failing the task
+    stats.map(_.id).toSeq shouldBe Seq(1L)
+    stats.head.width shouldBe 4
+    stats.head.height shouldBe 2
+    stats.head.meanLuma shouldBe 127.5 // (255 + 0) / 2, Rec.601 integer
+    // direct decode returns the actual pixels
+    val Some((w, h, px)) = Codecs.decodeImage(blob)
+    (w, h) shouldBe ((4, 2))
+    (px(0) & 0xffffff) shouldBe 0xffffff
+    (px(7) & 0xffffff) shouldBe 0x000000
+  }
 }

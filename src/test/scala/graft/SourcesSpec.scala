@@ -105,6 +105,33 @@ class SourcesSpec extends SparkSpec {
       Seq(1.0, 11.0, 13.0, 23.0)
   }
 
+  test("keyToStreamDynamic: keys DISCOVERED from data bind generated " +
+    "streams in plan space (lazyVect, EnvTermBuilder.scala:73-98)") {
+    // key domain comes from a data stream — no driver-side key list
+    val observed = Seq((0L, 0L, "GBP", 1.0), (1L, 1L, "JPY", 2.0),
+      (2L, 2L, "GBP", 3.0), (5L, 3L, "CHF", 4.0))
+      .toDF("ts", "seq", "ccy", "v")
+    val keys = KStream(observed, Seq("ccy")).toKeySet
+    // generator: per key, 3 deterministic ticks (hash-derived values)
+    val gen = (k: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0L), lit(2L)), i =>
+        struct((i * 10).as("ts"), i.as("seq"),
+          (crc32(concat(k, i)) % 100).as("gv")))
+    val generated = graft.sources.Sources.keyToStreamDynamic(keys, "ccy", gen)
+    generated.df.count() shouldBe 9 // 3 discovered keys x 3 ticks
+    generated.keys shouldBe Seq("ccy")
+    // the generated vector joins back onto the observed stream: each
+    // observed event as-of samples its key's generated stream
+    val sampled = KStream(observed, Seq("ccy"))
+      .take(generated, Seq(col("ccy")), Seq("gv" -> col("gv")))
+      .df.orderBy("seq")
+    sampled.count() shouldBe 4
+    // deterministic: the CHF event at ts=5 sees CHF's tick at ts=0
+    val chf = sampled.filter(col("ccy") === "CHF").select("gv")
+      .as[Long].collect()
+    chf.length shouldBe 1
+  }
+
   test("groupByNested: two-level keys slice independently (VectTerm.groupby)") {
     val rows = Seq(("a", 0L, 0L, 1), ("b", 1L, 1L, 2), ("a", 2L, 2L, 3), ("b", 3L, 3L, 4))
       .toDF("k", "ts", "seq", "v")
