@@ -404,6 +404,46 @@ object CoreQueries {
                GROUP BY user_id, window_id)
              WHERE n = 10 ORDER BY user_id, window_id""")),
 
+    // ---- stateful streaming trigger-slices under the gate: the custom
+    // flatMapGroupsWithState operator closes a bucket when the trigger
+    // event ('error') arrives — Align.After: the trigger JOINS its bucket.
+    // A live stream only emits CLOSED buckets (the trailing partial stays
+    // in state), so the oracle keeps exactly the groups containing a
+    // trigger.
+    QueryDef(
+      "stream_trigger_slices",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id").cast("string").as("k"),
+            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            col("value").as("v"),
+            (col("event_type") === "error").as("gate"))
+          .as[graft.streaming.GatedEvent]
+        val name = "stream_ts_" + System.nanoTime()
+        val sq = graft.streaming.TriggerSlices.tagged(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"),
+            col("windowId").as("window_id"), col("n"),
+            col("sum").cast("decimal(38,6)").cast("double").as("sum_value"))
+          .orderBy("user_id", "window_id")
+      },
+      Some("""SELECT user_id, window_id, n, sum_value FROM (
+               SELECT user_id, window_id, count(*) AS n,
+                 sum(value::decimal(38,6))::double AS sum_value,
+                 count(CASE WHEN event_type='error' THEN 1 END) AS n_trig
+               FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                       AS window_id FROM events)
+               GROUP BY user_id, window_id)
+             WHERE n_trig > 0 ORDER BY user_id, window_id""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.

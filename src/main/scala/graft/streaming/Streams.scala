@@ -145,11 +145,22 @@ object TriggerSlices {
       isTrigger: KeyedEvent => Boolean,
       before: Boolean = false): Dataset[CountBucket] = {
     import events.sparkSession.implicits._
+    tagged(events.map(e => GatedEvent(e.k, e.ts, e.seq, e.v, isTrigger(e))), before)
+  }
+
+  /** Column-tagged variant: the trigger predicate is evaluated in the
+    * PLAN (any Column over the source row lands in `gate`), so the
+    * trigger can reference columns the typed event doesn't carry.
+    */
+  def tagged(
+      events: Dataset[GatedEvent],
+      before: Boolean = false): Dataset[CountBucket] = {
+    import events.sparkSession.implicits._
     events
       .groupByKey(_.k)
       .flatMapGroupsWithState[CountSliceState, CountBucket](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[KeyedEvent], state: GroupState[CountSliceState]) =>
+        (key: String, it: Iterator[GatedEvent], state: GroupState[CountSliceState]) =>
           var s = state.getOption.getOrElse(
             CountSliceState(0L, 0L, 0.0, Double.MaxValue, Double.MinValue))
           val out = Seq.newBuilder[CountBucket]
@@ -157,11 +168,11 @@ object TriggerSlices {
             if (s.n > 0) out += CountBucket(key, s.windowId, s.n, s.sum, s.mn, s.mx)
             s = CountSliceState(s.windowId + 1, 0L, 0.0, Double.MaxValue, Double.MinValue)
           }
-          def add(e: KeyedEvent): Unit =
+          def add(e: GatedEvent): Unit =
             s = CountSliceState(s.windowId, s.n + 1, s.sum + e.v,
               math.min(s.mn, e.v), math.max(s.mx, e.v))
           it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
-            if (isTrigger(e)) {
+            if (e.gate) {
               if (before) { close(); add(e) } else { add(e); close() }
             } else add(e)
           }
