@@ -100,6 +100,20 @@ final case class EStream(df: DataFrame, tsCol: String = "ts", seqCol: String = "
     */
   def sample(trigger: EStream, myVals: Seq[(String, Column)]): EStream =
     trigger.take(this, myVals)
+
+  /** takef (MacroTerm.scala:140-142): per-event dereference of a STREAM-
+    * VALUED attribute — each event names a key (`keyOf`, any expression
+    * over this row), and samples that key's stream from `registry` as of
+    * the event time. The reference's `f: X => HasVal[Y]` cell lookup is
+    * relationally a derived-key as-of join; combine with
+    * [[graft.sources.Sources.keyToStreamDynamic]] for generated registries.
+    */
+  def takef(keyOf: Column, registry: KStream, rightVals: Seq[(String, Column)]): EStream =
+    EStream(
+      AsOf.take(df.withColumn("__fk", keyOf), registry.df,
+        Seq(col("__fk")), registry.keys.map(col), rightVals, tsCol, seqCol)
+        .drop("__fk"),
+      tsCol, seqCol)
 }
 
 /** Sliced single stream: `.group(spec).scan(...)/.reduce(...)`

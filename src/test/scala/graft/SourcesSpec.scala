@@ -132,6 +132,21 @@ class SourcesSpec extends SparkSpec {
     chf.length shouldBe 1
   }
 
+  test("takef: per-event stream-valued attribute dereference " +
+    "(MacroTerm.scala:140-142)") {
+    // registry: per-ccy fixing stream
+    val fixings = KStream(Seq(
+      ("GBP", 0L, 0L, 1.25), ("GBP", 10L, 1L, 1.30),
+      ("JPY", 0L, 2L, 0.007)).toDF("ccy", "ts", "seq", "fx"), Seq("ccy"))
+    // trades name a ccy per event; takef samples that ccy's fixing as-of
+    val trades = graft.core.EStream(Seq(
+      (5L, 0L, "GBP", 100.0), (12L, 1L, "GBP", 200.0), (6L, 2L, "JPY", 50.0))
+      .toDF("ts", "seq", "ccy", "amt"))
+    val got = trades.takef(col("ccy"), fixings, Seq("fx" -> col("fx")))
+      .df.orderBy("seq").select("fx").as[Double].collect().toSeq
+    got shouldBe Seq(1.25, 1.30, 0.007)
+  }
+
   test("groupByNested: two-level keys slice independently (VectTerm.groupby)") {
     val rows = Seq(("a", 0L, 0L, 1), ("b", 1L, 1L, 2), ("a", 2L, 2L, 3), ("b", 3L, 3L, 4))
       .toDF("k", "ts", "seq", "v")
