@@ -684,10 +684,16 @@ object CoreQueries {
     // ---- §2.2 GENERAL mapVector: arbitrary whole-vector snapshot fn ----
     // Per event, demean the firing value against the mean of EVERY key's
     // latest value — through the general snapshot operator (array of all
-    // keys' values), not the associative delta shortcut. Determinism: the
-    // snapshot mean is an exact decimal sum over the array (order-free)
-    // and ONE double division; the oracle computes the identical operands
-    // via the delta-window technique.
+    // keys' values), not the associative delta shortcut. The vector is a
+    // BOUNDED sub-universe (user_id < 32): that is the reference's
+    // mapVector shape — one live cell per key of a fixed instrument
+    // universe (VectTerm.scala:145-176) — and it keeps the snapshot
+    // fan-out at K·n rows with K fixed as n scales. Cross-sectional
+    // stats over UNBOUNDED key domains use the O(n) delta operators
+    // (ev_vector_sum / ev_vector_size) instead.
+    // Determinism: the snapshot mean is an exact decimal sum over the
+    // array (order-free) and ONE double division; the oracle computes
+    // identical operands via the delta-window technique.
     QueryDef(
       "ev_mapvector_demean",
       (s, dir) => {
@@ -695,6 +701,7 @@ object CoreQueries {
           col("snap"), lit(0).cast("decimal(38,6)"),
           (acc, e) => acc + e.getField("v").cast("decimal(38,6)"))
         evKeyed(s, dir)
+          .subset(col("user_id") < 32)
           .mapVector(col("value"), "snap")
           .select(col("seq").as("event_id"),
             (col("value") - snapSum.cast("double") / size(col("snap")))
@@ -709,7 +716,7 @@ object CoreQueries {
                            lag(value::decimal(38,6)) OVER pk AS pv,
                            CASE WHEN row_number() OVER pk = 1
                                 THEN 1 ELSE 0 END AS first_seen
-                         FROM events
+                         FROM events WHERE user_id < 32
                          WINDOW pk AS (PARTITION BY user_id
                                        ORDER BY epoch_us(ts), event_id))
                    WINDOW cum AS (ORDER BY epoch_us(ts), event_id

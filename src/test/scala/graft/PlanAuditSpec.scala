@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make the catalog
+  * scale-safe, asserted on the actual executed plans at sf0.001 —
+  * predicate pushdown + column pruning reaching the parquet scan,
+  * broadcast joins for the tiny dimensions, whole-stage codegen around
+  * the hot expressions. A change that silently un-pushes a filter or
+  * de-broadcasts a dim turns these red long before a bench regression
+  * is visible.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE's final plan is in place
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6_forecast: filters push down and the scan prunes to 3 columns") {
+    val plan = finalPlan("q6_forecast")
+    withClue(plan) {
+      // (toString truncates the filter list — assert on the visible head)
+      plan should include("PushedFilters: [IsNotNull(l_discount)")
+      plan should include("GreaterThanOrEqual(l_discount,0.05)")
+      // ReadSchema carries only the referenced columns — never the full row
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).get
+      read should include("l_extendedprice")
+      read should not include "l_shipdate"
+      read should not include "l_comment"
+    }
+  }
+
+  test("q5_nation_revenue: dimension joins broadcast, never shuffle") {
+    val plan = finalPlan("q5_nation_revenue")
+    withClue(plan) {
+      // nation + region explicitly broadcast
+      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+      // and the broadcast dims never appear behind a shuffle join
+      plan should not include "SortMergeJoin [n_nationkey"
+    }
+  }
+
+  test("doc text pipeline runs inside WholeStageCodegen (no UDF breaks)") {
+    val plan = finalPlan("doc_quality")
+    withClue(plan) {
+      // `*(n)` marks WholeStageCodegen spans in executedPlan.toString;
+      // the scan + row conversion stay inside codegen (higher-order
+      // lambda Projects are expression-eval by Spark design — still no
+      // interpreter/UDF boundary in the plan)
+      plan should include regex "\\*\\(\\d+\\)"
+      plan should not include "BatchEvalPython"
+      plan should not include "ScalaUDF"
+    }
+  }
+
+  test("ev_fold_all: distributed scan plan — range exchange, no global window") {
+    val df = SparkEntry.queries("ev_fold_all")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("rangepartitioning(ts")
+      plan should include regex "windowspecdefinition\\(__scan_pid"
+    }
+  }
+}
