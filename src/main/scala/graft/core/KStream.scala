@@ -149,6 +149,26 @@ final case class KStream(
     df.groupBy(keyCols: _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, e) => e.as(n) }: _*)
 
+  /** Gap-based sessionization (beyond reference; the classic event-
+    * analytics windowing scespet lacks): a new session opens when the
+    * inter-event gap within a key exceeds `maxGap` (same ts-unit as the
+    * stream). Adds a per-key dense session id; all grouped operators then
+    * work on (keys :+ sessionId). Streaming twin: Spark's built-in
+    * `session_window()` + watermark. The session id JOINS the key set, so
+    * reduceAll/scanAll aggregate per (key, session).
+    */
+  def sessionize(maxGap: Long, as: String = "session_id"): KStream = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+    val cum = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val opened = df.withColumn("__new",
+      when(lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol) - lag(col(tsCol), 1).over(w) > maxGap, 1L).otherwise(0L))
+    KStream(
+      opened.withColumn(as, sum(col("__new")).over(cum)).drop("__new"),
+      keys :+ as, tsCol, seqCol)
+  }
+
   def group(slice: Slice): GroupedKStream = GroupedKStream(this, slice)
   def window(gate: Column): WindowedKStream = WindowedKStream(this, gate)
 

@@ -625,6 +625,32 @@ object CoreQueries {
                      THEN 1 ELSE 0 END AS first_seen FROM events)
              ORDER BY event_id""")),
 
+    // ---- gap-based sessionization (KStream.sessionize) -----------------
+    // One-hour inactivity gap per user; per-session count, duration and
+    // exact spend. The canonical clickstream windowing, distributed by
+    // key (one shuffle + sort), streaming twin = built-in session_window.
+    QueryDef(
+      "ev_sessions_gap",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .sessionize(3600L * 1000 * 1000)
+          .reduceAll(
+            "n" -> count(lit(1)),
+            "dur_us" -> (max(col("ts")) - min(col("ts"))),
+            "sum_value" -> Q.dsumD(col("value")))
+          .orderBy("user_id", "session_id"),
+      Some("""SELECT user_id, session_id, count(*) AS n,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us,
+             sum(value::decimal(38,6))::double AS sum_value
+             FROM (SELECT *, (sum(CASE WHEN pv IS NULL
+                       OR epoch_us(ts) - pv > 3600000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS session_id
+                   FROM (SELECT *, lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+                         FROM events))
+             GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
     // ---- slice-emission contracts under the driver gate ---------------
     // Trailing PARTIAL bucket at termination (SliceAfterBucket.scala:
     // 161-166): the last count-slice window per key emits even though it

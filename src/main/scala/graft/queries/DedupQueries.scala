@@ -269,46 +269,58 @@ object DedupQueries {
     // 60-bit signatures via 4 bands x 15 bits (Manku et al. rotation
     // trick, SIGIR'07 — public): any pair within distance 3 agrees
     // EXACTLY on >= 1 band (pigeonhole), so candidates = band-bucket
-    // join (2^15 buckets per band, bounded fan-out) and the verify is a
-    // popcount on the survivors — never all-pairs.
+    // join, verified by a popcount — never all-pairs. Banding runs over
+    // DISTINCT SIGNATURES with a min-doc representative: a planted
+    // duplicate cluster (the sf0.1 corpus has a 251-doc group with ONE
+    // signature) would otherwise make both the candidate set and the
+    // output quadratic in the cluster size. Identical-signature members
+    // are exact-dup territory (dedup_exact_pairs); this emits the
+    // near-dup SIGNATURE graph.
     QueryDef(
       "dedup_simhash_pairs",
       (s, dir) => {
-        val sigs = simhashSigs(s, dir).persist()
-        val banded = sigs.select(
-          col("doc_id"),
+        val g = simhashSigs(s, dir)
+          .groupBy("simhash").agg(min(col("doc_id")).as("rep"))
+          .persist() // banding + both rep joins consume it
+        val banded = g.select(
+          col("simhash"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),
               shiftright(col("simhash"), 15 * b).bitwiseAND(0x7FFFL).as("bh"))
           }: _*)).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+          .select(col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+              col("a.simhash") < col("b.simhash"))
+          .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
           .distinct()
         cand
-          .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sa")), "id_a")
-          .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sb")), "id_b")
+          // popcount BEFORE the rep joins: survivors only carry two longs
           .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))))
           .filter(col("hd") <= 3)
-          .select("id_a", "id_b", "hd")
+          .join(g.select(col("simhash").as("sa"), col("rep").as("ra")), "sa")
+          .join(g.select(col("simhash").as("sb"), col("rep").as("rb")), "sb")
+          .select(least(col("ra"), col("rb")).as("id_a"),
+            greatest(col("ra"), col("rb")).as("id_b"), col("hd"))
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH sigs AS ($simhashSigsSql),
+             g AS (SELECT simhash, min(doc_id) AS rep FROM sigs GROUP BY simhash),
              banded AS (
-               SELECT doc_id, b AS band, (simhash >> (15 * b)) & 32767 AS bh
-               FROM sigs, (VALUES (0), (1), (2), (3)) t(b)),
+               SELECT simhash, b AS band, (simhash >> (15 * b)) & 32767 AS bh
+               FROM g, (VALUES (0), (1), (2), (3)) t(b)),
              cand AS (
-               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
                FROM banded a JOIN banded b
-                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-             SELECT id_a, id_b,
-               bit_count(xor(sa.simhash, sb.simhash)) AS hd
-             FROM cand JOIN sigs sa ON sa.doc_id = id_a
-                       JOIN sigs sb ON sb.doc_id = id_b
-             WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+                 ON a.band = b.band AND a.bh = b.bh AND a.simhash < b.simhash),
+             hdp AS (
+               SELECT sa, sb, bit_count(xor(sa, sb)) AS hd
+               FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+             SELECT least(ga.rep, gb.rep) AS id_a,
+                    greatest(ga.rep, gb.rep) AS id_b, hd
+             FROM hdp JOIN g ga ON ga.simhash = sa
+                      JOIN g gb ON gb.simhash = sb
              ORDER BY id_a, id_b""")),
 
     // Exact n-gram Jaccard via inverted shingle index, document-frequency

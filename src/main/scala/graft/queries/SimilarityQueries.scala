@@ -301,6 +301,54 @@ object SimilarityQueries {
              ORDER BY id_a, id_b"""
       }),
 
+    // One k-means Lloyd iteration (the building block of a real IVF
+    // coarse quantizer): assign every vector to its nearest centroid by
+    // cosine (K tiny broadcast cosines per row — pure map), then
+    // recompute centroids as dimension-wise means. Output is relational
+    // (cell, dim, mean) — posexplode narrows to (cell, dim, x) rows that
+    // partial-aggregate map-side, so the shuffle carries K x 64 cells,
+    // not vectors. Exact decimal sums + one double division per cell-dim
+    // keep both engines bit-identical.
+    QueryDef(
+      "emb_kmeans_step",
+      (s, dir) => {
+        val K = 8
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val assigned = e.join(broadcast(cents), lit(true))
+          .withColumn("ccos",
+            dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+          .filter(col("rk") === 1)
+          .select(col("v"), col("c_id").as("cell"))
+        // determinism: decimal-casting ARBITRARY doubles rounds the 13th
+        // digit with engine-specific modes — floor-quantize to 1e-9
+        // instead (floor is mode-free), sum exact longs, ONE division
+        assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("mean_val"))
+          .orderBy("cell", "dim")
+      },
+      Some(s"""WITH $embSql,
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             assigned AS (
+               SELECT vec_id, v, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, cents.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) DESC, c_id) AS rk
+                 FROM emb, cents)
+               WHERE rk = 1)
+             SELECT cell, i AS dim,
+               sum(floor(v[i] * 1000000000)::bigint)::double /
+               (count(*) * 1000000000)::double AS mean_val
+             FROM assigned, range(1, 65) t(i)
+             GROUP BY cell, i ORDER BY cell, dim""")),
+
     // Per-label corpus stats: count + mean vector norm (decimal-exact sum
     // of identically-computed doubles → deterministic mean).
     QueryDef(
