@@ -444,6 +444,53 @@ object CoreQueries {
                GROUP BY user_id, window_id)
              WHERE n_trig > 0 ORDER BY user_id, window_id""")),
 
+    // ---- boolean-gated windows on a LIVE stream under the gate: the
+    // flatMapGroupsWithState session operator (open on false→true edge,
+    // close-excludes-its-event precedence). A live stream emits only
+    // CLOSED sessions; since session_id increments only at open edges,
+    // a session is closed iff some gate=false row carries its id — the
+    // oracle keeps exactly those.
+    QueryDef(
+      "stream_gated_windows",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id").cast("string").as("k"),
+            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            col("value").as("v"), (col("value") >= 50).as("gate"))
+          .as[graft.streaming.GatedEvent]
+        val name = "stream_gw_" + System.nanoTime()
+        val sq = graft.streaming.GatedWindows(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"),
+            col("windowId").as("session_id"), col("n"),
+            col("sum").cast("decimal(38,6)").cast("double").as("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH base AS (
+               SELECT *, sum(CASE WHEN g AND NOT coalesce(pg, false) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS session_id
+               FROM (SELECT *, value >= 50 AS g,
+                       lag(value >= 50) OVER (
+                         PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pg
+                     FROM events)),
+             agg AS (
+               SELECT user_id, session_id, count(*) AS n,
+                 sum(value::decimal(38,6))::double AS sum_value
+               FROM base WHERE g GROUP BY user_id, session_id),
+             closed AS (
+               SELECT DISTINCT user_id, session_id FROM base
+               WHERE NOT g AND session_id > 0)
+             SELECT user_id, session_id, n, sum_value
+             FROM agg JOIN closed USING (user_id, session_id)
+             ORDER BY user_id, session_id""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.
@@ -624,6 +671,28 @@ object CoreQueries {
                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1
                      THEN 1 ELSE 0 END AS first_seen FROM events)
              ORDER BY event_id""")),
+
+    // ---- exact order statistics (beyond reference) ---------------------
+    // Exact p50/p90 per event type: Spark's percentile and DuckDB's
+    // quantile_cont share the linear-interpolation definition
+    // ((1−g)·a[k] + g·a[k+1] on the sorted values), so the doubles are
+    // bit-comparable. Exact percentile sorts within each (small) group —
+    // for corpus-scale distributions switch to approx_percentile.
+    QueryDef(
+      "ev_percentiles",
+      (s, dir) =>
+        Q.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90,
+             count(*) AS n
+             FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- gap-based sessionization (KStream.sessionize) -----------------
     // One-hour inactivity gap per user; per-session count, duration and

@@ -51,6 +51,29 @@ class MapVectorSpec extends SparkSpec {
     first shouldBe (20 to 25).map(_.toDouble)
   }
 
+  test("sessionize matches Spark's built-in session_window aggregation") {
+    // three keys, gaps around the 1000-unit threshold
+    val rows = Seq(
+      ("a", 0L), ("a", 500L), ("a", 900L), ("a", 2500L), ("a", 2600L),
+      ("b", 100L), ("b", 1500L), ("b", 1600L), ("c", 50L))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, 1.0) }
+      .toDF("k", "ts", "seq", "v")
+    val mine = KStream(rows, Seq("k"))
+      .sessionize(1000L)
+      .reduceAll("n" -> functions.count(lit(1)),
+        "start" -> functions.min(col("ts")))
+      .select("k", "start", "n")
+      .as[(String, Long, Long)].collect().toSet
+    val builtin = rows
+      .groupBy(col("k"),
+        functions.session_window(functions.timestamp_micros(col("ts")), "0.001 seconds"))
+      .agg(functions.count(lit(1)).as("n"))
+      .select(col("k"),
+        functions.unix_micros(col("session_window.start")).as("start"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    mine shouldBe builtin
+  }
+
   test("cross-sectional demean: snapshot holds every key's LATEST value, " +
     "firing event included (VectTerm.scala:145-176 rendezvous)") {
     val ks = KStream(multi, Seq("k"))
