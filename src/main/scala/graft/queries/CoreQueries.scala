@@ -491,6 +491,89 @@ object CoreQueries {
              FROM agg JOIN closed USING (user_id, session_id)
              ORDER BY user_id, session_id""")),
 
+    // ---- streaming either-fires zip join under the gate: per-key state
+    // holds each side's latest value; one emission per (key, ts) cycle
+    // (rendezvous). Same oracle as the batch twin ev_join_zip.
+    QueryDef(
+      "stream_zip_join",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id").cast("string").as("k"),
+            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+            col("value").as("v"))
+          .as[graft.streaming.ZipEvent]
+        val name = "stream_zj_" + System.nanoTime()
+        val sq = graft.streaming.ZipJoin(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"), col("ts"),
+            col("left").as("p_val"), col("right").as("c_val"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH u AS (
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 1 AS side,
+                      value AS p_val, NULL::double AS c_val
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 0 AS side,
+                      NULL, value FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(p_val IGNORE NULLS) OVER w AS p_c,
+                 last_value(c_val IGNORE NULLS) OVER w AS c_c
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT user_id, ts, p_c AS p_val, c_c AS c_val
+             FROM c
+             QUALIFY row_number() OVER (
+               PARTITION BY user_id, ts ORDER BY side DESC, event_id DESC) = 1
+             ORDER BY user_id, ts""")),
+
+    // ---- per-event EWMA on a live stream via transformWithState
+    // (Spark 4 arbitrary-state API, RocksDB provider) under the gate:
+    // the last emission per key equals the terminal EWMA — the same
+    // list_reduce oracle as the batch ev_ewma.
+    QueryDef(
+      "stream_ewma",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val schema = s.read.parquet(s"$dir/events.parquet").schema
+          val src = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .select(col("user_id").cast("string").as("k"),
+              expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+              col("value").as("v"))
+            .as[graft.streaming.KeyedEvent]
+          val name = "stream_ew_" + System.nanoTime()
+          val sq = graft.streaming.EwmaScan(src, 0.25)
+            .writeStream.queryName(name).format("memory").outputMode("append").start()
+          try sq.processAllAvailable() finally sq.stop()
+          s.table(name)
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("k").orderBy(col("ts").desc, col("seq").desc)))
+            .filter(col("rk") === 1)
+            .select(col("k").cast("long").as("user_id"), col("ewma"))
+            .orderBy("user_id")
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""SELECT user_id,
+             list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+                         (acc, x) -> 0.25*x + 0.75*acc) AS ewma
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
     //   .reset(1.day).last() — tagged union + one grouped aggregation.

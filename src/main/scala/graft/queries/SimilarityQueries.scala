@@ -358,12 +358,16 @@ object SimilarityQueries {
           .groupBy("label")
           .agg(
             count(lit(1)).as("n"),
-            (sum(sqrt(col("n2")).cast("decimal(38,12)")).cast("double") /
-              count(lit(1))).as("mean_norm"))
+            // floor-quantized exact mean: decimal-casting an ARBITRARY
+            // double (sqrt) rounds its 13th digit with engine-specific
+            // modes; floor(x·1e9) is mode-free in both engines
+            (sum(floor(sqrt(col("n2")) * 1000000000L)).cast("double") /
+              (count(lit(1)) * 1000000000L).cast("double")).as("mean_norm"))
           .orderBy("label"),
       Some(s"""WITH $embSql
              SELECT label, count(*) AS n,
-               sum(sqrt(n2)::decimal(38,12))::double / count(*) AS mean_norm
+               sum(floor(sqrt(n2) * 1000000000)::bigint)::double /
+               (count(*) * 1000000000)::double AS mean_norm
              FROM emb GROUP BY label ORDER BY label"""))
   )
 }
