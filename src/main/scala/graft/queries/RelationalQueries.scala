@@ -194,6 +194,35 @@ object RelationalQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS run_spend
              FROM orders ORDER BY o_custkey, o_orderkey""")),
 
+    // Interval (range) join, the scale-correct way: each lineitem is
+    // "active" for a bounded span ([shipdate, shipdate + linenumber
+    // days]); per-day activity = EXPAND the bounded interval into its
+    // covered days (explode(sequence) — cost Σ span, narrow rows,
+    // map-side partial agg) instead of a day-grid × fact theta-join
+    // (cost n×m, no hash key). The standard plan for stabbing queries
+    // over bounded intervals at any scale.
+    QueryDef(
+      "li_interval_days",
+      (s, dir) =>
+        li(s, dir)
+          .select(
+            explode(sequence(lit(0), col("l_linenumber"))).as("off"),
+            col("l_shipdate"), col("l_quantity"))
+          .select(
+            (datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+              + col("off")).as("day_num"),
+            col("l_quantity"))
+          .groupBy("day_num")
+          .agg(count(lit(1)).as("n_active"), Q.dsumD(col("l_quantity")).as("sum_qty"))
+          .orderBy("day_num"),
+      Some("""SELECT (l_shipdate::date - DATE '1970-01-01') + i AS day_num,
+             count(*) AS n_active,
+             sum(l_quantity::decimal(38,6))::double AS sum_qty
+             FROM (SELECT l_shipdate, l_quantity,
+                     unnest(generate_series(0, l_linenumber)) AS i
+                   FROM lineitem)
+             GROUP BY 1 ORDER BY day_num""")),
+
     // Semi/anti flavors (scespet nearest analog: subset / mapKeys→None,
     // SURVEY §2.4 note): customers WITH orders vs WITHOUT any order.
     QueryDef(
