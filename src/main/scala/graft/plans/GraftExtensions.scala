@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 1, "fnv64 takes exactly one argument")
           Fnv64(children.head)
         }))
+    ext.injectFunction(
+      (new FunctionIdentifier("dotd"),
+        new ExpressionInfo(classOf[DotD].getName, "dotd"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "dotd takes exactly two arguments")
+          DotD(children.head, children(1))
+        }))
   }
 }

@@ -22,13 +22,18 @@ object SimilarityQueries {
   private val DIM = 64
   private val PLANES = 8
 
-  /** Embeddings with double-cast vector + squared norm. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** Embeddings with double-cast vector + squared norm. Registers the
+    * native [[graft.plans.DotD]] codegen dot product (every similarity
+    * query builds its frame through here, so `dot` below can rely on it).
+    * n2 = dotd(v, v): identical sequential fold to the lambda form.
+    */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DotD.register(s)
     Q.embeddings(s, dir).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("n2", aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      .withColumn("n2", call_function("dotd", col("v"), col("v")))
+  }
 
   private val embSql: String =
     """emb AS (
@@ -39,9 +44,11 @@ object SimilarityQueries {
                x -> x * x)), (a, x) -> a + x) AS n2
          FROM embeddings)"""
 
-  /** Left-to-right dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right dot product of two double arrays — the native codegen
+    * expression (same accumulation order as the higher-order-lambda form
+    * and the oracle's list_reduce; ~10× cheaper per row).
+    */
+  private def dot(a: Column, b: Column): Column = call_function("dotd", a, b)
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::double,
@@ -76,8 +83,7 @@ object SimilarityQueries {
   private def bandSig(b: Int): Column =
     (0 until RB).map { j =>
       val plane = typedLit((1 to DIM).map(jj => planeC(b * RB + j, jj)))
-      val d = aggregate(
-        zip_with(col("v"), plane, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+      val d = call_function("dotd", col("v"), plane)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -93,8 +99,7 @@ object SimilarityQueries {
   private def bucket: Column =
     (0 until PLANES).map { p =>
       val plane = typedLit((1 to DIM).map(j => planeC(p, j)))
-      val d = aggregate(
-        zip_with(col("v"), plane, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+      val d = call_function("dotd", col("v"), plane)
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
