@@ -755,6 +755,86 @@ object CoreQueries {
                      THEN 1 ELSE 0 END AS first_seen FROM events)
              ORDER BY event_id""")),
 
+    // ---- skew-safe aggregation UNDER THE GATE (operators.Skew) ---------
+    // event_type has 5 values over the whole table — the textbook mega-key
+    // shape. Two-phase salted aggregation spreads each hot key over 8
+    // reducers, then merges partials; the oracle is the plain GROUP BY
+    // (identical values — decimal partial sums merge exactly).
+    QueryDef(
+      "ev_salted_type_agg",
+      (s, dir) =>
+        graft.operators.Skew.saltedAgg(
+          Q.events(s, dir), Seq("event_type"), salt = 8,
+          partials = Seq(
+            "n" -> count(lit(1)),
+            "sum_value" -> Q.dsum(col("value")),
+            "max_value" -> max(col("value"))),
+          merges = Seq(
+            "n" -> sum(col("n")),
+            "sum_value" -> sum(col("sum_value")).cast("double"),
+            "max_value" -> max(col("max_value"))))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             sum(value::decimal(38,6))::double AS sum_value,
+             max(value) AS max_value
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- streaming stream-static join: the live stream enriches against
+    // a broadcastable static dimension (the standard streaming-ETL shape;
+    // no state store — the dim is just a batch frame in the plan).
+    QueryDef(
+      "stream_static_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        // static dim: per-user tier derived once, batch-side
+        val tiers = s.read.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id")).distinct()
+          .select(col("user_id"), pmod(col("user_id"), lit(3)).as("tier"))
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val joined = src.join(broadcast(tiers), "user_id")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
+        val name = "stream_sj_" + System.nanoTime()
+        val sq = joined.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("tier")
+      },
+      Some("""SELECT user_id % 3 AS tier, count(*) AS n,
+             sum(value::decimal(38,6))::double AS sum_value
+             FROM events GROUP BY 1 ORDER BY tier""")),
+
+    // ---- streaming exact dedup: dropDuplicates on a live stream is the
+    // stateful dedup operator every ingest pipeline runs (state = seen
+    // keys). Events duplicated at the source (same event_id) collapse.
+    QueryDef(
+      "stream_dedup_exact",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // duplicate the source (union with itself) then stateful-dedup
+        val doubled = src.union(src)
+        val deduped = doubled.dropDuplicates("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        val name = "stream_dd_" + System.nanoTime()
+        val sq = deduped.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- exact order statistics (beyond reference) ---------------------
     // Exact p50/p90 per event type: Spark's percentile and DuckDB's
     // quantile_cont share the linear-interpolation definition
