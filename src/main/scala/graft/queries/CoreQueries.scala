@@ -755,6 +755,46 @@ object CoreQueries {
                      THEN 1 ELSE 0 END AS first_seen FROM events)
              ORDER BY event_id""")),
 
+    // ---- native session_window on the LIVE stream: Spark's built-in
+    // gap-session operator (the streaming twin of KStream.sessionize,
+    // merge-on-overlap state). Complete mode emits every session; the
+    // oracle rebuilds gap-chains with Spark's merge rule (same session
+    // while gap < G).
+    QueryDef(
+      "stream_session_window",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        val agg = src
+          .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
+        val name = "stream_sw_" + System.nanoTime()
+        val sq = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("wstart"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "wstart")
+      },
+      Some("""SELECT user_id, min(t) AS wstart, count(*) AS n,
+             sum(value::decimal(38,6))::double AS sum_value
+             FROM (SELECT user_id, value, epoch_us(ts) AS t,
+                     sum(CASE WHEN pv IS NULL
+                         OR epoch_us(ts) - pv >= 3600000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                   FROM (SELECT *, lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+                         FROM events))
+             GROUP BY user_id, sid ORDER BY user_id, wstart""")),
+
     // ---- skew-safe aggregation UNDER THE GATE (operators.Skew) ---------
     // event_type has 5 values over the whole table — the textbook mega-key
     // shape. Two-phase salted aggregation spreads each hot key over 8
