@@ -17,6 +17,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = Seq.newBuilder[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,9 +27,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += s"$name\t${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
       finally spark.catalog.clearCache() // drop query-internal persists
     }
+    // a query that dies must be VISIBLE in the artifact dir, not only in
+    // scrollback — missing-output vs failed-output is a real distinction
+    val fl = failures.result()
+    if (fl.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/FAILURES.txt"), fl.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -875,6 +875,45 @@ object CoreQueries {
       Some("""SELECT event_type, count(*) AS n
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- general mapVector #2: NON-associative whole-vector fn ---------
+    // Cross-sectional competition rank: at each event, 1 + how many keys'
+    // latest values are strictly below the firing value (the reference's
+    // "rank across keys" multi-stream trick — no delta shortcut exists
+    // for rank, so this pins the general snapshot path with a function
+    // the O(n) specializations cannot express). Comparisons only — no fp
+    // arithmetic to diverge.
+    QueryDef(
+      "ev_mapvector_rank",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .subset(col("user_id") < 32)
+          .mapVector(col("value"), "snap")
+          .select(col("seq").as("event_id"),
+            (lit(1) + size(filter(col("snap"), e => e.getField("v") < col("value"))))
+              .as("rnk"))
+          .orderBy("event_id"),
+      Some("""WITH ev AS (
+               SELECT event_id, user_id, value, epoch_us(ts) AS t
+               FROM events WHERE user_id < 32),
+             ks AS (SELECT DISTINCT user_id AS k FROM ev),
+             grid AS (
+               SELECT e.event_id AS gid, e.t, e.event_id AS eid, e.value AS fv,
+                      k.k, 1 AS side, NULL::double AS v
+               FROM ev e CROSS JOIN ks k),
+             src AS (
+               SELECT NULL AS gid, t, event_id AS eid, NULL AS fv,
+                      user_id AS k, 0 AS side, value AS v FROM ev),
+             u AS (SELECT * FROM grid UNION ALL SELECT * FROM src),
+             c AS (
+               SELECT *, last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY k ORDER BY t, side, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+               FROM u)
+             SELECT gid AS event_id,
+               1 + count(CASE WHEN lv < fv THEN 1 END) AS rnk
+             FROM c WHERE side = 1
+             GROUP BY gid ORDER BY event_id""")),
+
     // ---- exact order statistics (beyond reference) ---------------------
     // Exact p50/p90 per event type: Spark's percentile and DuckDB's
     // quantile_cont share the linear-interpolation definition
