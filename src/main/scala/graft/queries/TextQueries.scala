@@ -278,6 +278,53 @@ object TextQueries {
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
              ${Q.hash60Sql("substr(text, 1, 64)")} AS prefix_fp, source
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // Collocation mining: top bigrams by LIFT — the vocabulary-induction /
+    // tokenizer-merge primitive. Determinism without logs (libm log is
+    // not cross-engine bit-stable): lift = (c_ab·N) / (c_a·c_b), exact
+    // 64-bit integer products, ONE double division. Corpus-wide counts
+    // are two explode+groupBy passes (map-side combinable, narrow rows);
+    // the unigram join is a broadcast at any realistic vocab size.
+    QueryDef(
+      "doc_bigram_lift",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2).persist()
+        val uni = d.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val n = d.agg(Q.dsum(size(col("t")).cast("long")).cast("long").as("n_tok"))
+        val bi = d
+          .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+          .select(element_at(col("t"), col("i")).as("w1"),
+            element_at(col("t"), col("i") + 1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a")), "w1")
+          .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b")), "w2")
+          .crossJoin(broadcast(n))
+          .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+            col("c_ab"),
+            ((col("c_ab") * col("n_tok")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+             uni AS (SELECT unnest(t) AS w FROM d),
+             uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             n AS (SELECT sum(len(t))::bigint AS n_tok FROM d),
+             bp AS (SELECT t[i] AS w1, t[i+1] AS w2
+                    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM d)),
+             bc AS (SELECT w1, w2, count(*) AS c_ab FROM bp
+                    GROUP BY w1, w2 HAVING count(*) >= 5)
+             SELECT w1 || ' ' || w2 AS bigram, c_ab,
+               (c_ab * n_tok)::double / (ca.c * cb.c)::double AS lift
+             FROM bc JOIN uc ca ON ca.w = w1
+                     JOIN uc cb ON cb.w = w2
+                     CROSS JOIN n
+             ORDER BY lift DESC, bigram LIMIT 20"""))
   )
 }
