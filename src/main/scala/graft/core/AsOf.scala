@@ -73,6 +73,30 @@ object AsOf {
     carried.filter(col(Side) === 1).drop(Side).drop(jk: _*)
   }
 
+  /** [[take]] with a STALENESS BOUND (beyond reference; the shape real
+    * as-of engines ship): the carried right-side values null out when the
+    * latest right event is older than `tolerance` (same ts units). One
+    * extra carried column (the right event time) + a per-row comparison —
+    * cost identical to plain take.
+    */
+  def takeWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Seq[Column],
+      rightKey: Seq[Column],
+      rightVals: Seq[(String, Column)],
+      tolerance: Long,
+      tsCol: String = "ts",
+      seqCol: String = "seq"): DataFrame = {
+    val rts = "__rts"
+    val carried = take(left, right, leftKey, rightKey,
+      rightVals :+ (rts -> col(tsCol)), tsCol, seqCol)
+    rightVals.foldLeft(carried) { case (d, (n, _)) =>
+      d.withColumn(n,
+        when(col(rts).isNotNull && (col(tsCol) - col(rts)) <= tolerance, col(n)))
+    }.drop(rts)
+  }
+
   /** Either-fires zip (scespet `join`, MacroTerm.scala:190-204): emit the
     * pair of latest values whenever EITHER side fires; both sides firing in
     * one atomic cycle (same ts) coalesce into ONE emission carrying both

@@ -205,6 +205,19 @@ final case class KStream(
       AsOf.take(df, other.df, rightKeyOfLeft, other.keys.map(col), rightVals, tsCol, seqCol),
       keys, tsCol, seqCol)
 
+  /** Keyed as-of take with a staleness bound ([[AsOf.takeWithin]]):
+    * sampled values older than `tolerance` null out.
+    */
+  def takeWithin(
+      other: KStream,
+      rightKeyOfLeft: Seq[Column],
+      rightVals: Seq[(String, Column)],
+      tolerance: Long): KStream =
+    KStream(
+      AsOf.takeWithin(df, other.df, rightKeyOfLeft, other.keys.map(col),
+        rightVals, tolerance, tsCol, seqCol),
+      keys, tsCol, seqCol)
+
   /** Snapshot every key's value on each fire of `trigger`
     * (VectTerm.sample, :468-482).
     */

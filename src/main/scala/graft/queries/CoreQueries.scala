@@ -875,6 +875,64 @@ object CoreQueries {
       Some("""SELECT event_type, count(*) AS n
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- as-of take with a STALENESS BOUND (beyond reference): the
+    // sampled click nulls out when older than 1 h at the purchase time —
+    // the shape production as-of joins ship (kdb wj, QuestDB ASOF ...
+    // TOLERANCE). Cost identical to plain take: one extra carried column.
+    QueryDef(
+      "ev_asof_tolerance",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        val purchases = KStream(all.filter(col("event_type") === "purchase"), Seq("user_id"))
+        val clicks = KStream(all.filter(col("event_type") === "click"), Seq("user_id"))
+        purchases
+          .takeWithin(clicks, Seq(col("user_id")),
+            Seq("click_value" -> col("value")), 3600L * 1000 * 1000)
+          .df.select(col("seq").as("event_id"), col("user_id"),
+            col("value"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side,
+                      value, NULL::double AS cv FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side,
+                      NULL, value FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(cv IGNORE NULLS) OVER w AS click_value,
+                 last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+                   OVER w AS click_t
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT event_id, user_id, value,
+               CASE WHEN click_t IS NOT NULL AND t - click_t <= 3600000000
+                    THEN click_value END AS click_value
+             FROM c WHERE side = 1 ORDER BY event_id""")),
+
+    // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
+    // §2.1 row 10, golden-only in round 1): quantized noise makes the
+    // cumulative walk an exact bigint window sum, so the generated
+    // values — not just the generator's shape — hash-match DuckDB
+    // computing the identical md5-derived steps.
+    QueryDef(
+      "rw_walk",
+      (s, dir) =>
+        graft.sources.Sources
+          .randomWalkQ(s, Seq("AUD", "EUR", "GBP", "JPY"), 1000, 42)
+          .df.select(col("k"), col("seq").as("step"), col("walk_q"))
+          .orderBy("k", "step"),
+      Some("""SELECT k, step,
+             (sum(noise_q) OVER (PARTITION BY k ORDER BY step
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS walk_q
+             FROM (SELECT k, step,
+                     floor(((('0x' || substr(md5(42 || '|' || k || '|' || step), 1, 15))::bigint::double
+                       / 1.152921504606847e18) - 0.5) * 1e9)::bigint AS noise_q
+                   FROM (SELECT unnest(['AUD','EUR','GBP','JPY']) AS k)
+                   CROSS JOIN (SELECT unnest(generate_series(0, 999)) AS step))
+             ORDER BY k, step""")),
+
     // ---- general mapVector #2: NON-associative whole-vector fn ---------
     // Cross-sectional competition rank: at each event, 1 + how many keys'
     // latest values are strictly below the firing value (the reference's

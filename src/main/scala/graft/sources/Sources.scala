@@ -98,6 +98,36 @@ object Sources {
     KStream(frames.reduce(_.unionByName(_)), Seq(keyCol))
   }
 
+  /** Driver-gate twin of [[randomWalk]]: the per-step noise quantizes to
+    * integer nano-steps (`floor(noise·1e9)` — floor is rounding-mode-free
+    * in every engine), so the cumulative walk is an EXACT bigint window
+    * sum — bit-stable across engines AND partitionings, where a raw
+    * double cumsum is fold-order-sensitive. Same hash-derived noise
+    * (one md5 per (seed, key, step)), generated distributively.
+    */
+  def randomWalkQ(
+      spark: SparkSession,
+      keys: Seq[String],
+      n: Int,
+      seed: Long,
+      stepTs: Long = 1000000L): KStream = {
+    val keyDf = spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING).toDF("k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("step")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val steps = keyDf
+      .crossJoin(spark.range(n).select(col("id").as("step")))
+      .withColumn("ts", col("step") * stepTs)
+      .withColumn("seq", col("step"))
+      .withColumn("noise_q",
+        floor(((conv(substring(md5(concat_ws("|", lit(seed), col("k"), col("step"))), 1, 15), 16, 10)
+          .cast("long").cast("double") / 1.152921504606847e18) - 0.5) * 1e9))
+      .withColumn("walk_q", sum(col("noise_q")).over(w))
+      .select("k", "ts", "seq", "walk_q")
+    KStream(steps, Seq("k"))
+  }
+
   /** UNBOUNDED keyToStream — the lazyVect flavor (EnvTermBuilder.scala:
     * 73-98, VectTerm.scala:424-440): the key DOMAIN comes from DATA (e.g.
     * `KStream.toKeySet`, or any frame of discovered keys), not a driver-
