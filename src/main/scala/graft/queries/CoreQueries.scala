@@ -537,6 +537,56 @@ object CoreQueries {
                PARTITION BY user_id, ts ORDER BY side DESC, event_id DESC) = 1
              ORDER BY user_id, ts""")),
 
+    // ---- streaming left-fires take join: right events only update
+    // state; an emission happens per cycle containing a LEFT fire
+    // (purchase). Oracle = the zip oracle restricted to such cycles.
+    QueryDef(
+      "stream_take_join",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id").cast("string").as("k"),
+            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+            col("value").as("v"))
+          .as[graft.streaming.ZipEvent]
+        val name = "stream_tj_" + System.nanoTime()
+        val sq = graft.streaming.TakeJoin(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"), col("ts"),
+            col("left").as("p_val"), col("right").as("c_val"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH u AS (
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 1 AS side,
+                      value AS p_val, NULL::double AS c_val
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT user_id, epoch_us(ts) AS ts, event_id, 0 AS side,
+                      NULL, value FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(p_val IGNORE NULLS) OVER w AS p_c,
+                 last_value(c_val IGNORE NULLS) OVER w AS c_c
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             c2 AS (
+               SELECT *,
+                 max(side) OVER (PARTITION BY user_id, ts) AS has_left,
+                 row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY side DESC, event_id DESC) AS rn
+               FROM c)
+             SELECT user_id, ts, p_c AS p_val, c_c AS c_val
+             FROM c2 WHERE rn = 1 AND has_left = 1
+             ORDER BY user_id, ts""")),
+
     // ---- per-event EWMA on a live stream via transformWithState
     // (Spark 4 arbitrary-state API, RocksDB provider) under the gate:
     // the last emission per key equals the terminal EWMA — the same
@@ -573,6 +623,46 @@ object CoreQueries {
              list_reduce(list(value ORDER BY epoch_us(ts), event_id),
                          (acc, x) -> 0.25*x + 0.75*acc) AS ewma
              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- the multi-input bucket ON THE STREAMING PATH under the gate:
+    // scespet bucketStream.bind(purchases).bind(clicks).reset(1.day) as
+    // tag + union BEFORE the windowed stateful agg (the same shape as
+    // batch Buckets.taggedUnion) — same oracle as ev_bind_bucket.
+    QueryDef(
+      "stream_bind_bucket",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("event_type").as("tag"), col("value").as("v"))
+        val agg = graft.streaming.Streams.tumblingAgg(
+          src, Seq("user_id"), "1 day", "0 seconds",
+          "n_p" -> count(when(col("tag") === "purchase", 1)),
+          "sum_p" -> coalesce(Q.dsum(when(col("tag") === "purchase", col("v"))),
+            lit(0).cast("decimal(38,6)")).cast("double"),
+          "n_c" -> count(when(col("tag") === "click", 1)))
+        val name = "stream_bb_" + System.nanoTime()
+        val sq = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("user_id"),
+            expr("unix_micros(window.start) div 86400000000").as("window_id"),
+            col("n_p"), col("sum_p"), col("n_c"))
+          .orderBy("user_id", "window_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) // 86400000000 AS window_id,
+             count(CASE WHEN event_type='purchase' THEN 1 END) AS n_p,
+             coalesce(sum(CASE WHEN event_type='purchase'
+               THEN value::decimal(38,6) END), 0)::double AS sum_p,
+             count(CASE WHEN event_type='click' THEN 1 END) AS n_c
+             FROM events WHERE event_type IN ('purchase','click')
+             GROUP BY 1, 2 ORDER BY user_id, window_id""")),
 
     // ---- §2.5/§3.3 multi-input bound buckets --------------------------
     // bucketStream(stats).bind(purchases)(addP).bind(clicks)(addC)
