@@ -256,6 +256,92 @@ object SimilarityQueries {
                    FROM scored)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
 
+    // IVF with a TRAINED coarse quantizer: one Lloyd iteration refines
+    // the seed centroids (floor-quantized exact means — deterministic in
+    // both engines), then assignment and probing run against the trained
+    // cells. The full IVF build-index/assign/probe pipeline — seed
+    // assignment and refit are pure maps + one K×64-cell shuffle; the
+    // probe join keys on cell id exactly as knn_ivf.
+    QueryDef(
+      "knn_ivf_trained",
+      (s, dir) => {
+        val K = 8
+        val w = org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir).persist()
+        def assign(cents: DataFrame): DataFrame =
+          e.join(broadcast(cents), lit(true))
+            .withColumn("ccos",
+              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+            .withColumn("rk", row_number().over(
+              w.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+        val cents0 = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // one Lloyd step: quantized dimension-wise means per cell
+        val cents1 = assign(cents0)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .select(col("cell").as("c_id"), col("cv"),
+            call_function("dotd", col("cv"), col("cv")).as("cn2"))
+        val assigned = assign(cents1)
+        val q = assigned.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("cell").as("qcell"))
+        assigned.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             a0 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
+                 FROM emb, cents0 c)
+               WHERE rk = 1),
+             means AS (
+               SELECT cell, i AS dim,
+                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS m
+               FROM a0, range(1, 65) t(i)
+               GROUP BY cell, i),
+             cents1 AS (
+               SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+             cents1n AS (
+               SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
+             a1 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
+                 FROM emb, cents1n c)
+               WHERE rk = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell AS qcell
+                   FROM a1 WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q JOIN a1 ON cell = qcell AND vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
     // Embedding-cosine near-duplicate pairs, MinHash-LSH shaped: NB=4
     // banded 16-bit sign signatures generate candidates (narrow
     // (vec_id, band, bh) rows — 2^16 buckets per band bound fan-out at
