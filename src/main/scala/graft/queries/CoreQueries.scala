@@ -692,6 +692,33 @@ object CoreQueries {
              FROM events WHERE event_type IN ('purchase','click')
              GROUP BY 1, 2 ORDER BY user_id, window_id""")),
 
+    // ---- multi-input bucket CUMULATIVE emission (Buckets.all — the
+    // scespet `.all()` emit mode): per EVENT, the running per-tag count
+    // within the (user, day) bucket across the tagged union.
+    QueryDef(
+      "ev_bind_bucket_all",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        Buckets(Seq("user_id"))
+          .bind("p", all.filter(col("event_type") === "purchase"))(
+            "v" -> col("value"))
+          .bind("c", all.filter(col("event_type") === "click"))(
+            "v" -> col("value"))
+          .reset(Slice.Tumbling(86400L * 1000 * 1000))
+          .all("run_p", count(Buckets.fromTag("p", col("v"))))
+          .select(col("seq").as("event_id"), col("user_id"),
+            col(WindowKernel.WindowId), col("run_p"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             epoch_us(ts) // 86400000000 AS window_id,
+             count(CASE WHEN event_type='purchase' THEN 1 END) OVER (
+               PARTITION BY user_id, epoch_us(ts) // 86400000000
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_p
+             FROM events WHERE event_type IN ('purchase','click')
+             ORDER BY event_id""")),
+
     // ---- §2.5 order-dependent aggregations ----------------------------
     QueryDef(
       "ev_ewma",
