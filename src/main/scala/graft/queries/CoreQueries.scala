@@ -624,6 +624,46 @@ object CoreQueries {
                          (acc, x) -> 0.25*x + 0.75*acc) AS ewma
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- STREAM-STREAM time-bounded inner join: Spark's symmetric-hash
+    // streaming join with event-time range conditions and watermarks —
+    // each purchase pairs with every click of the same user in the
+    // preceding hour. State eviction follows from the time bound; the
+    // oracle is the identical relational range join.
+    QueryDef(
+      "stream_stream_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def side(tpe: String, pfx: String) =
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_uid"),
+              col("event_id").as(s"${pfx}_id"),
+              col("value").as(s"${pfx}_val"),
+              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+            .withWatermark(s"${pfx}_time", "0 seconds")
+        val joined = side("purchase", "p").join(side("click", "c"),
+          expr("""p_uid = c_uid AND
+                  c_time BETWEEN p_time - INTERVAL 1 HOUR AND p_time"""))
+        val name = "stream_ssj_" + System.nanoTime()
+        val sq = joined
+          .select(col("p_id"), col("c_id"), col("p_val"), col("c_val"))
+          .writeStream.queryName(name).format("memory").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             p.value AS p_val, c.value AS c_val
+             FROM (SELECT * FROM events WHERE event_type='purchase') p
+             JOIN (SELECT * FROM events WHERE event_type='click') c
+               ON p.user_id = c.user_id
+              AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                     AND epoch_us(p.ts)
+             ORDER BY p_id, c_id""")),
+
     // ---- the multi-input bucket ON THE STREAMING PATH under the gate:
     // scespet bucketStream.bind(purchases).bind(clicks).reset(1.day) as
     // tag + union BEFORE the windowed stateful agg (the same shape as
