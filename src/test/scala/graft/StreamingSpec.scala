@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("property: count slices across 3 micro-batches ≡ batch windows " +
+    "on seeded random streams (cross-batch state continuity)") {
+    val rnd = new scala.util.Random(99)
+    val events = (0 until 300).map { i =>
+      // int-valued doubles: sums are fp-exact regardless of fold order
+      KeyedEvent("k" + rnd.nextInt(5), rnd.nextInt(1000).toLong * 1000L + i,
+        i.toLong, rnd.nextInt(100).toDouble)
+    }
+    // the operator contract: per-key arrival order respects event order
+    // across batches — split the GLOBALLY SORTED stream into 3 chunks
+    val sorted = events.sortBy(e => (e.ts, e.seq))
+    val mem = MemoryStream[KeyedEvent](spark)
+    mem.addData(sorted.take(100): _*)
+    mem.addData(sorted.slice(100, 200): _*)
+    mem.addData(sorted.drop(200): _*)
+    runToCompletion(CountSlices(mem.toDS(), 7).writeStream.outputMode("append"),
+      "countslices_prop")
+    val streamed = spark.table("countslices_prop")
+      .orderBy("k", "windowId").as[CountBucket].collect().toSeq
+    val batch = KStream(events.toDF(), Seq("k"))
+      .group(Slice.Count(7))
+      .reduce("n" -> count(lit(1)), "sum" -> sum(col("v")),
+        "mn" -> min(col("v")), "mx" -> max(col("v")))
+      .filter(col("n") === 7)
+      .select(col("k"), col("window_id").as("windowId"), col("n"),
+        col("sum"), col("mn"), col("mx"))
+      .orderBy("k", "windowId").as[CountBucket].collect().toSeq
+    streamed shouldBe batch
+  }
+
   test("streaming count slices match batch Slice.Count buckets (closed windows)") {
     val events = (0 until 23).map { i =>
       KeyedEvent(if (i % 3 == 0) "x" else "y", i.toLong, i.toLong, (i % 7).toDouble)
