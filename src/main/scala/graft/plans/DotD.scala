@@ -26,6 +26,12 @@ case class DotD(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // null on null input, null element, or length mismatch — EXACTLY the
+  // null-poisoning of `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (zip_with
+  // pads the shorter side with null), so [[RewriteDotProduct]] is a pure
+  // plan substitution.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dotd"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -39,10 +45,15 @@ case class DotD(left: Expression, right: Expression) extends BinaryExpression {
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -52,12 +63,17 @@ case class DotD(left: Expression, right: Expression) extends BinaryExpression {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

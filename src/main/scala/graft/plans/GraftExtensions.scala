@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 2, "dotd takes exactly two arguments")
           DotD(children.head, children(1))
         }))
+    // auto-rewrite the portable higher-order dot-product fold into DotD
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

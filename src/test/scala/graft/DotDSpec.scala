@@ -27,6 +27,46 @@ class DotDSpec extends SparkSpec {
     n.collect().head.isNullAt(0) shouldBe true
   }
 
+  test("RewriteDotProduct: the portable fold optimizes into dotd " +
+    "(optimizer Rule via extensions)") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteDotProduct)
+    try {
+      val df = spark.range(50).select(
+        transform(sequence(lit(1), lit(16)),
+          i => sin(col("id") * i).cast("double")).as("a"),
+        transform(sequence(lit(1), lit(16)),
+          i => cos(col("id") + i).cast("double")).as("b"))
+        .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      withClue(optimized) {
+        optimized should include("dotd(")
+        optimized should not include "aggregate("
+      }
+      // and the rewritten plan computes the same values
+      DotD.register(spark)
+      val direct = spark.range(50).select(
+        transform(sequence(lit(1), lit(16)),
+          i => sin(col("id") * i).cast("double")).as("a"),
+        transform(sequence(lit(1), lit(16)),
+          i => cos(col("id") + i).cast("double")).as("b"))
+        .select(DotD.dotd(col("a"), col("b")).as("d"))
+      df.as[Double].collect().toSeq shouldBe direct.as[Double].collect().toSeq
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("dotd null-poisons exactly like the fold (length mismatch, null element)") {
+    DotD.register(spark)
+    val r = spark.sql(
+      """SELECT dotd(array(1.0d, 2.0d), array(3.0d)) AS len_mismatch,
+                dotd(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS null_elem,
+                dotd(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""").collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+    r.getDouble(2) shouldBe 11.0
+  }
+
   test("dotd participates in whole-stage codegen") {
     DotD.register(spark)
     val df = spark.range(10).select(
