@@ -807,6 +807,35 @@ object CoreQueries {
                      1704067200000000 + 7*86400000000 - 1, 86400000000)) AS ts) t
              ORDER BY t.ts""")),
 
+    // ---- keyed sample (VectTerm.sample): every key's latest value
+    // snapshotted on each tick of a trigger stream — the periodic
+    // portfolio-snapshot shape. Keys not yet seen at a tick are null.
+    QueryDef(
+      "ev_sample_keyed",
+      (s, dir) => {
+        val start = 1704067200000000L // 2024-01-01T00:00Z epoch-µs
+        val grid = graft.sources.Sources.timeGrid(
+          s, start, start + 7L * 86400000000L, 86400000000L)
+        evKeyed(s, dir)
+          .sample(grid, Seq("v" -> col("value")))
+          .select(col("user_id"), col("ts"), col("v"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH ks AS (SELECT DISTINCT user_id FROM events),
+             g AS (SELECT unnest(generate_series(1704067200000000,
+                     1704067200000000 + 7*86400000000 - 1, 86400000000)) AS ts),
+             grid AS (SELECT user_id, g.ts, 1 AS side,
+                        NULL::double AS v, 0 AS eid FROM ks CROSS JOIN g),
+             src AS (SELECT user_id, epoch_us(ts) AS ts, 0 AS side,
+                       value AS v, event_id AS eid FROM events),
+             u AS (SELECT * FROM grid UNION ALL SELECT * FROM src),
+             c AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, side, eid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+                   FROM u)
+             SELECT user_id, ts, lv AS v FROM c WHERE side = 1
+             ORDER BY user_id, ts""")),
+
     // ---- mode aggregation (scespet SpreadStats mode-of-spread,
     // RealTradeTests.scala:263-281): most frequent bucketed value per key.
     QueryDef(
