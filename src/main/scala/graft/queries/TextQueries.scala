@@ -280,6 +280,47 @@ object TextQueries {
              ${Q.hash60Sql("substr(text, 1, 64)")} AS prefix_fp, source
              FROM documents ORDER BY doc_id""")),
 
+    // Benchmark DECONTAMINATION: flag corpus documents sharing any 8-gram
+    // with a held-out benchmark set (here: every 20th doc plays the
+    // benchmark) — the standard eval-leakage sweep. The join is on 60-bit
+    // 8-gram hashes: the benchmark index is a distinct narrow hash set
+    // (broadcastable at realistic benchmark sizes), the corpus side
+    // explodes to (doc_id, hash) — never text-vs-text comparisons.
+    QueryDef(
+      "doc_decontaminate",
+      (s, dir) => {
+        def grams8(toks: Column): Column = array_distinct(
+          transform(
+            sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+            i => Q.hash60(concat_ws(" ",
+              (0 until 8).map(o => element_at(toks, i + o)): _*))))
+        val base = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), grams8(col("t")).as("hs"))
+        val bench = base.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        base.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(bench), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+             SELECT doc_id,
+               list_distinct([${Q.hash60Sql("array_to_string(t[i:i+7], ' ')")}
+                 for i in range(1, greatest(len(t) - 6, 1))]) AS hs
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 8),
+           bench AS (
+             SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % 20 = 0),
+           corp AS (
+             SELECT doc_id, unnest(hs) AS h FROM base WHERE doc_id % 20 <> 0)
+           SELECT doc_id, count(*) AS n_hits
+           FROM corp JOIN bench USING (h)
+           GROUP BY doc_id ORDER BY doc_id""")),
+
     // Collocation mining: top bigrams by LIFT — the vocabulary-induction /
     // tokenizer-merge primitive. Determinism without logs (libm log is
     // not cross-engine bit-stable): lift = (c_ab·N) / (c_a·c_b), exact
