@@ -294,10 +294,13 @@ object TextQueries {
             sequence(lit(1), greatest(size(toks) - 7, lit(0))),
             i => Q.hash60(concat_ws(" ",
               (0 until 8).map(o => element_at(toks, i + o)): _*))))
+        // persist: the hash pass feeds BOTH the benchmark index and the
+        // corpus side — without it the md5 sweep runs twice
         val base = docs(s, dir)
           .filter(size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"), grams8(col("t")).as("hs"))
+          .persist()
         val bench = base.filter(col("doc_id") % 20 === 0)
           .select(explode(col("hs")).as("h")).distinct()
         base.filter(col("doc_id") % 20 =!= 0)
