@@ -440,6 +440,38 @@ object SimilarityQueries {
              FROM assigned, range(1, 65) t(i)
              GROUP BY cell, i ORDER BY cell, dim""")),
 
+    // The SQL text surface for similarity: the same exact cosine top-5 as
+    // knn_brute, written as plain SQL over a registered view with the
+    // native `dotd` function — a reference user can run vector search
+    // from SQL, not only the DSL, and still get the codegen loop.
+    QueryDef(
+      "sql_cosine_topk",
+      (s, dir) => {
+        graft.plans.DotD.register(s)
+        emb(s, dir).createOrReplaceTempView("graft_emb")
+        s.sql(
+          """SELECT q_id, rk, vec_id, cos
+             FROM (SELECT q_id, vec_id, cos, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM (SELECT q.vec_id AS q_id, e.vec_id,
+                           dotd(q.v, e.v) / (sqrt(q.n2) * sqrt(e.n2)) AS cos
+                         FROM graft_emb e
+                         JOIN (SELECT * FROM graft_emb WHERE vec_id < 3) q
+                           ON e.vec_id <> q.vec_id))
+             WHERE rk <= 5 ORDER BY q_id, rk""")
+      },
+      Some(s"""WITH $embSql,
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q, emb WHERE vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
     // Per-label corpus stats: count + mean vector norm (decimal-exact sum
     // of identically-computed doubles → deterministic mean).
     QueryDef(
