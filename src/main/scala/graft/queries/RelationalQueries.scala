@@ -257,6 +257,31 @@ object RelationalQueries {
              sum(o_totalprice::decimal(38,6))::double AS total
              FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
 
+    // Cohort retention (beyond reference; the canonical product-analytics
+    // query): cohort = each customer's first-order month; cell (cohort,
+    // month) counts distinct customers still ordering. Two keyed shuffles
+    // (per-customer min, then the cohort join on custkey) + a distinct
+    // aggregate — all partial-aggregable, no driver state.
+    QueryDef(
+      "ord_cohort_retention",
+      (s, dir) => {
+        val o = ord(s, dir).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+        val cohort = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort"))
+        o.join(cohort, "o_custkey")
+          .groupBy("cohort", "ym")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("cohort", "ym")
+      },
+      Some("""WITH c AS (
+               SELECT o_custkey,
+                 min(year(o_orderdate)*100 + month(o_orderdate)) AS cohort
+               FROM orders GROUP BY o_custkey)
+             SELECT cohort, year(o_orderdate)*100 + month(o_orderdate) AS ym,
+               count(DISTINCT o.o_custkey) AS n_cust
+             FROM orders o JOIN c USING (o_custkey)
+             GROUP BY 1, 2 ORDER BY cohort, ym""")),
+
     // Q7-flavored: trade volume between customer-nation and supplier-nation
     // pairs — the same tiny dim broadcast twice under different roles.
     QueryDef(
