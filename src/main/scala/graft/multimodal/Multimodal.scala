@@ -7,10 +7,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   *
   * The Spark-side plumbing here is real and tested — schema, encoders,
   * partition-batched extraction (`mapPartitions`, the Scala analog of
-  * `mapInPandas` batch shape), frame sampling, feature vectors. The codec
-  * decode itself is STUBBED ([[Codecs.decodeImage]] is `???`): the
-  * image/audio libraries are not in this container. Swapping the stub for
-  * a real decoder (javax.imageio / ffmpeg bindings) changes no plumbing.
+  * `mapInPandas` batch shape), frame sampling, feature vectors. IMAGE
+  * decode is REAL ([[Codecs.decodeImage]] via `javax.imageio` — JDK
+  * stdlib, junk-tolerant); audio decode remains the one documented stub
+  * (no audio codec library in this container) — swapping it in changes
+  * no plumbing.
   *
   * Scale: blobs never leave their partition — extraction is a pure map
   * stage with no shuffle; feature outputs are small fixed-width vectors,
