@@ -7,11 +7,12 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   *
   * The Spark-side plumbing here is real and tested — schema, encoders,
   * partition-batched extraction (`mapPartitions`, the Scala analog of
-  * `mapInPandas` batch shape), frame sampling, feature vectors. IMAGE
-  * decode is REAL ([[Codecs.decodeImage]] via `javax.imageio` — JDK
-  * stdlib, junk-tolerant); audio decode remains the one documented stub
-  * (no audio codec library in this container) — swapping it in changes
-  * no plumbing.
+  * `mapInPandas` batch shape), frame sampling, feature vectors. BOTH
+  * codecs are REAL JDK-stdlib decoders: [[Codecs.decodeImage]] via
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) and [[Codecs.decodeAudio]] via
+  * `javax.sound.sampled` (WAV/AIFF/AU) — junk-tolerant (undecodable
+  * bytes drop, tasks never fail). Compressed-codec SPIs (MP3, video
+  * containers) would slot into the same seams with no plumbing change.
   *
   * Scale: blobs never leave their partition — extraction is a pure map
   * stage with no shuffle; feature outputs are small fixed-width vectors,
@@ -95,10 +96,7 @@ object Multimodal {
     }
 }
 
-/** Codec boundary. Image decode is REAL (javax.imageio is JDK stdlib —
-  * PNG/JPEG/GIF/BMP, no native deps); audio decode stays stubbed (no
-  * codec library in this container; javax.sound handles WAV only).
-  */
+/** Codec boundary — all real, all JDK stdlib, no native deps. */
 object Codecs {
 
   /** Decode an encoded image blob to (width, height, ARGB pixels) via
@@ -147,8 +145,45 @@ object Codecs {
     }
   }
 
-  /** Decode an audio blob to PCM samples. STUB — no audio codec library
-    * in this container; the Spark-side plumbing is [[Multimodal]]'s.
+  /** Decode an audio blob to 16-bit PCM samples via `javax.sound.sampled`
+    * (JDK stdlib — WAV/AIFF/AU containers; compressed codecs like MP3
+    * would need an SPI on the classpath). Junk-tolerant like
+    * [[decodeImage]]: undecodable bytes → None, not a task failure.
     */
-  def decodeAudio(blob: Array[Byte]): Array[Short] = ???
+  def decodeAudio(blob: Array[Byte]): Option[Array[Short]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(blob))
+      val f = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer().get(out)
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-blob decoded audio stats: sample count, sample rate, integer
+    * mean absolute amplitude — the audio twin of [[imageStats]], run
+    * partition-batched with blobs staying local.
+    */
+  final case class AudioStats(id: Long, nSamples: Long, meanAbs: Double)
+
+  def audioStats(rows: Dataset[Multimodal.MediaRow]): Dataset[AudioStats] = {
+    implicit val enc: Encoder[AudioStats] = Encoders.product[AudioStats]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudio(r.blob).map { s =>
+          var acc = 0L
+          var i = 0
+          while (i < s.length) { acc += math.abs(s(i).toLong); i += 1 }
+          AudioStats(r.id, s.length.toLong,
+            if (s.isEmpty) 0.0 else acc.toDouble / s.length)
+        }
+      }
+    }
+  }
 }

@@ -75,4 +75,38 @@ class MultimodalSpec extends SparkSpec {
     (px(0) & 0xffffff) shouldBe 0xffffff
     (px(7) & 0xffffff) shouldBe 0x000000
   }
+
+  /** Encode a real WAV in-memory (javax.sound round trip). */
+  private def wav(samples: Array[Short], rateHz: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer().put(samples)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rateHz, 16, 1, 2, rateHz, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("Codecs.decodeAudio: REAL WAV decode through the extraction " +
+    "pipeline (javax.sound, no stub)") {
+    import graft.multimodal.Codecs
+    // a 100-sample square wave at +/-1000
+    val samples = Array.tabulate[Short](100)(i => if (i % 2 == 0) 1000 else -1000)
+    val blob = wav(samples, 16000f)
+    val junk = "not audio".getBytes("UTF-8")
+    // direct decode round-trips the samples
+    val Some(decoded) = Codecs.decodeAudio(blob)
+    decoded.toSeq shouldBe samples.toSeq
+    // pipeline: junk drops, stats are exact
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, blob, MediaMeta("audio", 0, 0, 16000, 0)),
+      MediaRow(2L, junk, MediaMeta("audio", 0, 0, 0, 0))))
+    val stats = Codecs.audioStats(ds).collect().sortBy(_.id)
+    stats.map(_.id).toSeq shouldBe Seq(1L)
+    stats.head.nSamples shouldBe 100L
+    stats.head.meanAbs shouldBe 1000.0
+  }
 }
