@@ -386,6 +386,44 @@ object DedupQueries {
                         JOIN base sb ON sb.doc_id = id_b)
            SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
            FROM j WHERE inter::double / (na + nb - inter) >= 0.8
-           ORDER BY id_a, id_b"""))
+           ORDER BY id_a, id_b""")),
+
+    // INCREMENTAL (cross-shard) dedup — how a 100 TB corpus actually
+    // dedups: each new batch anti-joins its content hashes against the
+    // registry of everything already accepted, then dedups within itself.
+    // Here doc_id%3≠0 plays the registry and doc_id%3=0 the new batch.
+    // Scale shape: the registry is a NARROW distinct-hash table (8 bytes a
+    // row); the anti-join shuffles hashes only — and with the registry
+    // stored bucketed by hash, the daily batch join is exchange-free on
+    // the registry side.
+    QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        val withH = docs(s, dir)
+          .select(col("doc_id"), Q.hash60(col("text")).as("h"))
+        val registry = withH.filter(col("doc_id") % 3 =!= 0)
+          .select("h").distinct()
+        val fresh = withH.filter(col("doc_id") % 3 === 0)
+          .join(registry, Seq("h"), "left_anti")
+        fresh
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("h").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "h")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH withh AS (
+             SELECT doc_id, ${Q.hash60Sql("text")} AS h FROM documents),
+           registry AS (
+             SELECT DISTINCT h FROM withh WHERE doc_id % 3 <> 0),
+           fresh AS (
+             SELECT * FROM withh WHERE doc_id % 3 = 0
+               AND h NOT IN (SELECT h FROM registry))
+           SELECT doc_id, h FROM (
+             SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+             FROM fresh)
+           WHERE rn = 1 ORDER BY doc_id"""))
   )
 }

@@ -369,6 +369,141 @@ object TextQueries {
              FROM bc JOIN uc ca ON ca.w = w1
                      JOIN uc cb ON cb.w = w2
                      CROSS JOIN n
-             ORDER BY lift DESC, bigram LIMIT 20"""))
+             ORDER BY lift DESC, bigram LIMIT 20""")),
+
+    // Repetition signals (Gopher-style quality rules): duplicate-token
+    // fraction, most-common-token share, duplicate-3-gram fraction. All
+    // in-row higher-order array ops — a pure map over the corpus, no
+    // shuffle; each ratio is ONE double division of exact ints.
+    QueryDef(
+      "doc_repetition",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val g3 = transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))
+        val withG = base.select(col("doc_id"), col("t"), g3.as("g3"))
+        val n = size(col("t"))
+        withG.select(
+          col("doc_id"),
+          ((n - size(array_distinct(col("t")))).cast("double") / n)
+            .as("dup_tok_frac"),
+          (array_max(transform(array_distinct(col("t")),
+            u => size(filter(col("t"), x => x === u)))).cast("double") / n)
+            .as("top_tok_frac"),
+          ((size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
+            size(col("g3"))).as("dup_3gram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, string_split(text,' ') AS t FROM documents
+               WHERE len(string_split(text,' ')) >= 3),
+             g AS (SELECT doc_id, t,
+               [array_to_string(t[i:i+2], ' ')
+                 for i in range(1, len(t) - 1)] AS g3 FROM d)
+             SELECT doc_id,
+               (len(t) - len(list_distinct(t)))::double / len(t) AS dup_tok_frac,
+               list_max(list_transform(list_distinct(t),
+                 u -> len(list_filter(t, x -> x = u))))::double / len(t)
+                 AS top_tok_frac,
+               (len(g3) - len(list_distinct(g3)))::double / len(g3)
+                 AS dup_3gram_frac
+             FROM g ORDER BY doc_id""")),
+
+    // TF-IDF top terms per document. Determinism without libm logs: score
+    // is the exact integer (tf · N · 1e6) div df (all positive → identical
+    // truncation in both engines). df and N are corpus-wide narrow aggs —
+    // the vocabulary table broadcasts at any realistic size; tf is one
+    // explode + map-side-combinable groupBy.
+    QueryDef(
+      "doc_tfidf_top",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = d.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = d.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+        val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score_q").desc, col("w"))
+        tf.join(broadcast(df), "w")
+          .crossJoin(broadcast(nd))
+          .withColumn("score_q", expr("tf * n_docs * 1000000 div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("w").as("token"), col("tf"),
+            col("score_q"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             tf AS (SELECT doc_id, w, count(*) AS tf FROM d GROUP BY 1, 2),
+             df AS (SELECT w, count(*) AS df
+                    FROM (SELECT DISTINCT doc_id, w FROM d) GROUP BY w),
+             nd AS (SELECT count(*) AS n_docs FROM documents),
+             ranked AS (
+               SELECT doc_id, w, tf, (tf * n_docs * 1000000) // df AS score_q,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY (tf * n_docs * 1000000) // df DESC, w) AS rk
+               FROM tf JOIN df USING (w) CROSS JOIN nd)
+             SELECT doc_id, w AS token, tf, score_q, rk
+             FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // Stratified (per-language capped) sampling: deterministic hash order
+    // within each stratum, row_number cap — the balanced-mix primitive for
+    // domain/language reweighting. One shuffle on the stratum key; the
+    // per-stratum sort is the windowed top-k every engine does well.
+    QueryDef(
+      "doc_sample_stratified",
+      (s, dir) => {
+        val h = Q.hash60(concat(lit("strat|"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+        docs(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""SELECT doc_id, lang, rn FROM (
+               SELECT doc_id, lang, row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY ${Q.hash60Sql("'strat|' || doc_id")}, doc_id) AS rn
+               FROM documents)
+             WHERE rn <= 20 ORDER BY lang, rn""")),
+
+    // PII / denylist scrubbing: one combined alternation handles the
+    // email-shaped and phone-shaped patterns plus a denylist of sensitive
+    // terms ("customer"/"order" stand in on this synthetic corpus — the
+    // emails/phones the regex would catch in real data don't occur here).
+    // Pure per-row regex map, zero shuffle; both engines run the same
+    // RE2-safe pattern (no backrefs/lookaround).
+    QueryDef(
+      "doc_pii_redact",
+      (s, dir) => {
+        val pat = "\\b(customer|order)\\b" +
+          "|[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
+          "|\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+        val red = regexp_replace(col("text"), pat, "<PII>")
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          length(red).cast("long").as("n_chars_red"),
+          Q.hash60(red).as("red_fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pat = """\b(customer|order)\b""" +
+          """|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""" +
+          """|\+?[0-9][0-9()\- ]{6,}[0-9]"""
+        s"""SELECT doc_id,
+           len(regexp_extract_all(text, '$pat'))::bigint AS n_redacted,
+           length(regexp_replace(text, '$pat', '<PII>', 'g'))::bigint
+             AS n_chars_red,
+           ${Q.hash60Sql(s"regexp_replace(text, '$pat', '<PII>', 'g')")} AS red_fp
+           FROM documents ORDER BY doc_id"""
+      })
   )
 }
