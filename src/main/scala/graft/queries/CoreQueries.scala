@@ -1262,6 +1262,38 @@ object CoreQueries {
                    FROM events WHERE event_type = 'error' GROUP BY 1, 2)
              GROUP BY user_id ORDER BY user_id""")),
 
+    // LAYERED slicing (TradesExample.scala:51-58 testReduceEach): bucket
+    // emissions are themselves a stream, so they re-enter the window
+    // kernel — 10-event buckets per key, then pairs OF THE BUCKETS.
+    // Layer-1 window ids are dense per key, so they serve as the (ts, seq)
+    // of the emission stream. Decimal stays internal through BOTH layers;
+    // one double cast at the output boundary.
+    QueryDef(
+      "ev_slice_nested",
+      (s, dir) => {
+        val l1 = evKeyed(s, dir)
+          .group(Slice.Count(10))
+          .reduce("sum1" -> Q.dsum(col("value")))
+          .withColumnRenamed("window_id", "ts")
+          .withColumn("seq", col("ts"))
+        KStream(l1, Seq("user_id"))
+          .group(Slice.Count(2))
+          .reduce(
+            "sum_value" -> sum(col("sum1")).cast("double"),
+            "n_buckets" -> count(lit(1)))
+          .orderBy("user_id", "window_id")
+          .select("user_id", "window_id", "sum_value", "n_buckets")
+      },
+      Some("""WITH l1 AS (
+             SELECT user_id, w1, sum(value::decimal(38,6)) AS sum1
+             FROM (SELECT *, (row_number() OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                     AS w1 FROM events)
+             GROUP BY user_id, w1)
+           SELECT user_id, w1 // 2 AS window_id,
+             sum(sum1)::double AS sum_value, count(*) AS n_buckets
+           FROM l1 GROUP BY 1, 2 ORDER BY user_id, window_id""")),
+
     // ---- §2.2 GENERAL mapVector: arbitrary whole-vector snapshot fn ----
     // Per event, demean the firing value against the mean of EVERY key's
     // latest value — through the general snapshot operator (array of all
