@@ -389,6 +389,29 @@ object RelationalQueries {
              count(*) AS n_events
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Sketched distinct counting — the 100 TB path: HyperLogLog merges in
+    // one pass with KB-sized state where exact distinct shuffles every key.
+    // Each engine runs its OWN HLL (bitwise sketch parity across engines
+    // is impossible), so the verified contract is the published error
+    // bound: |approx − exact| / exact within 10% (Spark rsd=2%, DuckDB's
+    // HLL is sub-1% — both deterministic given the data). The exact count
+    // rides along so the driver pins the real value too.
+    QueryDef(
+      "ev_approx_distinct",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            (abs(approx_count_distinct(col("user_id"), 0.02) -
+              countDistinct(col("user_id"))).cast("double") /
+              countDistinct(col("user_id")) <= 0.1).as("approx_ok"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::double
+               / count(DISTINCT user_id) <= 0.1 AS approx_ok
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ROLLUP hierarchy totals (beyond reference; scespet keys are flat).
     QueryDef(
       "ord_rollup",
