@@ -350,12 +350,15 @@ object SimilarityQueries {
       "emb_neardup",
       (s, dir) => {
         val e = emb(s, dir).persist() // consumed by banding + both verify sides
+        // persist: the 64 per-row signature dot products feed BOTH sides
+        // of the band self-join — without it the codegen pass runs twice
         val banded = e.select(
           col("vec_id"),
           explode(array((0 until NB).map { b =>
             struct(lit(b).as("band"), bandSig(b).as("bh"))
           }: _*)).as("x"))
           .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+          .persist()
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
