@@ -1206,6 +1206,73 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // Funnel analysis (beyond reference — the standard ordered-sequence
+    // event metric): users who viewed, then clicked AFTER the first view,
+    // then purchased AFTER that click. Each stage is a keyed min-agg plus
+    // an equi-join on user_id — all three shuffles co-partition on the
+    // same key, so at scale the stages pipeline without re-exchange.
+    QueryDef(
+      "ev_funnel",
+      (s, dir) => {
+        val e = Q.events(s, dir).select("user_id", "ts", "event_type")
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val t2 = e.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        t1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+             t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                    FROM events e JOIN t1 USING (user_id)
+                    WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1
+                    GROUP BY 1),
+             t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                    FROM events e JOIN t2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2
+                    GROUP BY 1)
+           SELECT (SELECT count(*) FROM t1) AS n_view,
+                  (SELECT count(*) FROM t2) AS n_click_after,
+                  (SELECT count(*) FROM t3) AS n_purchase_after""")),
+
+    // Session path mining: gap-sessionize (30 min), concatenate each
+    // session's event types in (ts, seq) order, count the top paths —
+    // the navigation-pattern primitive. Path building is the ordered
+    // append reducer; the path census is a map-side-combinable groupBy.
+    QueryDef(
+      "ev_session_paths",
+      (s, dir) => {
+        evKeyed(s, dir)
+          .sessionize(1800L * 1000 * 1000)
+          .df
+          .groupBy("user_id", "session_id")
+          .agg(array_join(graft.functions.Reducers.appendOrdered(
+            col("ts"), col("seq"), col("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH s AS (
+               SELECT *, (sum(CASE WHEN pv IS NULL
+                     OR epoch_us(ts) - pv > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint
+                   AS session_id
+               FROM (SELECT *, lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+                     FROM events)),
+             p AS (SELECT user_id, session_id,
+                     string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+                   FROM s GROUP BY 1, 2)
+           SELECT path, count(*) AS n FROM p
+           GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- slice-emission contracts under the driver gate ---------------
     // Trailing PARTIAL bucket at termination (SliceAfterBucket.scala:
     // 161-166): the last count-slice window per key emits even though it
