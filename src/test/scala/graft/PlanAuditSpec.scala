@@ -64,4 +64,35 @@ class PlanAuditSpec extends SparkSpec {
       plan should include regex "windowspecdefinition\\(__scan_pid"
     }
   }
+
+  test("doc_tfidf_top: vocabulary (df) and N join as broadcasts") {
+    val plan = finalPlan("doc_tfidf_top")
+    withClue(plan) {
+      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 1
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 1 // 1-row N
+      plan should not include "SortMergeJoin [w"
+    }
+  }
+
+  test("dedup_incremental: registry anti-join stays a hash anti join on the narrow hash") {
+    val plan = finalPlan("dedup_incremental")
+    withClue(plan) {
+      plan should include("LeftAnti")
+      // the anti-join keys on the md5-derived hash, not the text
+      plan should include regex "\\[h#\\d+L?\\], \\[h#\\d+L?\\], LeftAnti"
+    }
+  }
+
+  test("doc_repetition / doc_pii_redact: pure map stages — zero exchanges") {
+    for (q <- Seq("doc_repetition", "doc_pii_redact")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(s"$q:\n$plan") {
+        // only the output orderBy may exchange (range partitioning); no
+        // hash exchange = no shuffle-by-key anywhere in the operator
+        plan should not include "hashpartitioning"
+      }
+    }
+  }
 }
