@@ -426,6 +426,60 @@ object RelationalQueries {
              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // One PageRank power-iteration step over the part→supplier edge graph
+    // (the iterative-linear-algebra twin of ConnectedComponents' label
+    // propagation). Determinism: ranks are QUANTIZED integers (1e12 units
+    // split uniformly), per-edge contribution is integer division by
+    // out-degree, damping is (85·inflow + 15·base) // 100 — every step
+    // exact int64 in both engines, no floating accumulation. Scale shape:
+    // distinct-edges + out-degrees are map-side-combinable aggs; the
+    // scatter is one shuffle join on src; dangling mass (suppliers have
+    // no out-edges) is deliberately not redistributed — a constant-factor
+    // modeling choice, not a scale concern.
+    QueryDef(
+      "pr_step_partsupp",
+      (s, dir) => {
+        // tagged node ids — part and supplier key RANGES overlap
+        val edges = li(s, dir)
+          .select(concat(lit("p:"), col("l_partkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+          .distinct().persist() // out-degree + scatter both consume it
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val n = nodes.count() // one scalar to the driver: the node count
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val inflow = edges.join(outdeg, "src")
+          .withColumn("contrib", expr(s"${1000000000000L} div ${n}L div deg"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("contrib")).as("inflow"))
+        nodes.join(inflow, Seq("node"), "left")
+          .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+          .withColumn("rank_q",
+            expr(s"(85 * inflow + 15 * (${1000000000000L} div ${n}L)) div 100"))
+          .select("node", "rank_q")
+          .orderBy(col("rank_q").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH edges AS (
+               SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+               FROM lineitem),
+             nodes AS (
+               SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+             nn AS (SELECT count(*) AS n FROM nodes),
+             outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             inflow AS (
+               SELECT dst AS node,
+                 sum(1000000000000 // nn.n // deg) AS inflow
+               FROM edges JOIN outdeg USING (src) CROSS JOIN nn
+               GROUP BY dst),
+             ranked AS (
+               SELECT node,
+                 ((85 * coalesce(inflow, 0) + 15 * (1000000000000 // nn.n)) // 100)::bigint
+                   AS rank_q
+               FROM nodes LEFT JOIN inflow USING (node) CROSS JOIN nn)
+           SELECT node, rank_q FROM ranked
+           ORDER BY rank_q DESC, node LIMIT 20""")),
+
     // Supplier×nation rollup through a broadcast dim chain.
     QueryDef(
       "supp_nation",
