@@ -147,6 +147,36 @@ class SourcesSpec extends SparkSpec {
     got shouldBe Seq(1.25, 1.30, 0.007)
   }
 
+  test("tab-separated tick loader: the RealTradeTests trades/quotes format " +
+    "(RealTradeTests.scala:53-99) parses via spark.read csv") {
+    // the reference's netfonds dump: header line, then
+    // time \t price \t size \t [extra cols ignored], yyyyMMdd'T'hhmmss
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv")
+    val f = dir.resolve("MSFT.O.tsv")
+    java.nio.file.Files.writeString(f,
+      "time\tprice\tquantity\tsource\tbuyer\tseller\tinitiator\n" +
+        "20131029T100001\t35.31\t100\tAuto\tx\ty\tz\n" +
+        "20131029T100002\t35.32\t250\tAuto\tx\ty\tz\n" +
+        "20131029T100005\t35.30\t50\tAuto\tx\ty\tz\n")
+    val df = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("timestampFormat", "yyyyMMdd'T'HHmmss")
+      .schema("time TIMESTAMP, price DOUBLE, quantity LONG, " +
+        "source STRING, buyer STRING, seller STRING, initiator STRING")
+      .csv(f.toString)
+      .select(unix_micros(col("time")).as("ts"),
+        monotonically_increasing_id().as("seq"), col("price"), col("quantity"))
+    val got = df.orderBy("ts")
+      .select("price", "quantity").as[(Double, Long)].collect().toSeq
+    got shouldBe Seq((35.31, 100L), (35.32, 250L), (35.30, 50L))
+    // and it is a regular EStream: running VWAP over the tick file
+    val vwap = graft.core.EStream(df)
+      .reduceAll(graft.functions.Reducers
+        .vwap(col("price"), col("quantity")).as("vwap"))
+      .as[Double].collect().head
+    vwap shouldBe (35.31 * 100 + 35.32 * 250 + 35.30 * 50) / 400.0 +- 1e-9
+  }
+
   test("groupByNested: two-level keys slice independently (VectTerm.groupby)") {
     val rows = Seq(("a", 0L, 0L, 1), ("b", 1L, 1L, 2), ("a", 2L, 2L, 3), ("b", 3L, 3L, 4))
       .toDF("k", "ts", "seq", "v")
