@@ -24,6 +24,26 @@ class ScaleSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("partitioned writes prune at the source: lang=en scan never touches " +
+    "other partitions") {
+    // the 100 TB layout lever the single-file testdata can't show: corpus
+    // written partitionBy(lang) → a lang-filtered query reads ONE directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the filter lands in PartitionFilters (directory pruning), NOT as a
+      // row-level DataFilter over a full scan
+      plan should include regex "PartitionFilters: \\[[^\\]]*lang"
+      plan should not include regex ("PushedFilters: \\[[^\\]]*lang")
+    }
+    // and the pruned read returns exactly the en rows
+    back.count() shouldBe docs.filter(col("lang") === "en").count()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bkt_left")
     spark.sql("DROP TABLE IF EXISTS bkt_right")
