@@ -148,6 +148,58 @@ object RelationalQueries {
              FROM lineitem JOIN part ON l_partkey = p_partkey
              GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Exact distributed correlation — single-pass second-moment statistics:
+    // the five sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    // exact decimals (map-side combinable, order-independent), then ONE
+    // identical double formula on both engines. This is how corr/cov/stddev
+    // run at 100 TB: no second pass, no mean-centering shuffle; built-in
+    // `corr()` is float-accumulating and fold-order nondeterministic —
+    // unusable under a bit-exact gate.
+    QueryDef(
+      "li_corr_brand",
+      (s, dir) => {
+        // INTEGER-CENT quantization: the 2-dp money doubles become exact
+        // int64 (round(x·100)), so every product and sum is an exact
+        // integer — no decimal-cast of arbitrary doubles anywhere (casting
+        // price² to decimal(38,6) rounds its 17th significant digit,
+        // which is engine-specific). corr is scale-invariant, so cent
+        // units change nothing mathematically.
+        val xc = round(col("l_quantity") * 100).cast("long")
+        val yc = round(col("l_extendedprice") * 100).cast("long")
+        def isum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("double")
+        val agg = li(s, dir)
+          .join(broadcast(prt(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), xc.as("xc"), yc.as("yc"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            isum(col("xc")).as("sx"), isum(col("yc")).as("sy"),
+            isum(col("xc") * col("yc")).as("sxy"),
+            isum(col("xc") * col("xc")).as("sxx"),
+            isum(col("yc") * col("yc")).as("syy"))
+        agg.select(col("p_brand"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, n,
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+             FROM (SELECT p_brand, count(*) AS n,
+                     sum(xc::decimal(38,0))::double AS sx,
+                     sum(yc::decimal(38,0))::double AS sy,
+                     sum((xc * yc)::decimal(38,0))::double AS sxy,
+                     sum((xc * xc)::decimal(38,0))::double AS sxx,
+                     sum((yc * yc)::decimal(38,0))::double AS syy
+                   FROM (SELECT p_brand,
+                           round(l_quantity * 100)::bigint AS xc,
+                           round(l_extendedprice * 100)::bigint AS yc
+                         FROM lineitem JOIN part ON l_partkey = p_partkey)
+                   GROUP BY p_brand)
+             ORDER BY p_brand""")),
+
     // Top-3 parts by revenue within each return flag: two-level agg + ranking
     // window (SURVEY §2.6 "not present in reference" — ranking added as
     // first-class here). Window partitions by flag → parallel across groups.
