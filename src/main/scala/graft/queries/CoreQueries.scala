@@ -1119,6 +1119,32 @@ object CoreQueries {
                    CROSS JOIN (SELECT unnest(generate_series(0, 999)) AS step))
              ORDER BY k, step""")),
 
+    // The DSv2 EventSourceX connector under the driver gate: rows come
+    // from graft.sources.v2.WalkDataSource (per-key InputPartitions,
+    // ts-range pushdown), with a ts >= 250 bound handled BY THE SOURCE;
+    // the oracle regenerates the identical md5 walk in SQL. This verifies
+    // the connector's generation, partition planning, pushdown pruning
+    // and cross-prefix cumulative state in one query.
+    QueryDef(
+      "rw_walk_dsv2",
+      (s, dir) =>
+        s.read.format(classOf[graft.sources.v2.WalkDataSource].getName)
+          .option("keys", "AUD,EUR,GBP,JPY").option("steps", "500")
+          .option("seed", "s1").load()
+          .filter(col("ts") >= 250)
+          .select(col("k"), col("ts"), col("v"))
+          .orderBy("k", "ts"),
+      Some("""SELECT k, ts, v FROM (
+               SELECT k, i AS ts,
+                 (sum(step) OVER (PARTITION BY k ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS v
+               FROM (SELECT k, i,
+                       ('0x' || substr(md5('s1|' || k || '|' || i), 1, 15))::bigint
+                         % 2001 - 1000 AS step
+                     FROM (SELECT unnest(['AUD','EUR','GBP','JPY']) AS k)
+                     CROSS JOIN (SELECT unnest(generate_series(0, 499)) AS i)))
+             WHERE ts >= 250 ORDER BY k, ts""")),
+
     // ---- general mapVector #2: NON-associative whole-vector fn ---------
     // Cross-sectional competition rank: at each event, 1 + how many keys'
     // latest values are strictly below the firing value (the reference's
