@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,7 +76,7 @@ final class WalkTable(keys: Seq[String], steps: Long, seed: String)
   override def name(): String = s"walk(${keys.mkString(",")})"
   override def schema(): StructType = WalkDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WalkScanBuilder(keys, steps, seed)
 }
@@ -115,22 +116,61 @@ final class WalkScan(keys: Seq[String], steps: Long, seed: String, lo: Long, hi:
   override def description(): String =
     s"WalkScan[keys=${keys.size}, steps=$steps, lo=$lo, hi=$hi]"
   override def planInputPartitions(): Array[InputPartition] =
-    keys.map(k => WalkPartition(k): InputPartition).toArray
+    keys.map(k => WalkPartition(k, 0L, steps): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WalkReaderFactory(steps, seed, lo, hi)
+
+  /** The STREAMING face of the same table (EventSourceX is a streaming
+    * contract): offsets are step indices; each micro-batch plans the
+    * per-key partitions for its (start, end] step range, and the reader
+    * carries the cumulative walk state across batches by replaying the
+    * integer prefix (cheap, deterministic — no state store needed for a
+    * pure function of the offset).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalkMicroBatchStream(keys, steps, seed, lo, hi)
 }
 
-final case class WalkPartition(key: String) extends InputPartition
+final case class WalkOffset(step: Long) extends Offset {
+  override def json(): String = step.toString
+}
+
+final class WalkMicroBatchStream(
+    keys: Seq[String], steps: Long, seed: String, lo: Long, hi: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = WalkOffset(0L)
+  override def latestOffset(): Offset = WalkOffset(steps)
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    WalkOffset(steps) // bounded table: everything is available immediately
+  override def deserializeOffset(json: String): Offset = WalkOffset(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[WalkOffset].step, end.asInstanceOf[WalkOffset].step)
+    keys.map(k => WalkPartition(k, a, b): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalkReaderFactory(steps, seed, lo, hi)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class WalkPartition(key: String, from: Long, until: Long) extends InputPartition
 
 final class WalkReaderFactory(steps: Long, seed: String, lo: Long, hi: Long)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WalkReader(partition.asInstanceOf[WalkPartition].key, steps, seed, lo, hi)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WalkPartition]
+    new WalkReader(p.key, steps, seed, math.max(lo, p.from), math.min(hi, p.until - 1))
+  }
 }
 
-/** One key's walk. The cumulative value accumulates through the pruned
-  * prefix (cheap integer ops, no row materialization), then rows emit
-  * only inside [lo, hi] — `advanceState()`/`getNextTime()` as an iterator.
+/** One key's walk over emit range [lo, hi] (pushdown bounds ∩ the
+  * micro-batch's offset range). The cumulative value accumulates through
+  * the pruned prefix (cheap integer ops, no row materialization), then
+  * rows emit only inside the range — `advanceState()`/`getNextTime()` as
+  * an iterator.
   */
 final class WalkReader(key: String, steps: Long, seed: String, lo: Long, hi: Long)
     extends PartitionReader[InternalRow] {

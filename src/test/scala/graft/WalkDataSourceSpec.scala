@@ -50,4 +50,22 @@ class WalkDataSourceSpec extends SparkSpec {
     viaPush shouldBe viaPost
     viaPush.size shouldBe 200
   }
+
+  test("streaming face: readStream over the same table equals the batch " +
+    "read (MicroBatchStream, offsets = step indices)") {
+    val sdf = spark.readStream.format(classOf[WalkDataSource].getName)
+      .option("keys", "A,B").option("steps", "300").option("seed", "s1")
+      .load()
+    val name = "walk_stream_" + System.nanoTime()
+    val q = sdf.writeStream.queryName(name).format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).orderBy("k", "ts")
+      .select("k", "ts", "v").as[(String, Long, Long)].collect().toSeq
+    val batch = walk("A,B", 300).orderBy("k", "ts")
+      .select("k", "ts", "v").as[(String, Long, Long)].collect().toSeq
+    streamed shouldBe batch
+  }
 }
