@@ -498,6 +498,7 @@ object RelationalQueries {
           .distinct().persist() // out-degree + scatter both consume it
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
+          .persist() // counted for n, then joined against inflow
         val n = nodes.count() // one scalar to the driver: the node count
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val inflow = edges.join(outdeg, "src")
