@@ -145,6 +145,43 @@ object Codecs {
     }
   }
 
+  /** Resize an encoded image to (w, h) and re-encode as PNG — REAL
+    * (`Graphics2D` bilinear scaling, JDK stdlib). Junk-tolerant: None for
+    * undecodable input. The blob-in/blob-out shape is the standard
+    * thumbnailing/normalization map of an image-training pipeline.
+    */
+  def resizeImage(blob: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched resize: blob → blob, blobs never leave their
+    * partition; undecodable rows drop.
+    */
+  def resizeAll(rows: Dataset[Multimodal.MediaRow], w: Int, h: Int): Dataset[Multimodal.MediaRow] = {
+    implicit val enc: Encoder[Multimodal.MediaRow] =
+      Encoders.product[Multimodal.MediaRow]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        resizeImage(r.blob, w, h).map(b =>
+          r.copy(blob = b, meta = r.meta.copy(width = w, height = h)))
+      }
+    }
+  }
+
   /** Decode an audio blob to 16-bit PCM samples via `javax.sound.sampled`
     * (JDK stdlib — WAV/AIFF/AU containers; compressed codecs like MP3
     * would need an SPI on the classpath). Junk-tolerant like

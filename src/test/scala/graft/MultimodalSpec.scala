@@ -76,6 +76,24 @@ class MultimodalSpec extends SparkSpec {
     (px(7) & 0xffffff) shouldBe 0x000000
   }
 
+  test("Codecs.resizeImage: REAL bilinear resize, blob->blob through the " +
+    "partition-batched pipeline") {
+    import graft.multimodal.Codecs
+    // 8x8 solid red downsampled to 2x2 stays solid red (interpolation of
+    // a constant field is exact); junk drops
+    val blob = png(8, 8, (_, _) => 0xff0000)
+    val junk = "not an image".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, blob, MediaMeta("image", 8, 8, 0, 1)),
+      MediaRow(2L, junk, MediaMeta("image", 0, 0, 0, 0))))
+    val out = Codecs.resizeAll(ds, 2, 2).collect().sortBy(_.id)
+    out.map(_.id).toSeq shouldBe Seq(1L)
+    out.head.meta.width shouldBe 2
+    val Some((w, h, px)) = Codecs.decodeImage(out.head.blob)
+    (w, h) shouldBe ((2, 2))
+    all(px.map(_ & 0xffffff).toSeq) shouldBe 0xff0000
+  }
+
   /** Encode a real WAV in-memory (javax.sound round trip). */
   private def wav(samples: Array[Short], rateHz: Float): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
