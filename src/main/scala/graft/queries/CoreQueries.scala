@@ -1119,6 +1119,44 @@ object CoreQueries {
                    CROSS JOIN (SELECT unnest(generate_series(0, 999)) AS step))
              ORDER BY k, step""")),
 
+    // The connector's STREAMING face under the driver gate: the same
+    // DSv2 table read via readStream (MicroBatchStream, offsets = step
+    // indices), aggregated per key in complete mode — final walk value
+    // (exact int at max ts) + exact step-count. The oracle regenerates
+    // the identical md5 walk in SQL, so this pins micro-batch planning,
+    // reader state replay AND the streaming aggregation in one query.
+    QueryDef(
+      "stream_walk_dsv2",
+      (s, dir) => {
+        val src = s.readStream
+          .format(classOf[graft.sources.v2.WalkDataSource].getName)
+          .option("keys", "AUD,EUR,GBP,JPY").option("steps", "400")
+          .option("seed", "s2").load()
+        val agg = src.groupBy("k").agg(
+          count(lit(1)).as("n"),
+          max_by(col("v"), col("ts")).as("v_final"),
+          sum(col("v")).as("v_sum"))
+        val name = "stream_walk_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select("k", "n", "v_final", "v_sum").orderBy("k")
+      },
+      Some("""SELECT k, count(*) AS n,
+               max_by(v, ts) AS v_final, sum(v)::bigint AS v_sum
+             FROM (
+               SELECT k, i AS ts,
+                 (sum(step) OVER (PARTITION BY k ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS v
+               FROM (SELECT k, i,
+                       ('0x' || substr(md5('s2|' || k || '|' || i), 1, 15))::bigint
+                         % 2001 - 1000 AS step
+                     FROM (SELECT unnest(['AUD','EUR','GBP','JPY']) AS k)
+                     CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS i)))
+             GROUP BY k ORDER BY k""")),
+
     // The DSv2 EventSourceX connector under the driver gate: rows come
     // from graft.sources.v2.WalkDataSource (per-key InputPartitions,
     // ts-range pushdown), with a ts >= 250 bound handled BY THE SOURCE;
