@@ -51,6 +51,26 @@ class WalkDataSourceSpec extends SparkSpec {
     viaPush.size shouldBe 200
   }
 
+  test("SQL DDL face: CREATE TABLE ... USING the connector, query with " +
+    "plain SQL") {
+    spark.sql("DROP TABLE IF EXISTS walk_tbl")
+    spark.sql(s"""CREATE TABLE walk_tbl
+      USING ${classOf[WalkDataSource].getName}
+      OPTIONS (keys 'A,B', steps '100', seed 's1')""")
+    try {
+      val got = spark.sql(
+        "SELECT k, count(*) AS n, sum(v) AS sv FROM walk_tbl " +
+          "WHERE ts >= 50 GROUP BY k ORDER BY k")
+        .as[(String, Long, Long)].collect().toSeq
+      val expect = Seq("A", "B").map { k =>
+        val walk = (0L until 100L)
+          .scanLeft(0L)((acc, i) => acc + WalkDataSource.step("s1", k, i)).tail
+        (k, 50L, walk.drop(50).sum)
+      }
+      got shouldBe expect
+    } finally spark.sql("DROP TABLE IF EXISTS walk_tbl")
+  }
+
   test("streaming face: readStream over the same table equals the batch " +
     "read (MicroBatchStream, offsets = step indices)") {
     val sdf = spark.readStream.format(classOf[WalkDataSource].getName)
