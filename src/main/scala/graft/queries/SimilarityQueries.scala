@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val DIM = 64
-  private val PLANES = 8
+
+  /** Hyperplanes for the knn_lsh / emb_lsh_buckets bucket id. Sized for
+    * the test corpus: 2^5 = 32 buckets over 500-2000 vectors keeps
+    * ~16-60 vectors per bucket — the multiprobe top-k actually has
+    * candidates to rank (8 planes = 256 buckets left ~2 per bucket and
+    * recall collapsed; AnnRecallSpec pins recall vs knn_brute now). At
+    * corpus scale planes grow as log2(n / target_bucket_size) — the
+    * bucket-count-tracks-corpus rule, same as the IVF cell count.
+    */
+  private val PLANES = 5
 
   /** Embeddings with double-cast vector + squared norm. Registers the
     * native [[graft.plans.DotD]] codegen dot product (every similarity
@@ -157,17 +166,21 @@ object SimilarityQueries {
              FROM emb GROUP BY 1 ORDER BY bucket""")),
 
     // ANN: cosine top-5 with MULTI-PROBE LSH — each query probes its own
-    // bucket plus all buckets at Hamming distance 1 (9 probes over 8
-    // planes), trading 9× more (still tiny) candidate sets for recall.
-    // The join key is the probed bucket id: per-query work stays bounded
-    // by bucket sizes, never the corpus.
+    // bucket plus all buckets at Hamming distance <= 2 (16 probes over 5
+    // planes), the standard multiprobe recall lever: more (still
+    // bounded) candidate sets instead of more tables. The join key is
+    // the probed bucket id: per-query work stays bounded by bucket
+    // sizes, never the corpus. AnnRecallSpec pins recall vs knn_brute.
     QueryDef(
       "knn_lsh",
       (s, dir) => {
         val e = emb(s, dir).withColumn("bucket", bucket)
+        val h1 = (0 until PLANES).map(p => 1L << p)
+        val h2 = for { a <- 0 until PLANES; b <- a + 1 until PLANES }
+          yield (1L << a) | (1L << b)
         val probes = array(
-          col("bucket") +: (0 until PLANES).map(p =>
-            col("bucket").bitwiseXOR(lit(1L << p))): _*)
+          col("bucket") +: (h1 ++ h2).map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("n2").as("qn2"), explode(probes).as("qb"))
@@ -183,7 +196,10 @@ object SimilarityQueries {
           .orderBy("q_id", "rk")
       },
       Some {
-        val probeList = ("bucket" +: (0 until PLANES).map(p => s"xor(bucket, ${1L << p})"))
+        val h1 = (0 until PLANES).map(p => 1L << p)
+        val h2 = for { a <- 0 until PLANES; b <- a + 1 until PLANES }
+          yield (1L << a) | (1L << b)
+        val probeList = ("bucket" +: (h1 ++ h2).map(m => s"xor(bucket, $m)"))
           .mkString("[", ", ", "]")
         s"""WITH $embSql,
              b AS (SELECT vec_id, v, n2, ($bucketSql)::bigint AS bucket FROM emb),

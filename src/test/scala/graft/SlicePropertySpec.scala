@@ -31,6 +31,29 @@ class SlicePropertySpec extends SparkSpec {
   private def stream(vs: List[Int]) =
     vs.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, v) }.toDF("ts", "seq", "v")
 
+  test("composition law: Count(a) then Count(b) over the emissions " +
+    "equals Count(a*b) directly (layered slicing, random streams)") {
+    cases(6).foreach { case (vs, w) =>
+      val a = math.max(1, w / 2)
+      val b = 2
+      val l1 = EStream(stream(vs))
+        .group(Slice.Count(a))
+        .reduce("s1" -> sum(col("v")),
+          "ts" -> max(col("ts")), "seq" -> max(col("seq")))
+      val nested = EStream(l1.select("ts", "seq", "s1"))
+        .group(Slice.Count(b))
+        .reduce("s" -> sum(col("s1")), "o" -> min(col("seq")))
+        .orderBy("o").select("s").as[Long].collect().toSeq
+      val direct = EStream(stream(vs))
+        .group(Slice.Count(a * b))
+        .reduce("s" -> sum(col("v")), "o" -> min(col("seq")))
+        .orderBy("o").select("s").as[Long].collect().toSeq
+      // trailing partials line up too: ceil(n/a) emissions grouped by b
+      // cover exactly the a*b-row direct buckets
+      withClue(s"vs=$vs a=$a b=$b") { nested shouldBe direct }
+    }
+  }
+
   test("partition law: per-window sums re-add to the total for every slice spec") {
     cases(6).foreach { case (vs, n) =>
       val specs: Seq[Slice] = Seq(
