@@ -464,6 +464,43 @@ object RelationalQueries {
                / count(DISTINCT user_id) <= 0.1 AS approx_ok
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Sketch ALGEBRA: approximate audience overlap by inclusion-exclusion
+    // over three HLLs — |A∩B| ≈ hll(A) + hll(B) − hll(A∪B). This is why
+    // sketches matter at 100 TB: the three sketches merge associatively
+    // across shards/days with KB state, where the exact intersection
+    // shuffles every user id. Verified against the exact overlap within
+    // a compounded-error bound (3 sketches → 15%).
+    QueryDef(
+      "ev_approx_overlap",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val a = e.filter(col("event_type") === "purchase")
+        val b = e.filter(col("event_type") === "click")
+        val u = e.filter(col("event_type").isin("purchase", "click"))
+        val exact = a.select("user_id").intersect(b.select("user_id")).count()
+        val approx =
+          a.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0) +
+          b.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0) -
+          u.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0)
+        import s.implicits._
+        Seq((exact,
+          math.abs(approx - exact).toDouble / exact <= 0.15))
+          .toDF("n_exact", "approx_ok")
+      },
+      Some("""WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             b AS (SELECT user_id FROM events WHERE event_type = 'click'),
+             u AS (SELECT user_id FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+             ex AS (SELECT count(*) AS n FROM
+                    (SELECT DISTINCT user_id FROM a
+                     INTERSECT SELECT DISTINCT user_id FROM b)),
+             ap AS (SELECT (SELECT approx_count_distinct(user_id) FROM a)
+                         + (SELECT approx_count_distinct(user_id) FROM b)
+                         - (SELECT approx_count_distinct(user_id) FROM u) AS v)
+           SELECT ex.n AS n_exact,
+             abs(ap.v - ex.n)::double / ex.n <= 0.15 AS approx_ok
+           FROM ex CROSS JOIN ap""")),
+
     // ROLLUP hierarchy totals (beyond reference; scespet keys are flat).
     QueryDef(
       "ord_rollup",
