@@ -582,6 +582,158 @@ object RelationalQueries {
       Some("""SELECT n_name, count(*) AS n_suppliers,
              sum(s_acctbal::decimal(38,6))::double AS total_bal
              FROM supplier JOIN nation ON s_nationkey = n_nationkey
-             GROUP BY n_name ORDER BY n_name"""))
+             GROUP BY n_name ORDER BY n_name""")),
+
+    // TPC-H Q13: customer order-count distribution. The LEFT OUTER join
+    // keeps order-less customers (count(o_orderkey) = 0), then a second
+    // tiny aggregation over the counts. Both shuffles key on high-cardinality
+    // columns (c_custkey, then c_count) — no skew hotspot at 100×.
+    QueryDef(
+      "q13_cust_dist",
+      (s, dir) =>
+        cust(s, dir)
+          .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+               SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+             GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    // correlated scalar-subquery shape. Spark plan: the 1-row global max is
+    // broadcast back against the per-supplier aggregate (no second scan of
+    // the fact, no window over a single partition). The revenue doubles are
+    // produced from exact decimal sums on both engines, so max-equality is
+    // bit-safe.
+    QueryDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        val rev = li(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
+          .groupBy("l_suppkey")
+          .agg(Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+        rev
+          .join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))),
+            col("total_revenue") === col("max_rev"))
+          .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+               SELECT l_suppkey,
+                 sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double
+                   AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, total_revenue
+             FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             ORDER BY s_suppkey""")),
+
+    // TPC-H Q18: large-volume orders — groupBy-HAVING on the fact, then the
+    // survivors (a few per million orders) drive broadcast-able joins back
+    // to orders/customer. The heavy reduction happens BEFORE any join.
+    QueryDef(
+      "q18_large_orders",
+      (s, dir) => {
+        val big = li(s, dir)
+          .groupBy("l_orderkey")
+          .agg(Q.dsumD(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        big
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+             FROM (SELECT l_orderkey,
+                     sum(l_quantity::decimal(38,6))::double AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING sum_qty > 300)
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
+    // TPC-H Q21 shape: suppliers who were the SOLE returned-flag supplier on
+    // a multi-supplier order. The textbook form is EXISTS + NOT-EXISTS
+    // self-joins on the fact; at scale that is two extra fact shuffles, so we
+    // aggregate per order once (count distinct suppliers, count distinct
+    // failing suppliers) and join the survivors back — one fact shuffle total.
+    QueryDef(
+      "q21_sole_blame",
+      (s, dir) => {
+        val l = li(s, dir)
+        val perOrder = l
+          .groupBy("l_orderkey")
+          .agg(
+            countDistinct(col("l_suppkey")).as("nsupp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nfail"))
+          .filter(col("nsupp") > 1 && col("nfail") === 1)
+        l.filter(col("l_returnflag") === "R")
+          .join(perOrder, "l_orderkey")
+          .select(col("l_suppkey"), col("l_orderkey")).distinct()
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH per_order AS (
+               SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS nsupp,
+                 count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS nfail
+               FROM lineitem GROUP BY l_orderkey),
+             blamed AS (
+               SELECT DISTINCT l.l_suppkey, l.l_orderkey
+               FROM lineitem l JOIN per_order USING (l_orderkey)
+               WHERE l.l_returnflag = 'R' AND nsupp > 1 AND nfail = 1)
+             SELECT s_name, count(*) AS numwait
+             FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // TPC-H Q22 shape: high-balance customers with no recent orders, rolled
+    // up per nation. Scalar-subquery threshold (broadcast 1-row aggregate,
+    // computed as exact decimal sum / count so the double compares
+    // identically on both engines) + LEFT ANTI join against the filtered
+    // fact.
+    QueryDef(
+      "q22_idle_balance",
+      (s, dir) => {
+        val c = cust(s, dir)
+        val thr = c.filter(col("c_acctbal") > 0.0)
+          .agg((Q.dsum(col("c_acctbal")) / count(lit(1))).cast("double").as("thr"))
+        c.join(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(
+            ord(s, dir).filter(col("o_orderdate") >= expr("timestamp'2001-01-01 00:00:00'")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), Q.dsumD(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+               sum(c_acctbal::decimal(38,6))::double AS totacctbal
+             FROM customer
+             WHERE c_acctbal > (
+                 SELECT (sum(c_acctbal::decimal(38,6)) / count(*))::double
+                 FROM customer WHERE c_acctbal > 0)
+               AND NOT EXISTS (
+                 SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey
+                   AND o_orderdate >= TIMESTAMP '2001-01-01')
+             GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }
