@@ -404,6 +404,74 @@ object CoreQueries {
                GROUP BY user_id, window_id)
              WHERE n = 10 ORDER BY user_id, window_id""")),
 
+    // ---- checkpoint recovery under the gate: the SAME stateful operator
+    // (CountSlices) run as TWO separate streaming-query incarnations over
+    // one checkpoint + exactly-once file sink. Incarnation 1 sees only the
+    // first half of the data (ts <= mid) and stops with partial buckets
+    // parked in the state store; incarnation 2 discovers the second file,
+    // restores state, and closes the buckets that STRADDLE the restart.
+    // The combined sink must equal the single-run batch oracle over the
+    // full table — possible only if (a) flatMapGroupsWithState state
+    // round-trips through the checkpoint and (b) the file-sink commit log
+    // is exactly-once. This is the operational contract a 100 TB streaming
+    // pipeline leans on across executor loss / planned restarts.
+    QueryDef(
+      "stream_checkpoint_resume",
+      (s, dir) => {
+        import s.implicits._
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"), col("value").as("v"))
+        val r0 = ev.agg(min("ts"), max("ts")).head()
+        val mid = r0.getLong(0) + (r0.getLong(1) - r0.getLong(0)) / 2
+        val root = Files.createTempDirectory("graft_resume_").toString
+        // One file per half => one deterministic batch per incarnation.
+        // (The per-key-ordered-source contract: a hash-partitioned
+        // multi-file half could be admitted across batches with ts ranges
+        // interleaved. This coalesce is test-fixture generation, not an
+        // engine path — a real deployment's Kafka topic is keyed.)
+        ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$root/h1")
+        ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$root/h2")
+        val srcDir = s"$root/src"
+        Files.createDirectories(Paths.get(srcDir))
+        def feed(half: String): Unit =
+          Files.list(Paths.get(s"$root/$half")).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(p => Files.copy(p,
+              Paths.get(srcDir, half + "_" + p.getFileName.toString)))
+        def incarnation(): Unit = {
+          val in = s.readStream.schema(ev.schema).parquet(srcDir)
+            .as[graft.streaming.KeyedEvent]
+          val q = graft.streaming.CountSlices(in, 10)
+            .writeStream.format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        feed("h1"); incarnation() // partials parked in state
+        feed("h2"); incarnation() // state restored; straddlers close
+        val res = s.read.parquet(s"$root/out")
+          .select(col("k").cast("long").as("user_id"),
+            col("windowId").as("window_id"), col("n"),
+            col("sum").cast("decimal(38,6)").cast("double").as("sum_value"))
+          .orderBy("user_id", "window_id")
+          .localCheckpoint(true) // materialize before the fixture is deleted
+        Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        res
+      },
+      Some("""SELECT user_id, window_id, n, sum_value FROM (
+               SELECT user_id, window_id, count(*) AS n,
+                 sum(value::decimal(38,6))::double AS sum_value
+               FROM (SELECT *, (row_number() OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 10
+                       AS window_id FROM events)
+               GROUP BY user_id, window_id)
+             WHERE n = 10 ORDER BY user_id, window_id""")),
+
     // ---- stateful streaming trigger-slices under the gate: the custom
     // flatMapGroupsWithState operator closes a bucket when the trigger
     // event ('error') arrives — Align.After: the trigger JOINS its bucket.
