@@ -28,7 +28,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (debug aid; the driver
+    // passes none and gets the full catalog)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: JIT + codegen
         spark.catalog.clearCache() // drop query-internal persists
@@ -52,7 +57,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH.json"), json)
+    if (args.isEmpty) Files.writeString(Paths.get("BENCH.json"), json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()

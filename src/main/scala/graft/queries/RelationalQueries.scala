@@ -474,14 +474,22 @@ object RelationalQueries {
       "ev_approx_overlap",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val a = e.filter(col("event_type") === "purchase")
-        val b = e.filter(col("event_type") === "click")
-        val u = e.filter(col("event_type").isin("purchase", "click"))
-        val exact = a.select("user_id").intersect(b.select("user_id")).count()
-        val approx =
-          a.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0) +
-          b.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0) -
-          u.agg(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0)
+          .filter(col("event_type").isin("purchase", "click"))
+        // ONE pass over the fact builds all three sketches (conditional
+        // HLLs — null inputs don't touch the register banks), and one
+        // user_id shuffle computes the exact overlap to audit against.
+        val sk = e.agg(
+          approx_count_distinct(
+            when(col("event_type") === "purchase", col("user_id")), 0.02).as("na"),
+          approx_count_distinct(
+            when(col("event_type") === "click", col("user_id")), 0.02).as("nb"),
+          approx_count_distinct(col("user_id"), 0.02).as("nu")).head()
+        val approx = sk.getLong(0) + sk.getLong(1) - sk.getLong(2)
+        val exact = e.groupBy("user_id")
+          .agg(
+            max(col("event_type") === "purchase").as("in_a"),
+            max(col("event_type") === "click").as("in_b"))
+          .filter(col("in_a") && col("in_b")).count()
         import s.implicits._
         Seq((exact,
           math.abs(approx - exact).toDouble / exact <= 0.15))
@@ -528,25 +536,29 @@ object RelationalQueries {
     QueryDef(
       "pr_step_partsupp",
       (s, dir) => {
-        // tagged node ids — part and supplier key RANGES overlap
+        // The graph is bipartite (src is ALWAYS a part, dst ALWAYS a
+        // supplier), so every shuffle below keys on a LONG — the "p:"/"s:"
+        // node strings exist only in the final select. At 100 TB the
+        // difference between 8-byte and string shuffle keys across three
+        // exchanges dominates this operator's cost.
         val edges = li(s, dir)
-          .select(concat(lit("p:"), col("l_partkey")).as("src"),
-            concat(lit("s:"), col("l_suppkey")).as("dst"))
-          .distinct().persist() // out-degree + scatter both consume it
-        val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct()
-          .persist() // counted for n, then joined against inflow
-        val n = nodes.count() // one scalar to the driver: the node count
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val inflow = edges.join(outdeg, "src")
-          .withColumn("contrib", expr(s"${1000000000000L} div ${n}L div deg"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("contrib")).as("inflow"))
-        nodes.join(inflow, Seq("node"), "left")
-          .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
-          .withColumn("rank_q",
-            expr(s"(85 * inflow + 15 * (${1000000000000L} div ${n}L)) div 100"))
-          .select("node", "rank_q")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+          .distinct().persist() // out-degree + scatter + node count consume it
+        val cnt = edges.agg(
+          countDistinct(col("p")), countDistinct(col("sp"))).head()
+        val n = cnt.getLong(0) + cnt.getLong(1)
+        val base = s"(${1000000000000L} div ${n}L)"
+        val outdeg = edges.groupBy("p").agg(count(lit(1)).as("deg"))
+        // all inflow lands on suppliers; parts keep the teleport-only rank
+        val suppRanks = edges.join(outdeg, "p")
+          .withColumn("contrib", expr(s"$base div deg"))
+          .groupBy("sp").agg(sum(col("contrib")).as("inflow"))
+          .select(concat(lit("s:"), col("sp")).as("node"),
+            expr(s"(85 * inflow + 15 * $base) div 100").as("rank_q"))
+        val partRanks = edges.select("p").distinct()
+          .select(concat(lit("p:"), col("p")).as("node"),
+            expr(s"(15 * $base) div 100").as("rank_q"))
+        suppRanks.union(partRanks)
           .orderBy(col("rank_q").desc, col("node"))
           .limit(20)
       },
