@@ -330,8 +330,14 @@ object DedupQueries {
       "dedup_ngram_jaccard",
       (s, dir) => {
         val base = shingled(s, dir).persist()
+        // Index on the 64-bit shingle hash, not the shingle string: the
+        // inverted index and its self-join shuffle 8-byte keys instead of
+        // ~25-byte strings. Candidate generation tolerates the (vanishing,
+        // ~|shingles|²/2⁶⁴) collision odds because survivors are
+        // exact-verified against the REAL shingle arrays below.
         val inv = base
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+          .select(col("doc_id"), explode(col("shingles")).as("sh0"))
+          .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
         val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 100)
           .select("sh")

@@ -596,6 +596,108 @@ object RelationalQueries {
              FROM supplier JOIN nation ON s_nationkey = n_nationkey
              GROUP BY n_name ORDER BY n_name""")),
 
+    // TPC-H Q12 shape: conditional aggregation over a fact-fact join —
+    // priority-class counts per linestatus. The CASE folds into the
+    // post-join partial agg, so the shuffle after the join carries 2 longs
+    // per group, not rows.
+    QueryDef(
+      "q12_priority_class",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li(s, dir)
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::bigint AS high_line_count,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::bigint AS low_line_count
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // TPC-H Q14 shape: promo revenue share — a global ratio of two
+    // conditional sums in ONE pass over the joined fact (no second scan;
+    // both numerator and denominator are partial-aggregable). Exact decimal
+    // sums; the single division happens once on the final doubles in the
+    // same order on both engines.
+    QueryDef(
+      "q14_promo_share",
+      (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        li(s, dir)
+          .join(prt(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg(
+            Q.dsumD(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("promo_rev"),
+            Q.dsumD(rev).as("total_rev"))
+          .select(
+            (lit(100.0) * (col("promo_rev") / col("total_rev"))).as("promo_pct"),
+            col("promo_rev"), col("total_rev"))
+      },
+      Some("""SELECT 100.0 * (promo_rev / total_rev) AS promo_pct,
+               promo_rev, total_rev
+             FROM (SELECT
+                 sum((CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)::decimal(38,6))::double AS promo_rev,
+                 sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double
+                   AS total_rev
+               FROM lineitem JOIN part ON l_partkey = p_partkey)""")),
+
+    // TPC-H Q17 shape: rows below HALF their part's average quantity — the
+    // correlated-aggregate join. The per-part average is a narrow (key,
+    // decimal, count) aggregate co-partitioned with the fact on l_partkey,
+    // so the rejoin reuses the same hash partitioning — one fact shuffle
+    // plus one narrow one. The avg threshold is decimal-sum/count cast to
+    // double on both engines (bit-identical comparison).
+    QueryDef(
+      "q17_small_quantity",
+      (s, dir) => {
+        val l = li(s, dir)
+        val pa = l.groupBy("l_partkey")
+          .agg((Q.dsum(col("l_quantity")) / count(lit(1))).cast("double").as("avg_qty"))
+        l.join(pa, "l_partkey")
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(Q.dsumD(col("l_extendedprice")).as("small_rev"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT sum(l_extendedprice::decimal(38,6))::double AS small_rev,
+               count(*) AS n
+             FROM lineitem
+             JOIN (SELECT l_partkey AS pk,
+                     (sum(l_quantity::decimal(38,6)) / count(*))::double AS avg_qty
+                   FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+             WHERE l_quantity < 0.5 * avg_qty""")),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+    // part-side conjuncts (brand, size) can't individually push below the
+    // join, but the OR's common structure keeps the whole filter codegen'd
+    // post-join; part is the smaller side and broadcasts.
+    QueryDef(
+      "q19_disjunctive",
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(prt(s, dir)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size") <= 15 && col("l_quantity") <= 30) ||
+            (col("p_brand") === "Brand#23" && col("p_size") <= 25 && col("l_quantity") >= 10) ||
+            (col("p_brand") === "Brand#34" && col("p_size") >= 20 && col("l_quantity") >= 25))
+          .agg(
+            Q.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT
+               sum((l_extendedprice * (1 - l_discount))::decimal(38,6))::double
+                 AS revenue,
+               count(*) AS n
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity <= 30)
+                OR (p_brand = 'Brand#23' AND p_size <= 25 AND l_quantity >= 10)
+                OR (p_brand = 'Brand#34' AND p_size >= 20 AND l_quantity >= 25)""")),
+
     // TPC-H Q13: customer order-count distribution. The LEFT OUTER join
     // keeps order-less customers (count(o_orderkey) = 0), then a second
     // tiny aggregation over the counts. Both shuffles key on high-cardinality
