@@ -39,8 +39,13 @@ object DedupQueries {
     * the projection and re-inline the whole shingle expression per row.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
+    shingledFrom(docs(s, dir))
+
+  /** Same transform over an arbitrary (possibly streaming) documents
+    * frame — all pure maps, so it plans identically on a readStream.
+    */
+  private def shingledFrom(d: DataFrame): DataFrame =
+    d.filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOf(col("toks")).as("shingles"))
 
@@ -231,6 +236,56 @@ object DedupQueries {
           .orderBy("id_a", "id_b"),
       Some(s"""WITH $minhashPairsCtes
            SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""")),
+
+    // STREAMING MinHash near-dup — dedup-against-history on a live ingest
+    // stream. Banded signatures route each arriving doc to its LSH
+    // buckets; per-bucket state holds the signature history; a pair is
+    // emitted when ≥ 6 of 8 minhash components agree. The oracle recomputes
+    // the same banding + signature-agreement in SQL — the streaming state
+    // machine must converge to the batch LSH candidate set.
+    QueryDef(
+      "stream_neardup_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val sigs = shingledFrom(src)
+          .select(col("doc_id"), shingleHashes.as("hs"))
+          .select(
+            col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+        val banded = sigs.select(
+          col("doc_id").as("docId"),
+          array((0 until H).map(i => col(s"mh$i")): _*).as("sig"),
+          explode(array((0 until BANDS).map { b =>
+            struct(lit(b).as("band"),
+              Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+                .as("bh"))
+          }: _*)).as("e"))
+          .select(col("e.band").as("band"), col("e.bh").as("bh"),
+            col("docId"), col("sig"))
+          .as[graft.streaming.BandDoc]
+        val name = "stream_nd_" + System.nanoTime()
+        val sq = graft.streaming.StreamNearDup(banded, 6)
+          .writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("idA").as("id_a"), col("idB").as("id_b"),
+            col("nEq").as("n_eq"))
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val eqs = (0 until H).map(i => s"(a.mh$i = b.mh$i)::int").mkString(" + ")
+        s"""WITH $minhashPairsCtes,
+           ne AS (
+             SELECT id_a, id_b, $eqs AS n_eq
+             FROM cand JOIN sigs a ON a.doc_id = id_a
+                       JOIN sigs b ON b.doc_id = id_b)
+           SELECT id_a, id_b, n_eq FROM ne
+           WHERE n_eq >= 6 ORDER BY id_a, id_b"""
+      }),
 
     // Duplicate CLUSTERS: connected components over the verified near-dup
     // pairs (min-label propagation, O(diameter) distributed iterations) —

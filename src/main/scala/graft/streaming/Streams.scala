@@ -274,3 +274,52 @@ object TakeJoin {
   def apply(events: Dataset[ZipEvent]): Dataset[ZipOut] =
     ZipJoin.run(events, emitOnRightOnly = false)
 }
+
+/** Streaming MinHash near-dup detection — the streaming twin of the batch
+  * LSH pipeline (`dedup_minhash_lsh`): documents arrive on a stream, their
+  * banded signatures hash-route them to LSH buckets, and per-bucket state
+  * holds the signatures seen so far. An arriving document compares against
+  * ONLY its bucket's history (bounded by the banding, never all-pairs) and
+  * emits a pair when ≥ `minEq` of the H minhash components agree.
+  *
+  * This is dedup-against-history for an ingest pipeline: state grows with
+  * the distinct-bucket population, the per-event cost with bucket
+  * occupancy. At 100 TB the production levers are the same as batch LSH
+  * (more bands/rows to cap bucket sizes) plus state TTL / registry
+  * compaction for the history bound.
+  *
+  * Pairs are emitted as (min,max) so the result is insensitive to arrival
+  * interleaving across buckets; the same pair surfacing from two bands
+  * deduplicates downstream (signature equality count is band-independent).
+  */
+final case class BandDoc(band: Int, bh: Long, docId: Long, sig: Seq[Long])
+final case class NearDupPair(idA: Long, idB: Long, nEq: Int)
+private final case class BucketSigs(entries: Seq[(Long, Seq[Long])])
+
+object StreamNearDup {
+  def apply(docs: Dataset[BandDoc], minEq: Int): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BucketSigs, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[BandDoc], state: GroupState[BucketSigs]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupPair]
+          it.toSeq.sortBy(_.docId).foreach { d =>
+            entries.foreach { case (id, sig) =>
+              if (id != d.docId) {
+                val nEq = sig.iterator.zip(d.sig.iterator)
+                  .count { case (a, b) => a == b }
+                if (nEq >= minEq)
+                  out += NearDupPair(
+                    math.min(id, d.docId), math.max(id, d.docId), nEq)
+              }
+            }
+            entries = entries :+ (d.docId -> d.sig)
+          }
+          state.update(BucketSigs(entries))
+          out.result().iterator
+      }
+  }
+}
