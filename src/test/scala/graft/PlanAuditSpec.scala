@@ -83,6 +83,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q19_disjunctive: part broadcasts; the disjunction stays codegen'd post-join") {
+    val plan = finalPlan("q19_disjunctive")
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+      plan should not include "ScalaUDF"
+    }
+  }
+
+  test("q17_small_quantity: correlated-avg rejoin keys on l_partkey both sides") {
+    val plan = finalPlan("q17_small_quantity")
+    withClue(plan) {
+      // the per-part aggregate and the fact co-partition on l_partkey —
+      // no second aggregation shuffle on a derived key
+      "hashpartitioning\\(l_partkey".r.findAllIn(plan).size should be >= 1
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  test("pr_step_partsupp: every exchange keys on a LONG, never the node string") {
+    val df = SparkEntry.queries("pr_step_partsupp")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // shuffles key on p/sp (longs); the 'p:'/'s:' concat exists only in
+      // the final project, so no exchange partitions on `node`
+      plan should not include "hashpartitioning(node"
+      plan should not include "hashpartitioning(src"
+    }
+  }
+
+  test("dedup_ngram_jaccard: the inverted index joins on the int64 shingle hash") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // candidate self-join keys are the xxhash64 longs (#NNL), not strings
+      plan should include regex "hashpartitioning\\(sh#\\d+L"
+    }
+  }
+
   test("doc_repetition / doc_pii_redact: pure map stages — zero exchanges") {
     for (q <- Seq("doc_repetition", "doc_pii_redact")) {
       val df = SparkEntry.queries(q)(spark, dir)
