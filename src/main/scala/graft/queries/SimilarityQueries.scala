@@ -358,6 +358,108 @@ object SimilarityQueries {
                    FROM scored)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
 
+    // Product quantization with asymmetric distance computation (ADC) —
+    // the memory-side ANN technique that pairs with IVF at 100 TB
+    // (IVF-PQ): vectors are stored as M=4 one-byte codes instead of 64
+    // doubles (128× compression), queries score candidates from a
+    // per-query lookup table of query-subvector × codeword dots (M adds
+    // per candidate, no full dot product). Codebooks are deterministic
+    // here (sub-vectors of the first 8 corpus vectors — the knn_ivf seed
+    // convention); encoding = argmin L2 per subspace, which reduces to
+    // argmin(|cw|² − 2·q·cw) since the vector's own sub-norm is constant
+    // across codes. Scores quantize to int64 BEFORE the cross-partition
+    // sum (double sums are fold-order-nondeterministic; longs are exact).
+    //
+    // What this pins: the encode/LUT/ADC machinery and its cross-engine
+    // determinism — NOT recall. On the synthetic uniform-random corpus a
+    // seeded 8-codeword book cannot preserve rank (no cluster structure
+    // to quantize; measured top-5 overlap vs exact ≈ 0-1/5) — real
+    // deployments train codebooks per subspace with Lloyd iterations
+    // exactly as knn_ivf_trained demonstrates for the coarse level.
+    QueryDef(
+      "emb_pq_adc",
+      (s, dir) => {
+        val M = 4; val SUB = DIM / M; val K = 8
+        val w = org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir).persist() // codebook + encode + queries consume it
+        // codebook: (m, code, cw, cwn2) — M×K rows, broadcast everywhere
+        val codebook = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("code"),
+            explode(array((0 until M).map { m =>
+              struct(lit(m).as("m"),
+                slice(col("v"), m * SUB + 1, SUB).as("cw"))
+            }: _*)).as("s"))
+          .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
+          .withColumn("cwn2", dot(col("cw"), col("cw")))
+        // encode the corpus: per (vector, subspace) the nearest codeword
+        val subs = e.select(col("vec_id"),
+          explode(array((0 until M).map { m =>
+            struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
+          }: _*)).as("s"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+        val encoded = subs.join(broadcast(codebook), "m")
+          .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
+          .filter(col("rk") === 1)
+          .select("vec_id", "m", "code")
+        // per-query LUT: dot of each EXACT query subvector with each
+        // codeword, quantized to int64
+        val lut = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"),
+            explode(array((0 until M).map { m =>
+              struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("qsub"))
+            }: _*)).as("s"))
+          .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
+          .join(broadcast(codebook), "m")
+          .select(col("q_id"), col("m"), col("code"),
+            floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
+        // ADC: M exact-integer adds per (query, candidate)
+        encoded.join(broadcast(lut), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("pdot_q")).cast("long").as("score_q"),
+            count(lit(1)).as("nm"))
+          .filter(col("nm") === M) // self-exclusion drops no partial rows
+          .withColumn("rk", row_number().over(
+            w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "score_q")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             cb AS (
+               SELECT m, vec_id AS code, v[(m*16+1):(m*16+16)] AS cw
+               FROM emb, range(0, 4) t(m) WHERE vec_id < 8),
+             cbn AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb),
+             subs AS (
+               SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sub
+               FROM emb, range(0, 4) t(m)),
+             encoded AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT subs.vec_id, subs.m, cbn.code,
+                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
+                     ORDER BY cbn.cwn2 - 2 * (${dotSql("sub", "cw")}), cbn.code) AS rk
+                 FROM subs JOIN cbn ON subs.m = cbn.m)
+               WHERE rk = 1),
+             lut AS (
+               SELECT q.vec_id AS q_id, cbn.m, cbn.code,
+                 floor((${dotSql("qsub", "cw")}) * 1e6)::bigint AS pdot_q
+               FROM (SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS qsub
+                     FROM emb, range(0, 4) t(m) WHERE vec_id < 3) q
+               JOIN cbn ON q.m = cbn.m),
+             scored AS (
+               SELECT q_id, vec_id, sum(pdot_q)::bigint AS score_q, count(*) AS nm
+               FROM encoded JOIN lut USING (m, code)
+               WHERE vec_id <> q_id
+               GROUP BY q_id, vec_id)
+             SELECT q_id, rk, vec_id, score_q
+             FROM (SELECT q_id, vec_id, score_q, row_number() OVER (
+                     PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS rk
+                   FROM scored WHERE nm = 4)
+             WHERE rk <= 5 ORDER BY q_id, rk"""),
+    ),
+
     // Embedding-cosine near-duplicate pairs, MinHash-LSH shaped: NB=4
     // banded 16-bit sign signatures generate candidates (narrow
     // (vec_id, band, bh) rows — 2^16 buckets per band bound fan-out at
