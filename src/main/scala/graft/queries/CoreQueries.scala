@@ -472,6 +472,69 @@ object CoreQueries {
                GROUP BY user_id, window_id)
              WHERE n = 10 ORDER BY user_id, window_id""")),
 
+    // ---- watermark late-data semantics under the gate: the RECENT half
+    // of the events arrives first (one micro-batch — drives the watermark
+    // to max_ts − 1 h), then the OLD half arrives into the SAME running
+    // query. Every old row is years behind the watermark → dropped by the
+    // aggregation operator; append mode emits exactly the windows whose
+    // end ≤ final watermark. The oracle states that contract in SQL:
+    // aggregate ONLY the recent half, keep ONLY watermark-finalized
+    // windows. This is the correctness contract that lets a 100 TB
+    // streaming aggregation EVICT state instead of holding it forever.
+    QueryDef(
+      "stream_late_drop",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        val r0 = ev.agg(min("ts"), max("ts")).head()
+        val mid = r0.getLong(0) + (r0.getLong(1) - r0.getLong(0)) / 2
+        val root = Files.createTempDirectory("graft_late_").toString
+        ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$root/h1")
+        ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$root/h2")
+        val srcDir = s"$root/src"
+        Files.createDirectories(Paths.get(srcDir))
+        def feed(half: String): Unit =
+          Files.list(Paths.get(s"$root/$half")).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(p => Files.copy(p,
+              Paths.get(srcDir, half + "_" + p.getFileName.toString)))
+        feed("h1")
+        val src = s.readStream
+          .schema(s.read.parquet(s"$root/h1").schema).parquet(srcDir)
+        val agg = graft.streaming.Streams.tumblingAgg(
+          src, Seq("user_id"), "1 day", "1 hour",
+          "n" -> count(lit(1)),
+          "sum_value" -> Q.dsumD(col("value")))
+        val name = "stream_late_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: recent half; wm → max−1h
+          feed("h2")
+          q.processAllAvailable() // batch 2: old half — all late, dropped
+        } finally q.stop()
+        val res = s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("window.start")).as("wstart"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "wstart")
+          .localCheckpoint(true)
+        Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        res
+      },
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+                          FROM events)
+             SELECT user_id,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS wstart,
+               count(*) AS n, sum(value::decimal(38,6))::double AS sum_value
+             FROM events CROSS JOIN b
+             WHERE epoch_us(ts) > tmin + (tmax - tmin) // 2
+             GROUP BY user_id, wstart, tmax
+             HAVING wstart + 86400000000 <= tmax - 3600000000
+             ORDER BY user_id, wstart""")),
+
     // ---- stateful streaming trigger-slices under the gate: the custom
     // flatMapGroupsWithState operator closes a bucket when the trigger
     // event ('error') arrives — Align.After: the trigger JOINS its bucket.
@@ -1311,6 +1374,45 @@ object CoreQueries {
              quantile_cont(value, 0.9) AS p90,
              count(*) AS n
              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- approximate quantiles from a mergeable sketch, audited against
+    // the exact rank (the ev_approx_distinct pattern): each engine runs
+    // its own sketch (Spark KLL-style approx_percentile, DuckDB t-digest)
+    // and the shared output is the integer-exact claim "the sketch's
+    // quantile sits within ±5% rank error". Why it matters at 100 TB:
+    // exact percentiles need a full sort per group; sketches are KB-sized,
+    // map-side-mergeable across shards/days, and one pass. The bound
+    // checks are pure integer arithmetic — no float comparison anywhere.
+    QueryDef(
+      "ev_approx_quantiles",
+      (s, dir) => {
+        val e = Q.events(s, dir)
+        val sk = e.groupBy("event_type").agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+        e.join(broadcast(sk), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("c50"),
+            sum(when(col("value") <= col("a90"), 1L).otherwise(0L)).as("c90"))
+          .select(col("event_type"), col("n"),
+            (abs(lit(2) * col("c50") - col("n")) * 10 <= col("n")).as("ok_p50"),
+            (abs(lit(10) * col("c90") - lit(9) * col("n")) * 2 <= col("n")).as("ok_p90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH sk AS (
+               SELECT event_type,
+                 approx_quantile(value, 0.5) AS a50,
+                 approx_quantile(value, 0.9) AS a90
+               FROM events GROUP BY event_type)
+             SELECT event_type, count(*) AS n,
+               abs(2 * sum(CASE WHEN value <= a50 THEN 1 ELSE 0 END)::bigint
+                   - count(*)) * 10 <= count(*) AS ok_p50,
+               abs(10 * sum(CASE WHEN value <= a90 THEN 1 ELSE 0 END)::bigint
+                   - 9 * count(*)) * 2 <= count(*) AS ok_p90
+             FROM events JOIN sk USING (event_type)
+             GROUP BY event_type ORDER BY event_type""")),
 
     // ---- gap-based sessionization (KStream.sessionize) -----------------
     // One-hour inactivity gap per user; per-session count, duration and
