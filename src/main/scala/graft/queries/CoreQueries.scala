@@ -990,6 +990,60 @@ object CoreQueries {
                          FROM events GROUP BY 1, 2))
              WHERE rk = 1 ORDER BY event_type""")),
 
+    // ---- arg-max aggregation (max_by / arg_max): the value carried by
+    // the extremal row, keyed on the UNIQUE sequence column so there is
+    // no engine-specific tie-break. One partial-aggregable shuffle — the
+    // "latest state per group" idiom without a window sort.
+    QueryDef(
+      "ev_argmax",
+      (s, dir) =>
+        Q.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            max(col("seq")).as("last_seq"),
+            expr("max_by(value, seq)").as("last_value"),
+            expr("min_by(value, seq)").as("first_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, max(event_id) AS last_seq,
+             arg_max(value, event_id) AS last_value,
+             arg_min(value, event_id) AS first_value
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- winsorized mean: robust location estimate — clamp at the exact
+    // P05/P95 (both engines interpolate quantile_cont identically, pinned
+    // by ev_percentiles), then an exact-decimal mean of the clamped
+    // values. The quantile pass is a per-group sort; the clamp+mean pass
+    // is partial-aggregable — the standard two-pass robust-stats shape.
+    QueryDef(
+      "ev_winsorized_mean",
+      (s, dir) => {
+        val e = Q.events(s, dir)
+        val qs = e.groupBy("event_type").agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+        e.join(broadcast(qs), "event_type")
+          .withColumn("wv", least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy("event_type")
+          .agg(
+            // double-div of the exact-decimal sum (the ev_avg template:
+            // decimal DIVISION scale rules are engine-specific, double
+            // division of identical doubles is not)
+            (Q.dsumD(col("wv")) / count(lit(1))).as("wmean"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH qs AS (
+               SELECT event_type,
+                 quantile_cont(value, 0.05) AS p05,
+                 quantile_cont(value, 0.95) AS p95
+               FROM events GROUP BY event_type)
+             SELECT event_type,
+               sum(least(greatest(value, p05), p95)::decimal(38,6))::double
+                 / count(*) AS wmean,
+               count(*) AS n
+             FROM events JOIN qs USING (event_type)
+             GROUP BY event_type ORDER BY event_type""")),
+
     // ---- lag/lead: inter-event deltas (ranking-window family) ---------
     QueryDef(
       "ev_lag_delta",

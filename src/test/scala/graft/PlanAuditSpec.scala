@@ -124,6 +124,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter injection prunes the fact scan behind a selective dim filter") {
+    // At 100 TB the injected runtime filter is the difference between
+    // shuffling the whole fact and shuffling the ~matching fraction: Spark
+    // builds a bloom filter from the filtered creation side and evaluates
+    // `might_contain` INSIDE the fact scan stage. The thresholds here
+    // only shrink the size gates so the sf0.001 fixture qualifies — the
+    // rewrite itself is the stock optimizer rule a real cluster runs.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join shape
+      val li = graft.core.Tables.lineitem(s, dir)
+      val ord = graft.core.Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(graft.queries.Q.dsumD(col("l_quantity")).as("q"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      withClue(plan) { plan should include("might_contain") }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("doc_repetition / doc_pii_redact: pure map stages — zero exchanges") {
     for (q <- Seq("doc_repetition", "doc_pii_redact")) {
       val df = SparkEntry.queries(q)(spark, dir)
