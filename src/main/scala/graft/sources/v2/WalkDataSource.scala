@@ -81,12 +81,20 @@ final class WalkTable(keys: Seq[String], steps: Long, seed: String)
     new WalkScanBuilder(keys, steps, seed)
 }
 
-/** Captures ts-range predicates — the `init(start, end)` of the contract. */
+/** Captures ts-range predicates — the `init(start, end)` of the contract —
+  * and column pruning (a projection like `select(k, v)` reaches the reader,
+  * which then never materializes the dropped fields).
+  */
 final class WalkScanBuilder(keys: Seq[String], steps: Long, seed: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = Long.MaxValue
   private var accepted = Array.empty[Filter]
+  private var required: StructType = WalkDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -106,19 +114,20 @@ final class WalkScanBuilder(keys: Seq[String], steps: Long, seed: String)
   }
 
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new WalkScan(keys, steps, seed, lo, hi)
+  override def build(): Scan = new WalkScan(keys, steps, seed, lo, hi, required)
 }
 
-final class WalkScan(keys: Seq[String], steps: Long, seed: String, lo: Long, hi: Long)
+final class WalkScan(keys: Seq[String], steps: Long, seed: String, lo: Long,
+    hi: Long, required: StructType)
     extends Scan with Batch {
-  override def readSchema(): StructType = WalkDataSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WalkScan[keys=${keys.size}, steps=$steps, lo=$lo, hi=$hi]"
+    s"WalkScan[keys=${keys.size}, steps=$steps, lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
     keys.map(k => WalkPartition(k, 0L, steps): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalkReaderFactory(steps, seed, lo, hi)
+    new WalkReaderFactory(steps, seed, lo, hi, required)
 
   /** The STREAMING face of the same table (EventSourceX is a streaming
     * contract): offsets are step indices; each micro-batch plans the
@@ -128,7 +137,7 @@ final class WalkScan(keys: Seq[String], steps: Long, seed: String, lo: Long, hi:
     * pure function of the offset).
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalkMicroBatchStream(keys, steps, seed, lo, hi)
+    new WalkMicroBatchStream(keys, steps, seed, lo, hi, required)
 }
 
 final case class WalkOffset(step: Long) extends Offset {
@@ -136,7 +145,8 @@ final case class WalkOffset(step: Long) extends Offset {
 }
 
 final class WalkMicroBatchStream(
-    keys: Seq[String], steps: Long, seed: String, lo: Long, hi: Long)
+    keys: Seq[String], steps: Long, seed: String, lo: Long, hi: Long,
+    required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = WalkOffset(0L)
   override def latestOffset(): Offset = WalkOffset(steps)
@@ -151,18 +161,20 @@ final class WalkMicroBatchStream(
     keys.map(k => WalkPartition(k, a, b): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalkReaderFactory(steps, seed, lo, hi)
+    new WalkReaderFactory(steps, seed, lo, hi, required)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 final case class WalkPartition(key: String, from: Long, until: Long) extends InputPartition
 
-final class WalkReaderFactory(steps: Long, seed: String, lo: Long, hi: Long)
+final class WalkReaderFactory(steps: Long, seed: String, lo: Long, hi: Long,
+    required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalkPartition]
-    new WalkReader(p.key, steps, seed, math.max(lo, p.from), math.min(hi, p.until - 1))
+    new WalkReader(p.key, steps, seed, math.max(lo, p.from),
+      math.min(hi, p.until - 1), required)
   }
 }
 
@@ -172,11 +184,16 @@ final class WalkReaderFactory(steps: Long, seed: String, lo: Long, hi: Long)
   * rows emit only inside the range — `advanceState()`/`getNextTime()` as
   * an iterator.
   */
-final class WalkReader(key: String, steps: Long, seed: String, lo: Long, hi: Long)
+final class WalkReader(key: String, steps: Long, seed: String, lo: Long,
+    hi: Long, required: StructType)
     extends PartitionReader[InternalRow] {
   private val last = math.min(steps - 1, hi)
   private var i = -1L
   private var v = 0L
+  private val k8 = UTF8String.fromString(key)
+  // pruned projection, resolved once per reader (not per row)
+  private val cols: Array[Int] =
+    required.fieldNames.map(WalkDataSource.schema.fieldIndex)
 
   override def next(): Boolean = {
     i += 1
@@ -188,7 +205,12 @@ final class WalkReader(key: String, steps: Long, seed: String, lo: Long, hi: Lon
   }
 
   override def get(): InternalRow =
-    InternalRow(i, i, UTF8String.fromString(key), v)
+    InternalRow.fromSeq(cols.toSeq.map {
+      case 0 => i // ts
+      case 1 => i // seq
+      case 2 => k8
+      case 3 => v
+    })
 
   override def close(): Unit = ()
 }

