@@ -61,6 +61,39 @@ class ScaleSpec extends SparkSpec {
     joined.count() shouldBe 500L
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // One key holds ~99% of the left side. With thresholds scaled to the
+    // fixture, AQE's OptimizeSkewedJoin must split that partition into
+    // multiple tasks instead of letting one straggler carry the join —
+    // the runtime answer to skew the salting operator solves statically.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "1.0")
+      s.conf.set(keys(1), "8KB")
+      s.conf.set(keys(2), "8KB")
+      s.conf.set(keys(3), "-1") // keep the join sort-merge shaped
+      val left = s.range(0, 200000).select(
+        when(col("id") % 100 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k").agg(count(lit(1)).as("n"))
+      val n = j.collect().head.getLong(0)
+      val plan = j.queryExecution.executedPlan.toString
+      withClue(plan) { plan should include("skew=true") }
+      // rows with k=0 match right's k=0 row; k=100,200,...<1000 also match
+      n shouldBe 198000L + 10L
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("banded LSH candidate sets stay far below all-pairs " +
     "(dedup_simhash_pairs / emb_neardup shape)") {
     // synthetic signatures: 200 random-ish 60-bit values (md5-derived,
