@@ -582,6 +582,34 @@ object RelationalQueries {
            SELECT node, rank_q FROM ranked
            ORDER BY rank_q DESC, node LIMIT 20""")),
 
+    // Incremental rollup maintenance: the HISTORY partial aggregate
+    // (orders before 1999) merges with the DELTA partial (1999+) by
+    // summing partial states — no rescan of history. This is how a daily
+    // 100 TB rollup actually runs: per-day partials are KB-sized
+    // (group, decimal sum, count) rows, and the merge is algebraic
+    // because decimal sums and counts are associative+commutative. The
+    // oracle is the DIRECT aggregation over everything — merged partials
+    // must be indistinguishable from a full recompute.
+    QueryDef(
+      "ord_incremental_rollup",
+      (s, dir) => {
+        val o = ord(s, dir)
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy("o_orderpriority")
+            .agg(Q.dsum(col("o_totalprice")).as("ps"), count(lit(1)).as("pn"))
+        val cut = expr("timestamp'1999-01-01 00:00:00'")
+        partial(o.filter(col("o_orderdate") < cut))
+          .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("ps")).cast("double").as("total"),
+            sum(col("pn")).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+               sum(o_totalprice::decimal(38,6))::double AS total,
+               count(*) AS n
+             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Supplier×nation rollup through a broadcast dim chain.
     QueryDef(
       "supp_nation",

@@ -72,4 +72,58 @@ class StreamResumeSpec extends SparkSpec {
     Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
   }
+
+  test("transformWithState (EWMA) value-state survives a restart") {
+    // Same two-incarnation harness, the OTHER state backend: EwmaScan runs
+    // on transformWithState + the RocksDB provider. The post-restart
+    // emissions depend on the pre-restart running value — bit-exact
+    // equality with a driver-side fold proves ValueState round-tripped.
+    val s = spark
+    import s.implicits._
+    val lambda = 0.25
+    val all = for (i <- 0 until 20)
+      yield KeyedEvent("a", 1000L * (i + 1), i.toLong, (i % 7 + 1).toDouble)
+
+    val root = Files.createTempDirectory("graft_ewma_resume_").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(Paths.get(srcDir))
+    all.filter(_.seq < 10).toDS().coalesce(1).write.parquet(s"$root/h1")
+    all.filter(_.seq >= 10).toDS().coalesce(1).write.parquet(s"$root/h2")
+    def feed(half: String): Unit =
+      Files.list(Paths.get(s"$root/$half")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p,
+          Paths.get(srcDir, half + "_" + p.getFileName.toString)))
+
+    def incarnation(): Unit = {
+      val in = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[KeyedEvent]].schema)
+        .parquet(srcDir).as[KeyedEvent]
+      val q = graft.streaming.EwmaScan(in, lambda)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      feed("h1"); incarnation()
+      feed("h2"); incarnation()
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    val got = s.read.parquet(s"$root/out")
+      .orderBy("seq").select("seq", "ewma").as[(Long, Double)].collect().toSeq
+    val expect = all.map(_.v)
+      .scanLeft(Option.empty[Double]) {
+        case (None, v) => Some(v)
+        case (Some(prev), v) => Some(lambda * v + (1 - lambda) * prev)
+      }.tail.map(_.get).zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    got shouldBe expect // bit-exact: event 10's ewma folds event 9's state
+
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
 }
