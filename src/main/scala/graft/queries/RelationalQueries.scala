@@ -523,6 +523,82 @@ object RelationalQueries {
              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // CUBE grouping sets: all four aggregation granularities of
+    // (status, priority) in one pass — Spark's Expand produces the
+    // grouping-set rows before the single shuffle, so the cost is
+    // rows × sets on the map side, one exchange total.
+    QueryDef(
+      "ord_cube",
+      (s, dir) =>
+        ord(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             sum(o_totalprice::decimal(38,6))::double AS total
+             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // The full ranking-window family beyond row_number: rank/dense_rank
+    // (gap semantics), ntile (equi-depth binning), percent_rank/cume_dist
+    // (normalized positions). Ordering key is (totalprice, orderkey) —
+    // unique, so every engine ranks identically; the two normalized
+    // columns are single double divisions of identical integers.
+    QueryDef(
+      "ord_rank_family",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .filter(col("o_orderkey") % 100 === 0) // sample the output rows
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, rnk, quartile, pr, cd
+             FROM (SELECT o_orderpriority, o_orderkey,
+                     rank() OVER w AS rnk,
+                     ntile(4) OVER w AS quartile,
+                     percent_rank() OVER w AS pr,
+                     cume_dist() OVER w AS cd
+                   FROM orders
+                   WINDOW w AS (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey))
+             WHERE o_orderkey % 100 = 0
+             ORDER BY o_orderpriority, o_orderkey""")),
+
+    // Pivot: per-month order counts spread across priority-class columns
+    // (Spark `pivot` compiles to the same conditional partial aggregation
+    // as q12 — one shuffle of (month, 5 counters) rows). The oracle states
+    // the equivalent CASE aggregation.
+    QueryDef(
+      "ord_pivot_priority",
+      (s, dir) =>
+        ord(s, dir)
+          .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+            col("o_orderpriority"))
+          .groupBy("ym")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("ym"), col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+            col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspec"),
+            col("5-LOW").as("low"))
+          .orderBy("ym"),
+      Some("""SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+             count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+             count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+             count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+             count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspec,
+             count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+             FROM orders GROUP BY ym ORDER BY ym""")),
+
     // One PageRank power-iteration step over the part→supplier edge graph
     // (the iterative-linear-algebra twin of ConnectedComponents' label
     // propagation). Determinism: ranks are QUANTIZED integers (1e12 units
