@@ -65,6 +65,53 @@ object ScaleCurve {
         EStream(e.drop("k")).foldAllAssoc(("run", col("v"), "sum"))
           .df.agg(count(col("run"))).first().getLong(0)
       }
+      // MinHash+LSH near-dup at n/10 documents (arrays are ~20× wider than
+      // event rows): synthetic 20-shingle-hash docs, every 100th a planted
+      // near-dup of its predecessor (18/22 shared ⇒ jaccard 0.818). The
+      // measured quantity is the LSH pipeline's core claim: candidate
+      // generation stays bounded by band buckets (rows_out ≈ planted
+      // pairs), never all-pairs.
+      val nd = n / 10
+      time("minhash_lsh", nd) {
+        val M = 2147483647L
+        val isDup = col("doc_id") % 100 === 1
+        val src = when(isDup, col("doc_id") - 1).otherwise(col("doc_id"))
+        val d = spark.range(nd).select(
+          col("id").as("doc_id"),
+          transform(sequence(lit(0L), lit(19L)), i =>
+            when(isDup && i >= 18, xxhash64(col("id"), i))
+              .otherwise(xxhash64(when(isDup, col("id") - 1)
+                .otherwise(col("id")), i))).as("hs"))
+          .select(col("doc_id"),
+            transform(col("hs"), h => pmod(h, lit(M))).as("hs"))
+          .persist()
+        val sigs = d.select(col("doc_id") +: (0 until 8).map { j =>
+          array_min(transform(col("hs"),
+            h => (h * (1000003L * (j + 1) % M) + 998244353L * (j + 7) % M) % M))
+            .as(s"mh$j")
+        }: _*)
+        val banded = sigs.select(
+          col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b))
+                .as("bh"))): _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val pairs = cand
+          .join(d.select(col("doc_id").as("id_a"), col("hs").as("sa")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("hs").as("sb")), "id_b")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .filter(col("inter").cast("double") /
+            (lit(40) - col("inter")) >= 0.8)
+          .count()
+        d.unpersist()
+        pairs
+      }
     }
     spark.stop()
   }
