@@ -952,6 +952,247 @@ object RelationalQueries {
                  SELECT 1 FROM orders
                  WHERE o_custkey = c_custkey
                    AND o_orderdate >= TIMESTAMP '2001-01-01')
-             GROUP BY c_nationkey ORDER BY c_nationkey"""))
+             GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // TPC-H Q2 shape: min-cost supplier per part within a region. The
+    // schema has no partsupp table, so the part-supplier catalog is DERIVED:
+    // min observed unit price per (part, supplier) — same derivation the
+    // PageRank query uses. Plan: the part filter broadcasts into the derived
+    // fact FIRST (prunes before the supplier join), dims broadcast, and the
+    // per-part minimum is a window over the already-tiny filtered set (no
+    // second self-join pass). min() over doubles is order-independent, so
+    // the equality `cost = mc` is exact on both engines.
+    QueryDef(
+      "q2_min_cost_supp",
+      (s, dir) => {
+        val ps = li(s, dir)
+          .join(broadcast(prt(s, dir).filter(col("p_size") === 15)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min("unit").as("cost"))
+        val eu = ps
+          .join(supp(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"), col("cost"))
+        import org.apache.spark.sql.expressions.Window
+        eu.withColumn("mc", min("cost").over(Window.partitionBy("p_partkey")))
+          .filter(col("cost") === col("mc"))
+          .drop("mc")
+      },
+      Some("""WITH ps AS (
+               SELECT l_partkey, l_suppkey, min(l_extendedprice/l_quantity) AS cost
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_size = 15 GROUP BY 1, 2),
+             eu AS (
+               SELECT l_partkey, s_name, n_name, cost
+               FROM ps JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE')
+             SELECT l_partkey AS p_partkey, s_name, n_name, cost
+             FROM (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS mc FROM eu)
+             WHERE cost = mc""")),
+
+    // TPC-H Q8 shape: national market share — one nation's revenue fraction
+    // of a region×part-type market, per year. The fact shuffles twice
+    // (orders, then nothing else: every dimension broadcasts, including the
+    // second nation alias for the supplier side). The share is a conditional
+    // decimal sum over the total decimal sum — one double division at the
+    // boundary, partial-agg friendly all the way.
+    QueryDef(
+      "q8_market_share",
+      (s, dir) => {
+        val supNat = supp(s, dir)
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custRegion = cust(s, dir)
+          .join(broadcast(nat(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "AMERICA")
+          .select("c_custkey")
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        li(s, dir)
+          .join(broadcast(prt(s, dir).filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((Q.dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0)))
+            .cast("double") / Q.dsum(vol).cast("double")).as("mkt_share"))
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+               sum((CASE WHEN sn.n_name = 'NATION_3'
+                    THEN l_extendedprice*(1-l_discount) ELSE 0 END)::decimal(38,6))::double
+               / sum((l_extendedprice*(1-l_discount))::decimal(38,6))::double AS mkt_share
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+             WHERE p_type = 'ECONOMY'
+               AND o_custkey IN (
+                 SELECT c_custkey FROM customer
+                 JOIN nation cn ON c_nationkey = cn.n_nationkey
+                 JOIN region ON cn.n_regionkey = r_regionkey
+                 WHERE r_name = 'AMERICA')
+             GROUP BY 1""")),
+
+    // TPC-H Q9 shape: product-type profit by supplier nation and year.
+    // Profit = revenue − derived supply cost × quantity, computed per ROW in
+    // IEEE double (deterministic), QUANTIZED to integer micro-units
+    // (floor(x*1e6+0.5) — identical IEEE ops then an exact floor in both
+    // engines; unlike a double→decimal cast there is no rounding-mode
+    // divergence), exact-int-summed per group, one double division at the
+    // boundary. The derived (part,supplier) cost rejoins the fact on its
+    // compound key — one extra fact-sized shuffle; the part filter
+    // broadcasts into BOTH the fact and the derivation so the catalog is
+    // only built for matching parts.
+    QueryDef(
+      "q9_product_profit",
+      (s, dir) => {
+        val redParts = broadcast(prt(s, dir).filter(col("p_name").like("%red%"))
+          .select("p_partkey"))
+        val liRed = li(s, dir).join(redParts, col("l_partkey") === col("p_partkey"))
+        val ps = liRed
+          .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          .groupBy("ps_partkey", "ps_suppkey")
+          .agg(min("unit").as("ps_cost"))
+        liRed
+          .join(ps, col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+          .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg((sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("ps_cost") * col("l_quantity")) * lit(1e6) + lit(0.5)))
+            .cast("double") / lit(1e6)).as("profit"))
+      },
+      Some("""WITH ps AS (
+               SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                      min(l_extendedprice/l_quantity) AS ps_cost
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_name LIKE '%red%' GROUP BY 1, 2)
+             SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               sum(floor((l_extendedprice*(1-l_discount) - ps_cost*l_quantity)*1e6 + 0.5)::bigint)::double / 1e6 AS profit
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN orders ON l_orderkey = o_orderkey
+             WHERE p_name LIKE '%red%'
+             GROUP BY 1, 2""")),
+
+    // TPC-H Q11 shape: parts whose stock value in one nation exceeds a
+    // fraction of the nation's total — a global-scalar threshold. The total
+    // is a 1-row broadcast; the fraction compare stays in DECIMAL on both
+    // engines (val_dec*1000 > total — integer multiply, no float rounding at
+    // the decision boundary). Value per (part,supplier) = cost × availqty in
+    // IEEE double per row, decimal-summed upward.
+    QueryDef(
+      "q11_important_stock",
+      (s, dir) => {
+        val ps = li(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(Q.dsumD(col("l_quantity")).as("availqty"), min("unit").as("cost"))
+        val natSupp = broadcast(supp(s, dir)
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_7")
+          .select("s_suppkey"))
+        val v = ps.join(natSupp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum((col("cost") * col("availqty")).cast("decimal(38,6)")).as("val_dec"))
+        val total = v.agg(sum("val_dec").as("total"))
+        v.join(broadcast(total))
+          .filter(col("val_dec") * lit(1000) > col("total"))
+          .select(col("l_partkey").as("p_partkey"), col("val_dec").cast("double").as("value"))
+      },
+      Some("""WITH ps AS (
+               SELECT l_partkey, l_suppkey,
+                      sum(l_quantity::decimal(38,6))::double AS availqty,
+                      min(l_extendedprice/l_quantity) AS cost
+               FROM lineitem GROUP BY 1, 2),
+             v AS (
+               SELECT l_partkey, sum((cost*availqty)::decimal(38,6)) AS val_dec
+               FROM ps JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_7' GROUP BY 1),
+             t AS (SELECT sum(val_dec) AS total FROM v)
+             SELECT l_partkey AS p_partkey, val_dec::double AS value
+             FROM v, t WHERE val_dec*1000 > total""")),
+
+    // TPC-H Q16 shape: supplier diversity per part attribute bucket, with a
+    // NOT-IN exclusion (suppliers in deficit stand in for the reference's
+    // complaint filter) — LEFT ANTI against a broadcast exclusion set, then
+    // count(DISTINCT) over the derived part-supplier pairs.
+    QueryDef(
+      "q16_supplier_cnt",
+      (s, dir) => {
+        val ps = li(s, dir).select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = broadcast(supp(s, dir).filter(col("s_acctbal") < 0)
+          .select("s_suppkey"))
+        ps.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(prt(s, dir).filter(col("p_brand") =!= "BRAND_1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 9, 15, 23, 31, 42, 50))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             FROM ps JOIN part ON l_partkey = p_partkey
+             WHERE p_brand <> 'BRAND_1' AND p_type <> 'PROMO'
+               AND p_size IN (1, 9, 15, 23, 31, 42, 50)
+               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             GROUP BY 1, 2, 3""")),
+
+    // TPC-H Q20 shape: suppliers whose RECENT shipments of a part family
+    // dominate their all-time volume (> half) — a per-group threshold
+    // semi-join. Both sides of the threshold stay DECIMAL (recent*2 >
+    // total: integer multiply, exact compare), the part-family filter
+    // broadcasts into the fact, and only the distinct qualifying suppliers
+    // reach the dimension join.
+    QueryDef(
+      "q20_active_supp",
+      (s, dir) => {
+        val sh = li(s, dir)
+          .join(broadcast(prt(s, dir).filter(col("p_name").like("small%"))
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(
+            Q.dsum(col("l_quantity")).as("total_q"),
+            Q.dsum(when(col("l_shipdate") >= expr("timestamp'2000-01-01 00:00:00'"),
+              col("l_quantity")).otherwise(lit(0))).as("recent_q"))
+          .filter(col("recent_q") * lit(2) > col("total_q"))
+          .select("l_suppkey").distinct()
+        sh.join(supp(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""WITH sh AS (
+               SELECT l_partkey, l_suppkey,
+                 sum(l_quantity::decimal(38,6)) AS total_q,
+                 sum((CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+                      THEN l_quantity ELSE 0 END)::decimal(38,6)) AS recent_q
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_name LIKE 'small%'
+               GROUP BY 1, 2)
+             SELECT DISTINCT s_suppkey, s_name, n_name
+             FROM sh JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA' AND recent_q*2 > total_q"""))
   )
 }
