@@ -504,6 +504,27 @@ object TextQueries {
              AS n_chars_red,
            ${Q.hash60Sql(s"regexp_replace(text, '$pat', '<PII>', 'g')")} AS red_fp
            FROM documents ORDER BY doc_id"""
-      })
+      }),
+
+    // Exact heavy-hitter tokens (> 3.3% of all token occurrences) via
+    // operators.HeavyHitters: pass 1 = bounded Misra-Gries candidate sketch
+    // (map-side combinable, ≤k counters cross the wire), pass 2 = exact
+    // recount of candidates only. The sketch PRUNES, the recount DECIDES —
+    // so the oracle is plain exact SQL and the threshold compare stays
+    // integral (cnt*1000 > N*33: no float at the boundary). At 100 TB this
+    // is the shape that avoids hash-aggregating an unbounded token universe.
+    QueryDef(
+      "doc_heavy_tokens",
+      (s, dir) => {
+        val tokens = docs(s, dir).select(explode(toks).as("token"))
+        graft.operators.HeavyHitters.exact(tokens, "token",
+          phiNum = 33, phiDen = 1000, k = 64)
+      },
+      Some("""WITH toks AS (
+               SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             n AS (SELECT count(*) AS n FROM toks)
+             SELECT token, count(*) AS cnt
+             FROM toks, n GROUP BY token, n.n
+             HAVING count(*)*1000 > n.n*33"""))
   )
 }
