@@ -1689,6 +1689,77 @@ object CoreQueries {
                                        ORDER BY epoch_us(ts), event_id))
                    WINDOW cum AS (ORDER BY epoch_us(ts), event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             ORDER BY event_id"""))
+             ORDER BY event_id""")),
+
+    // ---- TWAP: time-weighted average value per key ----------------------
+    // The financial twin of the VWAP bucket: each observation is weighted
+    // by how long it was the LIVE value (until the next event), i.e. the
+    // step-function integral an as-of sampler would see. Determinism:
+    // values quantize to exact integer cents (2-dp source data), durations
+    // are exact epoch-µs longs, cents×µs products decimal-sum (a long
+    // accumulator could overflow at ~10^20), and the boundary is two
+    // IEEE divisions in identical order. One window pass + one groupBy —
+    // both partition by key, so the 100 TB plan is a single shuffle.
+    QueryDef(
+      "ev_twap",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "seq")
+        evKeyed(s, dir)
+          .map("next_ts" -> lead(col("ts"), 1).over(w),
+            "cents" -> floor(col("value") * 100 + 0.5))
+          .filter(col("next_ts").isNotNull)
+          .df
+          .groupBy("user_id")
+          .agg(
+            // multiply in decimal, not long×long: Spark's non-ANSI long
+            // product would wrap silently on extreme value×gap outliers
+            (sum(col("cents").cast("decimal(18,0)") *
+              (col("next_ts") - col("ts")).cast("decimal(18,0)"))
+              .cast("double") /
+              sum(col("next_ts") - col("ts")).cast("double") /
+              lit(100.0)).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_us(ts) AS t,
+                      floor(value*100 + 0.5)::bigint AS cents,
+                      lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS nt
+               FROM events)
+             SELECT user_id,
+               sum(cents::decimal(18,0) * (nt - t)::decimal(18,0))::double
+                 / sum(nt - t)::double / 100.0 AS twap
+             FROM e WHERE nt IS NOT NULL
+             GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Cohort retention: first-seen week × activity-week offsets ------
+    // The events-warehouse staple. cohort = each user's first activity
+    // week (exact integer µs-div), activity = distinct (user, week); the
+    // matrix is exact distinct-user counts per (cohort, offset). Plan:
+    // both aggs and the join key on user_id — ONE shuffle partitioning
+    // serves min-week, distinct, and the join; the final tiny matrix agg
+    // is the only re-shuffle.
+    QueryDef(
+      "ev_cohort_retention",
+      (s, dir) => {
+        val week = expr("ts div 604800000000")
+        val first = ev(s, dir).df.groupBy("user_id")
+          .agg(min(week).as("cohort_w"))
+        val act = ev(s, dir).df.select(col("user_id"), week.as("w")).distinct()
+        act.join(first, "user_id")
+          .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_w", "offset_w")
+      },
+      Some("""WITH fw AS (
+               SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_w
+               FROM events GROUP BY 1),
+             act AS (
+               SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+               FROM events)
+             SELECT cohort_w, w - cohort_w AS offset_w, count(*) AS n_users
+             FROM act JOIN fw USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

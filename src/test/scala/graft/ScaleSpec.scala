@@ -44,6 +44,29 @@ class ScaleSpec extends SparkSpec {
     back.count() shouldBe docs.filter(col("lang") === "en").count()
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions " +
+    "at runtime") {
+    // star-schema 100 TB staple: fact partitioned by the join key, dim
+    // filtered at runtime — the fact scan must receive a dynamicpruning
+    // subquery (built from the broadcast dim) instead of reading all
+    // partitions and filtering after the join.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.range(10000)
+      .select(col("id"), (col("id") % 50).as("k"))
+      .write.mode("overwrite").partitionBy("k").parquet(s"$dir/fact")
+    spark.range(50)
+      .select(col("id").as("k"), (col("id") % 10).as("grp"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === 3)
+    val joined = fact.join(dim, "k")
+    joined.count() shouldBe 1000L // 5 of 50 keys survive the dim filter
+    val plan = joined.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan.toLowerCase should include("dynamicpruning")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bkt_left")
     spark.sql("DROP TABLE IF EXISTS bkt_right")
