@@ -795,6 +795,61 @@ object CoreQueries {
                                      AND epoch_us(p.ts)
              ORDER BY p_id, c_id""")),
 
+    // LEFT OUTER stream-stream join: same purchase×click range join, but
+    // unmatched purchases must ALSO emit (null-extended) — which only
+    // happens when the watermark passes the point where a match is still
+    // possible (state eviction). The oracle models exactly that: the final
+    // watermark is min(max purchase ts, max click ts) (each side's event-
+    // time column is observed post-filter), and an unmatched purchase
+    // null-emits iff p_time < watermark — purchases at/after it are still
+    // parked in the state store when the stream ends, by design. Matched
+    // pairs emit on arrival regardless.
+    QueryDef(
+      "stream_outer_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def side(tpe: String, pfx: String) =
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_uid"),
+              col("event_id").as(s"${pfx}_id"),
+              col("value").as(s"${pfx}_val"),
+              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+            .withWatermark(s"${pfx}_time", "0 seconds")
+        val joined = side("purchase", "p").join(side("click", "c"),
+          expr("""p_uid = c_uid AND
+                  c_time BETWEEN p_time - INTERVAL 1 HOUR AND p_time"""),
+          "left_outer")
+        val name = "stream_soj_" + System.nanoTime()
+        val sq = joined
+          .select(col("p_id"), col("c_id"), col("p_val"), col("c_val"))
+          .writeStream.queryName(name).format("memory").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("p_id", "c_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+                  c AS (SELECT * FROM events WHERE event_type='click'),
+                  w AS (SELECT least((SELECT max(epoch_us(ts)) FROM p),
+                                     (SELECT max(epoch_us(ts)) FROM c)) AS wm)
+             SELECT p.event_id AS p_id, c.event_id AS c_id,
+                    p.value AS p_val, c.value AS c_val
+             FROM p JOIN c ON p.user_id = c.user_id
+              AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                     AND epoch_us(p.ts)
+             UNION ALL
+             SELECT p.event_id, NULL, p.value, NULL
+             FROM p, w
+             WHERE epoch_us(p.ts) < wm
+               AND NOT EXISTS (
+                 SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                         AND epoch_us(p.ts))
+             ORDER BY p_id, c_id""")),
+
     // ---- the multi-input bucket ON THE STREAMING PATH under the gate:
     // scespet bucketStream.bind(purchases).bind(clicks).reset(1.day) as
     // tag + union BEFORE the windowed stateful agg (the same shape as
