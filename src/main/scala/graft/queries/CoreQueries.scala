@@ -1788,6 +1788,36 @@ object CoreQueries {
              FROM e WHERE nt IS NOT NULL
              GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- Trailing (sliding) time window: per-event last-hour stats ------
+    // scespet's slices are tumbling/trigger-bound; the trailing-RANGE
+    // window is the sliding complement (per event: aggregate over
+    // [ts-1h, ts] of its key). A RANGE frame over the epoch-µs long —
+    // keyed partitions, no self-join, no explode: one window pass, and
+    // peer rows (equal ts) enter the frame identically in both engines.
+    QueryDef(
+      "ev_trailing_1h",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600000000L, 0L)
+        evKeyed(s, dir)
+          .map("event_id" -> col("seq"),
+            "n_1h" -> count(lit(1)).over(w),
+            "sum_1h" -> sum(col("value").cast("decimal(38,6)")).over(w)
+              .cast("double"),
+            "max_1h" -> max(col("value")).over(w))
+          .df.select("event_id", "n_1h", "sum_1h", "max_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+               count(*) OVER w AS n_1h,
+               (sum(value::decimal(38,6)) OVER w)::double AS sum_1h,
+               max(value) OVER w AS max_1h
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
+
     // ---- Cohort retention: first-seen week × activity-week offsets ------
     // The events-warehouse staple. cohort = each user's first activity
     // week (exact integer µs-div), activity = distinct (user, week); the

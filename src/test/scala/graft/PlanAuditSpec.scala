@@ -165,4 +165,45 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("q2/q8/q9: every dimension in the TPC-H tail broadcasts; no " +
+    "cartesian products") {
+    for (q <- Seq("q2_min_cost_supp", "q8_market_share", "q9_product_profit")) {
+      val plan = finalPlan(q)
+      withClue(s"$q:\n$plan") {
+        plan should include("BroadcastHashJoin")
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  /** AQE plans print Final AND Initial sections — count nodes in the
+    * final section only. */
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  test("doc_heavy_tokens: the recount pass filters candidates BEFORE its " +
+    "exchange — only candidate rows shuffle") {
+    val df = SparkEntry.queries("doc_heavy_tokens")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // the isInCollection candidate gate sits below the aggregate's
+      // exchange: a Filter containing the token column appears, and the
+      // plan has exactly the one hash exchange of the final groupBy
+      plan should include("Filter")
+      "hashpartitioning\\(token".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
+  test("ev_twap: lead-window and final agg share the user_id partitioning " +
+    "— exactly one hash exchange") {
+    val df = SparkEntry.queries("ev_twap")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      "hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    }
+  }
 }
