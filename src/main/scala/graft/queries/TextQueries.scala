@@ -525,6 +525,41 @@ object TextQueries {
              n AS (SELECT count(*) AS n FROM toks)
              SELECT token, count(*) AS cnt
              FROM toks, n GROUP BY token, n.n
-             HAVING count(*)*1000 > n.n*33"""))
+             HAVING count(*)*1000 > n.n*33""")),
+
+    // Single-pass data-quality audit (operators.Quality): four Deequ-style
+    // constraints — completeness, key uniqueness, a row predicate, and a
+    // cross-column consistency invariant — computed in ONE aggregation
+    // over one scan. Verdicts compare integer metric pairs (num*rd >=
+    // den*rn), so pass/fail is bit-stable and SQL-expressible.
+    QueryDef(
+      "doc_quality_audit",
+      (s, dir) => {
+        import graft.operators.Quality._
+        audit(docs(s, dir), Seq(
+          complete("text_complete", col("text"), 1, 1),
+          unique("doc_id_unique", col("doc_id"), 1, 1),
+          satisfies("n_chars_positive", col("n_chars") > 0, 999, 1000),
+          satisfies("n_chars_consistent",
+            length(col("text")) === col("n_chars"), 1, 1)))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (SELECT
+               count(text) AS n0, count(*) AS d0,
+               count(DISTINCT doc_id) AS n1, count(*) AS d1,
+               count(CASE WHEN n_chars > 0 THEN 1 END) AS n2, count(*) AS d2,
+               count(CASE WHEN length(text) = n_chars THEN 1 END) AS n3,
+               count(*) AS d3
+             FROM documents)
+             SELECT * FROM (
+               SELECT 'text_complete' AS check_name, n0 AS num, d0 AS den,
+                      n0*1 >= d0*1 AS pass FROM m
+               UNION ALL
+               SELECT 'doc_id_unique', n1, d1, n1*1 >= d1*1 FROM m
+               UNION ALL
+               SELECT 'n_chars_positive', n2, d2, n2*1000 >= d2*999 FROM m
+               UNION ALL
+               SELECT 'n_chars_consistent', n3, d3, n3*1 >= d3*1 FROM m)
+             ORDER BY check_name"""))
   )
 }
