@@ -112,6 +112,19 @@ object ScaleCurve {
         d.unpersist()
         pairs
       }
+      // Heavy hitters: 50 planted heavy tokens (~0.5% each) in a tail of
+      // n/100 distinct types. The claim measured: the Misra-Gries pass
+      // ships ≤k counters per partition and the recount shuffles only
+      // candidate rows — wall-clock tracks the SCAN, not the type universe.
+      time("heavy_hitters", n) {
+        val toks = spark.range(n).select(
+          when(pmod(hash(col("id")), lit(4)) === 0,
+            concat(lit("hot_"), pmod(hash(col("id"), lit(1)), lit(50))))
+            .otherwise(concat(lit("tail_"), pmod(hash(col("id"), lit(2)),
+              lit(n / 100)))).as("token"))
+        graft.operators.HeavyHitters
+          .exact(toks, "token", phiNum = 4, phiDen = 1000, k = 512).count()
+      }
     }
     spark.stop()
   }
