@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+
+/** Full Lloyd loop: planted well-separated clusters are recovered exactly,
+  * the fixed point is stable, and the result is partitioning-independent
+  * (the determinism contract every operator in this engine carries).
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 300 points in 8-dim: three planted clusters around axes e0/e3/e6 with
+  // small hash-derived perturbations — separation >> noise.
+  private def points = spark.range(300).select(
+    col("id"),
+    transform(sequence(lit(0), lit(7)), i => {
+      val axis = (col("id") % 3).cast("int") * 3 // 0, 3, 6
+      val noise = pmod(hash(col("id"), i), lit(100)).cast("double") / 1000.0
+      when(i === axis, lit(1.0) + noise).otherwise(noise)
+    }).as("v"))
+
+  test("planted clusters are recovered exactly and the fixed point is stable") {
+    val (cents, assign) = KMeans.run(points, k = 3, iterations = 5)
+    val a = assign.as[(Long, Int)].collect().toMap
+    // every planted group lands in ONE cell, groups in distinct cells
+    val byPlant = (0 until 3).map(g => (0 until 300).filter(_ % 3 == g)
+      .map(i => a(i.toLong)).toSet)
+    byPlant.foreach(_.size shouldBe 1)
+    byPlant.flatten.toSet.size shouldBe 3
+    // one more iteration does not move the centroids (converged)
+    val (cents2, _) = KMeans.run(points, k = 3, iterations = 6)
+    cents2.map(_.v.toSeq) shouldBe cents.map(_.v.toSeq)
+  }
+
+  test("result is partitioning-independent (exact-integer mean accumulation)") {
+    val (c1, a1) = KMeans.run(points, 3, 3)
+    val (c7, a7) = KMeans.run(points.repartition(7), 3, 3)
+    c7.map(_.v.toSeq) shouldBe c1.map(_.v.toSeq)
+    a7.orderBy("id").collect() shouldBe a1.orderBy("id").collect()
+  }
+}
