@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed by per-partition batch functions.
@@ -180,6 +180,85 @@ object Codecs {
           r.copy(blob = b, meta = r.meta.copy(width = w, height = h)))
       }
     }
+  }
+
+  /** 64-bit average perceptual hash (aHash) over REAL decoded pixels —
+    * the image twin of the text SimHash: near-identical images (re-encode,
+    * slight noise, small edits) land within a few Hamming bits.
+    *
+    * Deterministic by construction: integer Rec.601 luma, an 8×8 box
+    * average computed as EXACT integer sums over the full-resolution grid
+    * (no Graphics2D resampling in the signature path — resampling is
+    * renderer-dependent), and each bit decided by the exact cross-
+    * multiplication `cellSum * N > totalSum * cellCount` (no division).
+    */
+  def aHash(blob: Array[Byte]): Option[Long] =
+    decodeImage(blob).flatMap { case (w, h, px) =>
+      if (w < 8 || h < 8) None
+      else {
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = px(y * w + x)
+            val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            val c = cy * 8 + x * 8 / w
+            sums(c) += luma
+            cnts(c) += 1
+            total += luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var bits = 0L
+        var c = 0
+        while (c < 64) {
+          if (sums(c) * n > total * cnts(c)) bits |= (1L << c)
+          c += 1
+        }
+        Some(bits)
+      }
+    }
+
+  final case class ImageHash(id: Long, phash: Long)
+
+  /** Partition-batched perceptual hashes: blobs stay local, 16 bytes out
+    * per image. Undecodable/tiny rows drop.
+    */
+  def imageHashes(rows: Dataset[Multimodal.MediaRow]): Dataset[ImageHash] = {
+    implicit val enc: Encoder[ImageHash] = Encoders.product[ImageHash]
+    rows.mapPartitions(it => it.flatMap(r => aHash(r.blob).map(ImageHash(r.id, _))))
+  }
+
+  /** Image near-dup pairs: 4×16-bit Hamming banding over the aHash (the
+    * SimHash banding shape — pigeonhole-exact for Hamming distance ≤ 3:
+    * any such pair agrees on at least one full band), then an exact
+    * `bit_count(xor)` verify. Candidate generation joins narrow
+    * (id, band, value) rows — never all-pairs, never blobs.
+    */
+  def imageNearDups(rows: Dataset[Multimodal.MediaRow], maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    val hashes = imageHashes(rows).toDF("id", "phash")
+    val banded = hashes.select(col("id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("e"))
+      .select(col("id"), col("phash"), col("e.band"), col("e.bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Decode an audio blob to 16-bit PCM samples via `javax.sound.sampled`

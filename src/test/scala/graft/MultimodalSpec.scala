@@ -127,4 +127,33 @@ class MultimodalSpec extends SparkSpec {
     stats.head.nSamples shouldBe 100L
     stats.head.meanAbs shouldBe 1000.0
   }
+
+  test("Codecs.aHash + imageNearDups: re-encoded/noised image pairs with " +
+    "the original; a different image does not") {
+    import graft.multimodal.Codecs
+    // 32×32 horizontal gradient; dup = same with a few noised pixels;
+    // other = vertical gradient (different structure entirely)
+    val base = png(32, 32, (x, _) => { val v = x * 8; v << 16 | v << 8 | v })
+    val dup = png(32, 32, (x, y) => {
+      val v = if ((x, y) == (5, 5) || (x, y) == (20, 11)) 255 else x * 8
+      v << 16 | v << 8 | v
+    })
+    val other = png(32, 32, (_, y) => { val v = 255 - y * 8; v << 16 | v << 8 | v })
+    val junk = "not an image".getBytes("UTF-8")
+
+    val Some(hBase) = Codecs.aHash(base)
+    val Some(hDup) = Codecs.aHash(dup)
+    val Some(hOther) = Codecs.aHash(other)
+    java.lang.Long.bitCount(hBase ^ hDup) should be <= 3
+    java.lang.Long.bitCount(hBase ^ hOther) should be > 3
+
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, base, MediaMeta("image", 32, 32, 0, 1)),
+      MediaRow(2L, dup, MediaMeta("image", 32, 32, 0, 1)),
+      MediaRow(3L, other, MediaMeta("image", 32, 32, 0, 1)),
+      MediaRow(4L, junk, MediaMeta("image", 0, 0, 0, 0)))).repartition(3)
+    val pairs = Codecs.imageNearDups(ds, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
 }
