@@ -560,6 +560,39 @@ object TextQueries {
                SELECT 'n_chars_positive', n2, d2, n2*1000 >= d2*999 FROM m
                UNION ALL
                SELECT 'n_chars_consistent', n3, d3, n3*1 >= d3*1 FROM m)
-             ORDER BY check_name"""))
+             ORDER BY check_name""")),
+
+    // Context-window chunking: split each document into fixed-size token
+    // chunks with overlap (size 50, stride 40) — the precursor to sequence
+    // packing in an LLM training pipeline. Pure map + explode (row counts
+    // grow by len/stride, never quadratic), chunk identity pinned by a
+    // cross-engine fingerprint of the joined tokens. Start sets agree by
+    // construction: Spark's inclusive sequence(0, len-1, 40) ≡ DuckDB's
+    // exclusive range(0, len, 40) for len >= 1.
+    QueryDef(
+      "doc_chunks",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), Q.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(size(col("toks")) - 1, lit(0)), lit(40))).as("start"))
+          .select(col("doc_id"),
+            (col("start") / 40).cast("long").as("chunk_idx"),
+            slice(col("toks"), col("start") + 1, lit(50)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tok"),
+            Q.hash60(concat_ws(" ", col("chunk"))).as("fp"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (
+               SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             st AS (
+               SELECT doc_id, toks,
+                      unnest(range(0, greatest(len(toks), 1), 40)) AS start
+               FROM t)
+             SELECT doc_id, start//40 AS chunk_idx,
+               len(list_slice(toks, start+1, start+50))::bigint AS n_tok,
+               ${Q.hash60Sql("array_to_string(list_slice(toks, start+1, start+50), ' ')")} AS fp
+             FROM st ORDER BY doc_id, chunk_idx"""))
   )
 }
