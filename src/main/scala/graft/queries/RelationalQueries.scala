@@ -1193,6 +1193,44 @@ object RelationalQueries {
              FROM sh JOIN supplier ON l_suppkey = s_suppkey
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
-             WHERE r_name = 'ASIA' AND recent_q*2 > total_q"""))
+             WHERE r_name = 'ASIA' AND recent_q*2 > total_q""")),
+
+    // FULL OUTER reconciliation — the period-over-period comparison shape
+    // (key sets only partially overlap, and BOTH unmatched sides matter).
+    // Two pre-aggregations shrink the fact before the full-outer join, so
+    // the join touches one row per (customer, year) — never raw orders;
+    // presence classification makes the null-extension explicit.
+    QueryDef(
+      "ord_yoy_reconcile",
+      (s, dir) => {
+        def yearAgg(y: Int, ck: String, n: String) = ord(s, dir)
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as(ck))
+          .agg(count(lit(1)).as(n))
+        yearAgg(2000, "ck0", "n_2000")
+          .join(yearAgg(2001, "ck1", "n_2001"), col("ck0") === col("ck1"), "full_outer")
+          .select(
+            coalesce(col("ck0"), col("ck1")).as("c_custkey"),
+            coalesce(col("n_2000"), lit(0L)).as("n_2000"),
+            coalesce(col("n_2001"), lit(0L)).as("n_2001"),
+            when(col("ck0").isNotNull && col("ck1").isNotNull, "both")
+              .when(col("ck1").isNull, "only_2000")
+              .otherwise("only_2001").as("presence"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH y0 AS (
+               SELECT o_custkey AS ck0, count(*) AS n_2000
+               FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+             y1 AS (
+               SELECT o_custkey AS ck1, count(*) AS n_2001
+               FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1)
+             SELECT coalesce(ck0, ck1) AS c_custkey,
+               coalesce(n_2000, 0) AS n_2000,
+               coalesce(n_2001, 0) AS n_2001,
+               CASE WHEN ck0 IS NOT NULL AND ck1 IS NOT NULL THEN 'both'
+                    WHEN ck1 IS NULL THEN 'only_2000'
+                    ELSE 'only_2001' END AS presence
+             FROM y0 FULL OUTER JOIN y1 ON ck0 = ck1
+             ORDER BY c_custkey"""))
   )
 }
