@@ -200,6 +200,51 @@ object RelationalQueries {
                    GROUP BY p_brand)
              ORDER BY p_brand""")),
 
+    // Distributed OLS (price-on-quantity regression per brand): the same
+    // one-pass exact sufficient statistics as li_corr_brand — integer-cent
+    // products decimal-summed map-side — closed with the normal-equation
+    // formulas instead of corr. slope/intercept are cent-unit doubles from
+    // identical op sequences in both engines. This is the 100 TB shape for
+    // ANY per-group linear fit: no second centering pass, no gradient loop.
+    QueryDef(
+      "li_ols_brand",
+      (s, dir) => {
+        val xc = round(col("l_quantity") * 100).cast("long")
+        val yc = round(col("l_extendedprice") * 100).cast("long")
+        def isum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("double")
+        val agg = li(s, dir)
+          .join(broadcast(prt(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), xc.as("xc"), yc.as("yc"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            isum(col("xc")).as("sx"), isum(col("yc")).as("sy"),
+            isum(col("xc") * col("yc")).as("sxy"),
+            isum(col("xc") * col("xc")).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        agg.select(col("p_brand"), col("n"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("icept_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS icept_cents
+             FROM (SELECT p_brand, count(*) AS n,
+                     sum(xc::decimal(38,0))::double AS sx,
+                     sum(yc::decimal(38,0))::double AS sy,
+                     sum((xc * yc)::decimal(38,0))::double AS sxy,
+                     sum((xc * xc)::decimal(38,0))::double AS sxx
+                   FROM (SELECT p_brand,
+                           round(l_quantity * 100)::bigint AS xc,
+                           round(l_extendedprice * 100)::bigint AS yc
+                         FROM lineitem JOIN part ON l_partkey = p_partkey)
+                   GROUP BY p_brand)
+             ORDER BY p_brand""")),
+
     // Top-3 parts by revenue within each return flag: two-level agg + ranking
     // window (SURVEY §2.6 "not present in reference" — ranking added as
     // first-class here). Window partitions by flag → parallel across groups.
