@@ -85,6 +85,34 @@ class SlicePropertySpec extends SparkSpec {
     }
   }
 
+  test("gate law: boolean-window per-session sums equal a sequential " +
+    "simulation (random gates, close excludes its datum)") {
+    cases(8).foreach { case (vs, _) =>
+      // gate from the value stream itself: open when v is even
+      val got = WindowKernel
+        .withSessions(stream(vs), Nil, col("v") % 2 === 0)
+        .filter(col("in_window"))
+        .groupBy("session_id")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+
+      var prev = false
+      var sid = 0L
+      val acc = collection.mutable.Map[Long, (Long, Long)]()
+      vs.foreach { v =>
+        val g = v % 2 == 0
+        if (g && !prev) sid += 1
+        if (g) {
+          val (s, n) = acc.getOrElse(sid, (0L, 0L))
+          acc(sid) = (s + v, n + 1)
+        }
+        prev = g
+      }
+      withClue(s"vs=$vs: ") { got shouldBe acc.toMap }
+    }
+  }
+
   test("alignment law: BEFORE and AFTER ids agree except on trigger rows") {
     cases(6).foreach { case (vs, _) =>
       val trig = col("v") % 3 === 0
