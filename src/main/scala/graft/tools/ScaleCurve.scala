@@ -116,6 +116,15 @@ object ScaleCurve {
       // n/100 distinct types. The claim measured: the Misra-Gries pass
       // ships ≤k counters per partition and the recount shuffles only
       // candidate rows — wall-clock tracks the SCAN, not the type universe.
+      // Sequence packing: NFD over hash shards sized so each shard's items
+      // fit one task; the claim measured is that wall-clock tracks the
+      // shuffle of (id, len) pairs — bins never cross shards.
+      time("seq_packing", n) {
+        val its = spark.range(n).select(col("id"),
+          (pmod(hash(col("id")), lit(241)) + 10).cast("int").as("len"))
+        graft.operators.Packing
+          .nextFitDecreasing(its, capacity = 2048, shards = 4096).count()
+      }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
           when(pmod(hash(col("id")), lit(4)) === 0,
