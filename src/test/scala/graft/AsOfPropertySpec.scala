@@ -66,4 +66,33 @@ class AsOfPropertySpec extends SparkSpec {
       withClue(s"left seq=$seq") { got(seq) shouldBe expected(seq) }
     }
   }
+
+  test("AsOf.zip ≡ brute force: one emission per (key, ts) cycle carrying " +
+    "both latest values") {
+    val left = randStream(31, 0L)
+    val right = randStream(57, 10000L)
+
+    val expected: Map[(String, Long), (Option[Double], Option[Double])] =
+      (left.map(e => (e._1, e._2)) ++ right.map(e => (e._1, e._2))).distinct
+        .map { case (k, ts) =>
+          def latest(s: Seq[(String, Long, Long, Double)]) = {
+            val c = s.filter(e => e._1 == k && e._2 <= ts)
+            if (c.isEmpty) None else Some(c.maxBy(e => (e._2, e._3))._4)
+          }
+          (k, ts) -> ((latest(left), latest(right)))
+        }.toMap
+
+    val got = AsOf.zip(
+      left.toDF("k", "ts", "seq", "v"),
+      right.toDF("k", "ts", "seq", "v"),
+      Seq("k"), Seq("lv" -> col("v")), Seq("rv" -> col("v")))
+      .select(col("k"), col("ts"), col("lv"), col("rv"))
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (kts, exp) =>
+      withClue(s"cycle=$kts") { got(kts) shouldBe exp }
+    }
+  }
 }
