@@ -364,6 +364,50 @@ object CoreQueries {
              count(*) AS n, sum(value::decimal(38,6))::double AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY user_id, wstart""")),
 
+    // ---- SLIDING windows on the streaming path: the overlap complement
+    // of stream_tumbling (each event lands in width/slide windows). Append
+    // mode emits only watermark-FINALIZED windows — with delay 0 the final
+    // watermark is the max event time, so the oracle keeps windows with
+    // end <= max(ts) (same boundary stream_late_drop pins) and expands
+    // each event to its two covering starts with exact integer arithmetic.
+    QueryDef(
+      "stream_sliding",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("ts div 1000"))
+        val agg = src
+          .withColumn("event_time", timestamp_micros(col("ts")))
+          .withWatermark("event_time", "0 seconds")
+          .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
+        val name = "stream_sliding_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("window.start")).as("wstart"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "wstart")
+      },
+      Some("""WITH b AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+                  ex AS (SELECT user_id, value,
+                           unnest([(epoch_us(ts) // 3600000000) * 3600000000,
+                                   ((epoch_us(ts) // 3600000000) - 1) * 3600000000])
+                             AS wstart
+                         FROM events)
+             SELECT user_id, wstart, count(*) AS n,
+               sum(value::decimal(38,6))::double AS sum_value
+             FROM ex CROSS JOIN b
+             WHERE wstart + 7200000000 <= tmax
+             GROUP BY user_id, wstart
+             ORDER BY user_id, wstart""")),
+
     // ---- stateful streaming count-slices under the gate: the custom
     // flatMapGroupsWithState operator (no Spark built-in for N-event
     // windows) verified against the window-function SQL oracle. Closed
