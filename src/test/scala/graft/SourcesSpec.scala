@@ -187,4 +187,35 @@ class SourcesSpec extends SparkSpec {
       .select("parity", "k", "s").as[(Int, String, Long)].collect().toSeq shouldBe
       Seq((0, "b", 6L), (1, "a", 4L))
   }
+
+  test("corrupt-tolerant jsonl ingest: malformed lines survive as captured " +
+    "records, not task failures (the crawl-ingest contract)") {
+    // at 100 TB some fraction of every feed is junk; PERMISSIVE +
+    // columnNameOfCorruptRecord is the ingest twin of the multimodal
+    // junk-tolerance contract (bad rows quarantine, good rows flow)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("feed.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"ts": 1, "seq": 1, "v": 10.5}""" + "\n" +
+        """{"ts": 2, "seq": 2, "v": 20.25}""" + "\n" +
+        """not json at all""" + "\n" +
+        """{"ts": "lol", "seq": 4, "v": 1.0}""" + "\n" +
+        """{"ts": 5, "seq": 5, "v": 30.0}""" + "\n")
+    // Spark disallows corrupt-column-only queries on the raw source —
+    // cache the parsed result first (the documented contract)
+    val df = spark.read
+      .schema("ts LONG, seq LONG, v DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(f.toString)
+      .cache()
+    val good = df.filter(col("_corrupt").isNull)
+    val bad = df.filter(col("_corrupt").isNotNull)
+    good.count() shouldBe 3L
+    bad.count() shouldBe 2L
+    // good rows form a regular EStream
+    graft.core.EStream(good.drop("_corrupt"))
+      .reduceAll(sum(col("v")).cast("double").as("s"))
+      .as[Double].collect().head shouldBe 60.75
+  }
 }
