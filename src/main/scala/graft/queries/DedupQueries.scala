@@ -485,6 +485,56 @@ object DedupQueries {
              SELECT doc_id, h,
                row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
              FROM fresh)
-           WHERE rn = 1 ORDER BY doc_id"""))
+           WHERE rn = 1 ORDER BY doc_id""")),
+
+    // CAPSTONE composition — the full training-corpus preparation pipeline
+    // in one plan: token-length quality gate → LSH near-dup removal (each
+    // verified pair drops its higher doc_id — greedy cluster-min keep) →
+    // context-window chunking of the survivors → per-language corpus
+    // stats. Every stage is an operator verified on its own elsewhere in
+    // the catalog; this query pins that they COMPOSE (anti-join feeding
+    // explode feeding aggregation) with the same exact results.
+    QueryDef(
+      "pipeline_training_corpus",
+      (s, dir) => {
+        val toksC = split(col("text"), " ")
+        val removed = minhashPairs(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+        val survivors = docs(s, dir)
+          .withColumn("n_tokens", size(toksC))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+          .join(removed, Seq("doc_id"), "left_anti")
+        val chunks = survivors
+          .select(col("lang"), col("doc_id"), toksC.as("toks"))
+          .select(col("lang"), col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(size(col("toks")) - 1, lit(0)), lit(40))).as("start"))
+          .select(col("lang"), col("doc_id"),
+            size(slice(col("toks"), col("start") + 1, lit(50)))
+              .cast("long").as("n_tok"))
+        chunks.groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_tok")).as("chunk_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $minhashPairsCtes,
+           removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+           quality AS (
+             SELECT doc_id, lang, string_split(text, ' ') AS toks
+             FROM documents
+             WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+           survivors AS (
+             SELECT * FROM quality
+             WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+           chunks AS (
+             SELECT lang, doc_id,
+               len(list_slice(toks, start+1, start+50))::bigint AS n_tok
+             FROM (SELECT lang, doc_id, toks,
+                     unnest(range(0, greatest(len(toks), 1), 40)) AS start
+                   FROM survivors))
+           SELECT lang, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_chunks, sum(n_tok)::bigint AS chunk_tokens
+           FROM chunks GROUP BY lang ORDER BY lang"""))
   )
 }
