@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TopK}
+
+/** Direct unit coverage for the small operators that are otherwise only
+  * exercised through driver queries: exact per-group top-k and the
+  * deterministic hash-gate sampling/split family.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopK.perGroup equals brute force under a total order") {
+    val rows = (1 to 200).map(i => ((i % 7).toString, (i * 37) % 100, i.toLong))
+    val df = rows.toDF("g", "score", "id")
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 3)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(3).map(r => (g, r._3))
+    }.toSet
+    got shouldBe expected
+  }
+
+  test("splitAssign: disjoint total cover, deterministic under repartitioning, " +
+    "same key always lands in the same split") {
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val keys = spark.range(5000).select(concat(lit("doc_"), col("id")).as("k"))
+    val assigned = keys.withColumn("split",
+      Sampling.splitAssign("s1", col("k"), splits))
+    // total cover: every row gets exactly one label from the declared set
+    assigned.filter(!col("split").isin("train", "val", "test")).count() shouldBe 0L
+    val byName = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    byName.values.sum shouldBe 5000L
+    // fractions near the declared percentages (hash-uniform, not exact)
+    byName("train").toDouble / 5000 shouldBe 0.80 +- 0.03
+    byName("val").toDouble / 5000 shouldBe 0.10 +- 0.02
+    // repartitioning changes nothing
+    val a = assigned.as[(String, String)].collect().toSet
+    val b = keys.repartition(7).withColumn("split",
+      Sampling.splitAssign("s1", col("k"), splits))
+      .as[(String, String)].collect().toSet
+    b shouldBe a
+    // the gate is keyed: a different salt reshuffles, the same salt never does
+    val c = keys.withColumn("split", Sampling.splitAssign("s2", col("k"), splits))
+      .as[(String, String)].collect().toSet
+    c should not be a
+  }
+
+  test("sampleGate keeps ~pct% and is a subset-stable gate (pct1 ⊂ pct2)") {
+    val keys = spark.range(5000).select(concat(lit("doc_"), col("id")).as("k"))
+    val p10 = keys.filter(Sampling.sampleGate("s", col("k"), 10))
+      .as[String].collect().toSet
+    val p30 = keys.filter(Sampling.sampleGate("s", col("k"), 30))
+      .as[String].collect().toSet
+    (p10.size.toDouble / 5000) shouldBe 0.10 +- 0.02
+    (p30.size.toDouble / 5000) shouldBe 0.30 +- 0.03
+    // monotone gates: the 10% sample is contained in the 30% sample —
+    // growing a sample never resamples (stable experiment cohorts)
+    p10.subsetOf(p30) shouldBe true
+  }
+}
