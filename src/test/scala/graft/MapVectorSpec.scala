@@ -96,4 +96,33 @@ class MapVectorSpec extends SparkSpec {
       if (n == 1) sum shouldBe v
     }
   }
+
+  test("mapVector snapshot ≡ brute force on random streams (latest value " +
+    "per seen key at every event, same-ts rendezvous included)") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 250).map { i =>
+      (rnd.nextInt(30).toLong, i.toLong, Vector("a", "b", "c")(rnd.nextInt(3)),
+        rnd.nextInt(100).toLong)
+    }
+    val got = KStream(rows.toDF("ts", "seq", "k", "v"), Seq("k"))
+      .mapVector(col("v"), "snap")
+      .select(col("seq"),
+        aggregate(col("snap"), lit(0L), (acc, e) => acc + e.getField("v"))
+          .as("s"),
+        functions.size(col("snap")).as("n"))
+      .as[(Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    val expected = rows.map { case (ts, seq, _, _) =>
+      val latest = rows.groupBy(_._3).flatMap { case (_, ks) =>
+        val vis = ks.filter(_._1 <= ts) // same-ts rendezvous: seq not compared
+        if (vis.isEmpty) None else Some(vis.maxBy(e => (e._1, e._2))._4)
+      }
+      seq -> ((latest.sum, latest.size))
+    }.toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (seq, exp) =>
+      withClue(s"seq=$seq") { got(seq) shouldBe exp }
+    }
+  }
 }
