@@ -33,30 +33,45 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Streaming queries are micro-batch harnesses whose wall-clock is
+    // dominated by state-store commit latency — the most host-contention-
+    // sensitive work in the catalog (the r2 artifact was inflated 2-5× on
+    // the heavy streaming tail by a noisy neighbor). They get THREE timed
+    // runs and report the MEDIAN, so one hrtimer stall can't blow the
+    // artifact; the (much cheaper, plan-dominated) batch queries stay at
+    // one timed run.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val reps = if (name.startsWith("stream_")) 3 else 1
       try {
         fn(spark, sfDir).count() // warmup: JIT + codegen
         spark.catalog.clearCache() // drop query-internal persists
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        (name, Right(dt): Either[String, Double])
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        val median = runs.sorted.apply(runs.size / 2)
+        (name, Right((median, runs)): Either[String, (Double, Seq[Double])])
       } catch {
         case e: Throwable =>
           spark.catalog.clearCache()
-          (name, Left(e.getClass.getSimpleName): Either[String, Double])
+          (name, Left(e.getClass.getSimpleName): Either[String, (Double, Seq[Double])])
       }
     }
-    val ok = results.collect { case (n, Right(d)) => n -> d }
+    val ok = results.collect { case (n, Right((d, _))) => n -> d }
     val failed = results.collect { case (n, Left(e)) => n -> e }
+    val multi = results.collect { case (n, Right((_, rs))) if rs.size > 1 => n -> rs }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val rs = multi.map { case (k, v) => "\"" + k + "\":[" + v.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     if (args.isEmpty) Files.writeString(Paths.get("BENCH.json"), json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), json))

@@ -245,7 +245,7 @@ object DedupQueries {
     // machine must converge to the batch LSH candidate set.
     QueryDef(
       "stream_neardup_minhash",
-      (s, dir) => {
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         import s.implicits._
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
         val src = s.readStream.schema(schema)

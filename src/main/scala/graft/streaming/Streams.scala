@@ -282,11 +282,17 @@ object TakeJoin {
   * ONLY its bucket's history (bounded by the banding, never all-pairs) and
   * emits a pair when ≥ `minEq` of the H minhash components agree.
   *
-  * This is dedup-against-history for an ingest pipeline: state grows with
-  * the distinct-bucket population, the per-event cost with bucket
-  * occupancy. At 100 TB the production levers are the same as batch LSH
-  * (more bands/rows to cap bucket sizes) plus state TTL / registry
-  * compaction for the history bound.
+  * This is dedup-against-history for an ingest pipeline, and its state is
+  * BOUNDED (the r2 unbounded-`Seq` gap): per-bucket history is a FIFO
+  * capped at `maxPerBucket` entries — the oldest signature evicts when a
+  * new arrival would exceed the cap — and, when `ttlMs > 0`, a bucket that
+  * receives no documents for that long drops its whole history via a
+  * processing-time group timeout. On an infinite stream total state is
+  * therefore ≤ activeBuckets × maxPerBucket × sigBytes regardless of
+  * runtime; the banding keeps real bucket occupancy far below the cap
+  * (more bands/rows is the production lever), so eviction only bites on
+  * pathological mega-buckets — exactly where dropping the deep tail of
+  * ancient near-dup candidates is the right trade.
   *
   * Pairs are emitted as (min,max) so the result is insensitive to arrival
   * interleaving across buckets; the same pair surfacing from two bands
@@ -297,29 +303,51 @@ final case class NearDupPair(idA: Long, idB: Long, nEq: Int)
 private final case class BucketSigs(entries: Seq[(Long, Seq[Long])])
 
 object StreamNearDup {
-  def apply(docs: Dataset[BandDoc], minEq: Int): Dataset[NearDupPair] = {
+
+  /** Default per-bucket history cap — far above the occupancy a sound
+    * banding produces, small enough to bound a mega-bucket.
+    */
+  val DefaultMaxPerBucket = 256
+
+  def apply(
+      docs: Dataset[BandDoc],
+      minEq: Int,
+      maxPerBucket: Int = DefaultMaxPerBucket,
+      ttlMs: Long = 0L): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    require(maxPerBucket > 0, "maxPerBucket must be positive")
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[BucketSigs, NearDupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, it: Iterator[BandDoc], state: GroupState[BucketSigs]) =>
-          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupPair]
-          it.toSeq.sortBy(_.docId).foreach { d =>
-            entries.foreach { case (id, sig) =>
-              if (id != d.docId) {
-                val nEq = sig.iterator.zip(d.sig.iterator)
-                  .count { case (a, b) => a == b }
-                if (nEq >= minEq)
-                  out += NearDupPair(
-                    math.min(id, d.docId), math.max(id, d.docId), nEq)
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: whole history expires
+            Iterator.empty
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .from(state.getOption.map(_.entries).getOrElse(Seq.empty))
+            val out = Seq.newBuilder[NearDupPair]
+            it.toSeq.sortBy(_.docId).foreach { d =>
+              buf.foreach { case (id, sig) =>
+                if (id != d.docId) {
+                  val nEq = sig.iterator.zip(d.sig.iterator)
+                    .count { case (a, b) => a == b }
+                  if (nEq >= minEq)
+                    out += NearDupPair(
+                      math.min(id, d.docId), math.max(id, d.docId), nEq)
+                }
               }
+              buf += (d.docId -> d.sig)
+              if (buf.size > maxPerBucket) buf.remove(0, buf.size - maxPerBucket)
             }
-            entries = entries :+ (d.docId -> d.sig)
+            state.update(BucketSigs(buf.toSeq))
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(BucketSigs(entries))
-          out.result().iterator
       }
   }
 }

@@ -56,4 +56,37 @@ class StreamNearDupSpec extends SparkSpec {
     Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
   }
+
+  test("bucket history is FIFO-capped at maxPerBucket (state stays bounded)") {
+    val s = spark
+    import s.implicits._
+
+    val sig = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) // identical sigs: all pair
+    // one bucket, three arrivals in docId order; cap = 1 history entry
+    val docs = Seq(
+      BandDoc(0, 77L, 10L, sig),
+      BandDoc(0, 77L, 20L, sig),
+      BandDoc(0, 77L, 30L, sig))
+
+    val root = Files.createTempDirectory("graft_nd_cap_").toString
+    docs.toDS().coalesce(1).write.parquet(s"$root/src")
+    val in = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[BandDoc]].schema)
+      .parquet(s"$root/src").as[BandDoc]
+    val name = "nd_cap_" + System.nanoTime()
+    val q = StreamNearDup(in, 6, maxPerBucket = 1)
+      .writeStream.queryName(name).format("memory").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // doc 20 pairs with doc 10; doc 10 then evicts (cap 1), so doc 30
+      // pairs ONLY with doc 20 — an uncapped history would also emit
+      // (10, 30). Total state never exceeds one signature per bucket.
+      val pairs = s.table(name).as[graft.streaming.NearDupPair].collect()
+        .map(p => (p.idA, p.idB)).toSeq.sorted
+      pairs shouldBe Seq((10L, 20L), (20L, 30L))
+    } finally q.stop()
+
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
 }
