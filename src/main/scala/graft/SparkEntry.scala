@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ ParityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scespet's flagship pattern (SURVEY §7.3): per-key bucketed sum —

@@ -39,6 +39,17 @@ final case class EStream(df: DataFrame, tsCol: String = "ts", seqCol: String = "
     */
   def filterType(disc: Column, tpe: String): EStream = filter(disc === lit(tpe))
 
+  /** Hierarchy-aware type routing — the reference's `filterType[T]`
+    * dispatches on the JVM CLASS HIERARCHY (an `isInstanceOf` check,
+    * types.scala:270-272), so filtering on a supertype also admits every
+    * subtype (OrderReportsExample.scala:86 routes New/Fill/Terminate order
+    * events through their common base). Relationally the taxonomy is a
+    * dotted discriminator path ("order", "order.fill"): filtering on
+    * `tpe` admits the exact type AND every `tpe.`-prefixed subtype.
+    */
+  def filterTypeHierarchy(disc: Column, tpe: String): EStream =
+    filter(disc === lit(tpe) || disc.startsWith(lit(tpe + ".")))
+
   /** Demultiplex into a keyed stream (MacroTerm.by, MacroTerm.scala:134-138;
     * GroupFunc key discovery GroupFunc.scala:16-50). Dynamic key discovery
     * is free in Spark — grouping is by value, not by wired graph cells.

@@ -75,6 +75,45 @@ object Aggregators {
     def outputEncoder: Encoder[OrderState] = Encoders.product
   }
 
+  /** Ad-hoc user cell (the scespet CellAdder pattern — any class with
+    * `add(x)` + a value, types.scala:158-185): tracks min/max (merge-
+    * commutative) AND the (ts, seq)-latest value (order-resolved at merge
+    * by keeping the larger (ts, seq) — exactly how a distributed cell must
+    * carry the reference's arrival-order contract). finish emits
+    * (spread = max−min, last) — spread is a single IEEE subtraction of
+    * exactly-agreed operands, cross-engine stable.
+    */
+  final case class SpreadLastBuf(
+      mn: Double, mx: Double, ts: Long, seq: Long, last: Double, any: Boolean)
+
+  final class SpreadLastAgg
+      extends Aggregator[TimedValue, SpreadLastBuf, (Double, Double)] {
+    def zero: SpreadLastBuf =
+      SpreadLastBuf(Double.MaxValue, Double.MinValue, Long.MinValue, Long.MinValue, 0.0, any = false)
+    def reduce(b: SpreadLastBuf, a: TimedValue): SpreadLastBuf = {
+      val (ts, seq, v) = a
+      val newer = ts > b.ts || (ts == b.ts && seq > b.seq)
+      SpreadLastBuf(
+        math.min(b.mn, v), math.max(b.mx, v),
+        if (newer) ts else b.ts, if (newer) seq else b.seq,
+        if (newer) v else b.last, any = true)
+    }
+    def merge(a: SpreadLastBuf, b: SpreadLastBuf): SpreadLastBuf =
+      if (!a.any) b
+      else if (!b.any) a
+      else {
+        val bNewer = b.ts > a.ts || (b.ts == a.ts && b.seq > a.seq)
+        SpreadLastBuf(
+          math.min(a.mn, b.mn), math.max(a.mx, b.mx),
+          if (bNewer) b.ts else a.ts, if (bNewer) b.seq else a.seq,
+          if (bNewer) b.last else a.last, any = true)
+      }
+    def finish(b: SpreadLastBuf): (Double, Double) =
+      if (!b.any) (Double.NaN, Double.NaN) else (b.mx - b.mn, b.last)
+    def bufferEncoder: Encoder[SpreadLastBuf] = Encoders.product
+    def outputEncoder: Encoder[(Double, Double)] = Encoders.product
+  }
+
   /** Ordered append cell (scespet Append, BucketStreamTest.scala:55-58). */
   final class AppendAgg[T](implicit e: Encoder[Seq[T]])
       extends Aggregator[(Long, Long, T), ArrayBuffer[(Long, Long, T)], Seq[T]] {

@@ -89,6 +89,29 @@ class OrderLifecycleSpec extends SparkSpec {
     got("ord2").running shouldBe false
   }
 
+  test("filterTypeHierarchy: supertype routing admits dotted subtypes (types.scala:270-272)") {
+    // two-level taxonomy: order events carry a dotted path; routing on the
+    // SUPERTYPE ("order") must admit every subtype — the reference's
+    // isInstanceOf dispatch — while an exact subtype routes only itself,
+    // and a prefix that is not a path boundary ("order.f") matches nothing.
+    val taxo = Seq(
+      (0L, 0L, "order.new", 1.0),
+      (1L, 1L, "order.fill", 2.0),
+      (2L, 2L, "order.fill.partial", 4.0), // three-level: still under order
+      (3L, 3L, "orderbook", 8.0), // NOT a subtype of order
+      (4L, 4L, "order", 16.0)) // the supertype itself
+      .toDF("ts", "seq", "etype", "v")
+
+    def route(tpe: String): Double =
+      EStream(taxo).filterTypeHierarchy(col("etype"), tpe)
+        .df.agg(coalesce(sum("v"), lit(0.0))).head().getDouble(0)
+
+    route("order") shouldBe (1.0 + 2.0 + 4.0 + 16.0) // all order.* + order
+    route("order.fill") shouldBe (2.0 + 4.0) // subtype + its own subtypes
+    route("order.f") shouldBe 0.0 // not a path boundary
+    route("orderbook") shouldBe 8.0
+  }
+
   test("KStream.sample: snapshot every key's latest value on trigger ticks") {
     val prices = KStream(
       Seq(("A", 0L, 0L, 10.0), ("B", 1L, 1L, 20.0), ("A", 4L, 2L, 11.0))
