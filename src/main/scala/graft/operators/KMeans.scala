@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *     so an iteration's centroids are independent of partitioning,
   *     scheduling, and engine;
   *   - centroids are a k×dim driver-side array (bounded, like PageRank's
-  *     edge-count cutover) re-broadcast each round as plan literals, so
-  *     ASSIGNMENT is a pure map over the corpus — per iteration the only
-  *     shuffle carries k×dim partially-aggregated cells, never vectors.
+  *     edge-count cutover); ASSIGNMENT is adaptive in k — small k inlines
+  *     them as plan literals (pure map, zero shuffle), large k (> LargeK)
+  *     broadcasts a centroid table and argmaxes via max_by, keeping plan
+  *     size O(1) in k — so per iteration the only shuffles carry k×dim
+  *     partially-aggregated cells (and, on the large-k path, one row per
+  *     point), never vectors.
   *
   * Points are L2-normalized once up front (spherical k-means: the mean of
   * unit vectors points at the spherical centroid direction); ties in the
@@ -36,16 +39,40 @@ object KMeans {
 
   private def norml2(v: Column): Column = sqrt(dot(v, v))
 
-  /** Add a `cell` column: the argmax-cosine centroid for each row (first
-    * match on `greatest` ⇒ lowest cell wins exact ties). `vn` must be
-    * L2-normalized; centroids need not be. Scores materialize as ordinary
-    * aliased columns, so the expression stays LINEAR in k (a when/struct
-    * fold doubles the tree per centroid).
+  /** Above this k, assignment switches from per-centroid literal columns
+    * to the broadcast-centroid-table path: a codegen'd plan with thousands
+    * of aliased score columns and a k×dim literal array re-broadcast per
+    * round breaks down around IVF-scale k (√n ≈ 10⁴–10⁵), while the join
+    * shape is k-independent in plan size.
     */
-  private def withCell(df: DataFrame, cents: Seq[Centroid]): DataFrame = {
+  private[graft] val LargeK = 1024
+
+  /** Add a `cell` column: the argmax-cosine centroid for each row (lowest
+    * cell wins exact ties). `vn` must be L2-normalized; centroids need
+    * not be. Adaptive (same pattern as ConnectedComponents' cutover):
+    * small k inlines centroids as plan literals (pure map, zero shuffle);
+    * large k scores against a BROADCAST centroid table and argmaxes with
+    * `max_by` — same n×k dot products, but plan size O(1) in k and the
+    * per-id partial aggregation keeps the shuffle at n rows.
+    */
+  private def withCell(df: DataFrame, cents: Seq[Centroid]): DataFrame =
+    assign(df, cents, forceJoin = false)
+
+  private[graft] def assign(
+      df: DataFrame, cents: Seq[Centroid], forceJoin: Boolean): DataFrame = {
+    require(cents.size >= 2, "k must be >= 2")
+    if (forceJoin || cents.size > LargeK) withCellJoin(df, cents)
+    else withCellCols(df, cents)
+  }
+
+  /** Literal-columns assignment (small k): scores materialize as ordinary
+    * aliased columns, so the expression stays LINEAR in k (a when/struct
+    * fold doubles the tree per centroid); `greatest` + first-match keeps
+    * the lowest-cell tie-break.
+    */
+  private def withCellCols(df: DataFrame, cents: Seq[Centroid]): DataFrame = {
     def centLit(c: Centroid): Column = array(c.v.map(lit(_)).toIndexedSeq: _*)
     def centNorm(c: Centroid): Double = math.sqrt(c.v.map(x => x * x).sum)
-    require(cents.size >= 2, "k must be >= 2")
     val scoreCols = cents.map { c =>
       (dot(col("vn"), centLit(c)) / lit(centNorm(c))).as(s"__s${c.cell}")
     }
@@ -57,6 +84,26 @@ object KMeans {
     }
     scored.withColumn("cell", cell)
       .drop(cents.map(c => s"__s${c.cell}"): _*)
+  }
+
+  /** Broadcast-table assignment (large k): corpus ⨯ broadcast(centroids),
+    * one score per pair, argmax via `max_by` ordered by
+    * (score, −cell) — identical lowest-cell tie-break as the literal
+    * path (cell ids are unique, so the ordering is total). The broadcast
+    * ships k×dim doubles once per stage instead of embedding them in the
+    * plan; map-side partial `max_by` collapses each id before the
+    * n-row shuffle.
+    */
+  private def withCellJoin(df: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val centDf = cents
+      .map(c => (c.cell, c.v.toSeq, math.sqrt(c.v.map(x => x * x).sum)))
+      .toDF("__cell", "__cv", "__cnorm")
+    df.crossJoin(broadcast(centDf))
+      .withColumn("__s", dot(col("vn"), col("__cv")) / col("__cnorm"))
+      .groupBy("id", "vn")
+      .agg(max_by(col("__cell"), struct(col("__s"), -col("__cell"))).as("cell"))
   }
 
   /** Lloyd iterations from the k lowest-id points.

@@ -39,4 +39,41 @@ class KMeansSpec extends SparkSpec {
     c7.map(_.v.toSeq) shouldBe c1.map(_.v.toSeq)
     a7.orderBy("id").collect() shouldBe a1.orderBy("id").collect()
   }
+
+  // normalized corpus in the shape withCell/assign expects ((id, vn))
+  private def normed = points.select(
+    col("id"),
+    transform(col("v"), x => x / sqrt(aggregate(
+      transform(col("v"), y => y * y), lit(0.0), (a, b) => a + b))).as("vn"))
+
+  test("broadcast-join assignment path equals the literal-columns path (ties included)") {
+    val cents = (0 until 8).map(c => KMeans.Centroid(c,
+      Array.tabulate(8)(d => if (d == c) 1.0 else 0.25 * ((c + d) % 3)))).toSeq
+    val lits = KMeans.assign(normed, cents, forceJoin = false)
+      .select("id", "cell").orderBy("id").collect()
+    val join = KMeans.assign(normed, cents, forceJoin = true)
+      .select("id", "cell").orderBy("id").collect()
+    join shouldBe lits
+  }
+
+  test("k=4096 assignment plans O(1) in k (no per-centroid aliased columns)") {
+    // 4096 distinct unit-ish centroids from a hash grid
+    val cents = (0 until 4096).map { c =>
+      KMeans.Centroid(c, Array.tabulate(8)(d =>
+        1.0 + ((c * 31 + d * 17) % 97) / 97.0))
+    }.toSeq
+    val assigned = KMeans.assign(normed.limit(50), cents, forceJoin = false)
+    // the adaptive cutover picked the broadcast-table path: the analyzed
+    // plan carries NO per-centroid score alias and stays small
+    val plan = assigned.queryExecution.analyzed.toString
+    plan should not include "__s1025"
+    plan.length should be < 100000
+    assigned.count() shouldBe 50
+    // every produced cell is a valid centroid id
+    assigned.select(min("cell"), max("cell")).head() match {
+      case row =>
+        row.getInt(0) should be >= 0
+        row.getInt(1) should be < 4096
+    }
+  }
 }
