@@ -194,7 +194,10 @@ object Codecs {
     */
   def aHash(blob: Array[Byte]): Option[Long] =
     decodeImage(blob).flatMap { case (w, h, px) =>
-      if (w < 8 || h < 8) None
+      // upper pixel bound: the bit decision cross-multiplies
+      // sums(c) * n ≤ 255·n²/64, which exceeds Long once n ≈ 1.5e9 px —
+      // gigapixel inputs would silently flip bits, so they hash to None
+      if (w < 8 || h < 8 || w.toLong * h > (1L << 30)) None
       else {
         val sums = new Array[Long](64)
         val cnts = new Array[Long](64)

@@ -37,7 +37,11 @@ object Packing {
     implicit val keyEnc = Encoders.scalaInt
     val ds = items.select(col("id").cast("long"), col("len").cast("int"))
       .as[Item].filter(_.len <= capacity)
-    ds.groupByKey(i => (i.id % shards).toInt)
+    // a REAL hash (not plain modulo): negative ids stay non-negative and
+    // id-correlated length patterns (monotone ids with structured lengths)
+    // can't skew shards
+    ds.groupByKey(i =>
+      Math.floorMod(scala.util.hashing.byteswap64(i.id), shards.toLong).toInt)
       .flatMapSortedGroups(desc("len"), asc("id")) { (shard, it) =>
         var bin = 0L
         var fill = 0

@@ -46,14 +46,23 @@ object Quality {
     * 1-row aggregate — no second scan, no driver round-trip.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty,
+      "Quality.audit needs at least one check (got an empty check list)")
     val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
       Seq(c.num.cast("long").as(s"n$i"), c.den.cast("long").as(s"d$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // Empty-denominator policy (explicit, Deequ-style): a check whose
+    // denominator is 0 — e.g. any completeness ratio over an EMPTY corpus —
+    // FAILS rather than vacuously passing (0 >= 0). An empty corpus
+    // sailing through a quality gate is the silent-pipeline-break case the
+    // gate exists to catch; callers wanting "empty is fine" can add an
+    // explicit row-count check.
     val stacked = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check_name"), col(s"n$i").as("num"),
         col(s"d$i").as("den"),
-        (col(s"n$i") * c.ratioDen >= col(s"d$i") * c.ratioNum).as("pass"))
+        (col(s"d$i") > 0 &&
+          col(s"n$i") * c.ratioDen >= col(s"d$i") * c.ratioNum).as("pass"))
     }
     one.select(explode(array(stacked: _*)).as("r"))
       .select(col("r.check_name"), col("r.num"), col("r.den"), col("r.pass"))

@@ -1115,8 +1115,12 @@ object RelationalQueries {
           .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          // floored micro-units sum as decimal(38,0) — a LONG accumulator
+          // wraps silently once a group's |profit|·1e6 total passes ~9.2e18
+          // (the 100 TB shape this query claims); one double cast at the end
           .agg((sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("ps_cost") * col("l_quantity")) * lit(1e6) + lit(0.5)))
+            col("ps_cost") * col("l_quantity")) * lit(1e6) + lit(0.5))
+            .cast("decimal(38,0)"))
             .cast("double") / lit(1e6)).as("profit"))
       },
       Some("""WITH ps AS (
@@ -1125,7 +1129,7 @@ object RelationalQueries {
                FROM lineitem JOIN part ON l_partkey = p_partkey
                WHERE p_name LIKE '%red%' GROUP BY 1, 2)
              SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               sum(floor((l_extendedprice*(1-l_discount) - ps_cost*l_quantity)*1e6 + 0.5)::bigint)::double / 1e6 AS profit
+               sum(floor((l_extendedprice*(1-l_discount) - ps_cost*l_quantity)*1e6 + 0.5)::decimal(38,0))::double / 1e6 AS profit
              FROM lineitem
              JOIN part ON l_partkey = p_partkey
              JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey

@@ -30,6 +30,20 @@ class QualitySpec extends SparkSpec {
     out("n_positive_strict") shouldBe ((2L, 3L, false))
   }
 
+  test("an EMPTY corpus fails every ratio check (no vacuous pass) and empty check lists are rejected") {
+    val empty = df.filter(col("id") < 0)
+    val out = audit(empty, Seq(
+      complete("txt_complete", col("txt"), 1, 1),
+      satisfies("n_positive", col("n") > 0, 1, 2)))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map { case (k, n, d, p) => k -> ((n, d, p)) }.toMap
+    out("txt_complete") shouldBe ((0L, 0L, false)) // den=0 → explicit FAIL
+    out("n_positive") shouldBe ((0L, 0L, false))
+
+    val err = intercept[IllegalArgumentException](audit(df, Seq.empty))
+    err.getMessage should include("at least one check")
+  }
+
   test("N checks cost ONE aggregation pass (a single scan in the plan)") {
     val out = audit(df, Seq(
       complete("c1", col("txt"), 1, 1),
