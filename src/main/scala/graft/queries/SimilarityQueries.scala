@@ -363,27 +363,29 @@ object SimilarityQueries {
     // (IVF-PQ): vectors are stored as M=4 one-byte codes instead of 64
     // doubles (128× compression), queries score candidates from a
     // per-query lookup table of query-subvector × codeword dots (M adds
-    // per candidate, no full dot product). Codebooks are deterministic
-    // here (sub-vectors of the first 8 corpus vectors — the knn_ivf seed
-    // convention); encoding = argmin L2 per subspace, which reduces to
+    // per candidate, no full dot product). Codebooks are TRAINED here
+    // (r2 had deterministic seeds only): one Lloyd refit per subspace —
+    // seed = sub-vectors of the first 8 corpus vectors (the knn_ivf seed
+    // convention), assignment = argmin L2 per subspace, which reduces to
     // argmin(|cw|² − 2·q·cw) since the vector's own sub-norm is constant
-    // across codes. Scores quantize to int64 BEFORE the cross-partition
-    // sum (double sums are fold-order-nondeterministic; longs are exact).
+    // across codes, refit = exact floor-quantized per-(m,code,dim) means
+    // (the knn_ivf_trained convention, bit-identical across engines).
+    // Scores quantize to int64 BEFORE the cross-partition sum (double
+    // sums are fold-order-nondeterministic; longs are exact).
     //
-    // What this pins: the encode/LUT/ADC machinery and its cross-engine
-    // determinism — NOT recall. On the synthetic uniform-random corpus a
-    // seeded 8-codeword book cannot preserve rank (no cluster structure
-    // to quantize; measured top-5 overlap vs exact ≈ 0-1/5) — real
-    // deployments train codebooks per subspace with Lloyd iterations
-    // exactly as knn_ivf_trained demonstrates for the coarse level.
+    // What this pins under the driver gate: train/encode/LUT/ADC and
+    // cross-engine determinism at oracle-mirrorable size. RECALL at
+    // published parameters (M=8, K=256 codes, multi-iteration Lloyd) is
+    // gated in AnnRecallSpec via operators.PQ — ≥60% of exact cosine
+    // top-5 on normalized vectors.
     QueryDef(
       "emb_pq_adc",
       (s, dir) => {
         val M = 4; val SUB = DIM / M; val K = 8
         val w = org.apache.spark.sql.expressions.Window
         val e = emb(s, dir).persist() // codebook + encode + queries consume it
-        // codebook: (m, code, cw, cwn2) — M×K rows, broadcast everywhere
-        val codebook = e.filter(col("vec_id") < K)
+        // seed codebook: (m, code, cw, cwn2) — M×K rows, broadcast everywhere
+        val cb0 = e.filter(col("vec_id") < K)
           .select(col("vec_id").as("code"),
             explode(array((0 until M).map { m =>
               struct(lit(m).as("m"),
@@ -391,27 +393,41 @@ object SimilarityQueries {
             }: _*)).as("s"))
           .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
           .withColumn("cwn2", dot(col("cw"), col("cw")))
-        // encode the corpus: per (vector, subspace) the nearest codeword
         val subs = e.select(col("vec_id"),
           explode(array((0 until M).map { m =>
             struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
           }: _*)).as("s"))
           .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-        val encoded = subs.join(broadcast(codebook), "m")
-          .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-          .withColumn("rk", row_number().over(
-            w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
-          .filter(col("rk") === 1)
-          .select("vec_id", "m", "code")
+        // per (vector, subspace) the nearest codeword under codebook `cb`
+        def encodeWith(cb: DataFrame): DataFrame =
+          subs.join(broadcast(cb), "m")
+            .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
+            .withColumn("rk", row_number().over(
+              w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
+            .filter(col("rk") === 1)
+            .select("vec_id", "m", "code")
+        // one Lloyd refit: exact quantized means per (m, code, dim); codes
+        // with no members drop out (consistently in both engines)
+        val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
+          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
+          .groupBy("m", "code")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("mean")))),
+            p => p.getField("mean")).as("cw"))
+          .withColumn("cwn2", dot(col("cw"), col("cw")))
+        val encoded = encodeWith(cb1)
         // per-query LUT: dot of each EXACT query subvector with each
-        // codeword, quantized to int64
+        // TRAINED codeword, quantized to int64
         val lut = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"),
             explode(array((0 until M).map { m =>
               struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("qsub"))
             }: _*)).as("s"))
           .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
-          .join(broadcast(codebook), "m")
+          .join(broadcast(cb1), "m")
           .select(col("q_id"), col("m"), col("code"),
             floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
         // ADC: M exact-integer adds per (query, candidate)
@@ -428,26 +444,46 @@ object SimilarityQueries {
           .orderBy("q_id", "rk")
       },
       Some(s"""WITH $embSql,
-             cb AS (
+             cb0 AS (
                SELECT m, vec_id AS code, v[(m*16+1):(m*16+16)] AS cw
                FROM emb, range(0, 4) t(m) WHERE vec_id < 8),
-             cbn AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb),
+             cb0n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb0),
              subs AS (
                SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sub
                FROM emb, range(0, 4) t(m)),
+             enc0 AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT subs.vec_id, subs.m, cb0n.code,
+                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
+                     ORDER BY cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb0n.code) AS rk
+                 FROM subs JOIN cb0n ON subs.m = cb0n.m)
+               WHERE rk = 1),
+             means AS (
+               SELECT j.m, j.code, i AS pos,
+                 sum(floor(j.sub[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS mean
+               FROM (SELECT e.m, e.code, s.sub
+                     FROM enc0 e JOIN subs s
+                       ON e.vec_id = s.vec_id AND e.m = s.m) j,
+                    range(1, 17) t(i)
+               GROUP BY j.m, j.code, i),
+             cb1 AS (
+               SELECT m, code, list(mean ORDER BY pos) AS cw
+               FROM means GROUP BY m, code),
+             cb1n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb1),
              encoded AS (
                SELECT vec_id, m, code FROM (
-                 SELECT subs.vec_id, subs.m, cbn.code,
+                 SELECT subs.vec_id, subs.m, cb1n.code,
                    row_number() OVER (PARTITION BY subs.vec_id, subs.m
-                     ORDER BY cbn.cwn2 - 2 * (${dotSql("sub", "cw")}), cbn.code) AS rk
-                 FROM subs JOIN cbn ON subs.m = cbn.m)
+                     ORDER BY cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb1n.code) AS rk
+                 FROM subs JOIN cb1n ON subs.m = cb1n.m)
                WHERE rk = 1),
              lut AS (
-               SELECT q.vec_id AS q_id, cbn.m, cbn.code,
+               SELECT q.vec_id AS q_id, cb1n.m, cb1n.code,
                  floor((${dotSql("qsub", "cw")}) * 1e6)::bigint AS pdot_q
                FROM (SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS qsub
                      FROM emb, range(0, 4) t(m) WHERE vec_id < 3) q
-               JOIN cbn ON q.m = cbn.m),
+               JOIN cb1n ON q.m = cb1n.m),
              scored AS (
                SELECT q_id, vec_id, sum(pdot_q)::bigint AS score_q, count(*) AS nm
                FROM encoded JOIN lut USING (m, code)

@@ -36,4 +36,29 @@ class AnnRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.6 }
   }
+
+  test("trained PQ-ADC (M=8, K=256 codes, Lloyd-trained) recalls >= 60% of exact top-k") {
+    import org.apache.spark.sql.functions._
+    // PQ on L2-NORMALIZED vectors: ADC inner product then ranks by cosine,
+    // making the quantized scores comparable to knn_brute's ground truth
+    val n2 = aggregate(transform(col("v0"), x => x * x), lit(0.0), (a, b) => a + b)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v0"))
+      .select(col("vec_id"), transform(col("v0"), x => x / sqrt(n2)).as("v"))
+    val cbs = graft.operators.PQ.trainCodebooks(emb, m = 8, k = 256, iterations = 2)
+    val encoded = graft.operators.PQ.encode(emb, cbs)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pq = graft.operators.PQ.adcTopK(encoded, queries, cbs, topK = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+
+    val exact = topk("knn_brute")
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.6 }
+  }
 }
