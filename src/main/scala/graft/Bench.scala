@@ -33,25 +33,41 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    // Streaming queries are micro-batch harnesses whose wall-clock is
-    // dominated by state-store commit latency — the most host-contention-
-    // sensitive work in the catalog (the r2 artifact was inflated 2-5× on
-    // the heavy streaming tail by a noisy neighbor). They get THREE timed
-    // runs and report the MEDIAN, so one hrtimer stall can't blow the
-    // artifact; the (much cheaper, plan-dominated) batch queries stay at
-    // one timed run.
+    // Contention robustness (the r2 artifact was inflated 2-5× on its
+    // heavy tail by a noisy neighbor): every streaming query (micro-batch
+    // state-store commits are the most stall-sensitive work in the
+    // catalog) and every query whose FIRST timed run exceeds 1.5 s runs
+    // three timed reps and reports the MEDIAN — one hrtimer stall can't
+    // blow the artifact. Cheap plan-dominated queries stay at one timed
+    // run, so the adaptive repeats add seconds, not minutes.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = if (name.startsWith("stream_")) 3 else 1
       try {
+        // cleanup between runs: drop query-internal persists AND temp
+        // views — memory-sink tables (one per streaming run, nanoTime-
+        // suffixed) hold their full results on the driver heap and are
+        // never read again; 161 queries × repeats of accumulation
+        // measurably slowed the late alphabet (stream_ewma: 5.2 s in
+        // full-catalog context vs 2.7 s isolated) until dropped here
+        def cleanup(): Unit = {
+          spark.catalog.clearCache()
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+        }
         fn(spark, sfDir).count() // warmup: JIT + codegen
-        spark.catalog.clearCache() // drop query-internal persists
-        val runs = (1 to reps).map { _ =>
+        cleanup()
+        def timed(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
+          cleanup()
           dt
         }
+        val first = timed()
+        val runs =
+          if (name.startsWith("stream_") || first > 1.5)
+            first +: (1 to 2).map(_ => timed())
+          else Seq(first)
         val median = runs.sorted.apply(runs.size / 2)
         (name, Right((median, runs)): Either[String, (Double, Seq[Double])])
       } catch {
