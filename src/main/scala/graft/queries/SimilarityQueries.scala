@@ -648,6 +648,46 @@ object SimilarityQueries {
              SELECT label, count(*) AS n,
                sum(floor(sqrt(n2) * 1000000000)::bigint)::double /
                (count(*) * 1000000000)::double AS mean_norm
-             FROM emb GROUP BY label ORDER BY label"""))
+             FROM emb GROUP BY label ORDER BY label""")),
+
+    // SemDeDup semantic deduplication (Abbas et al. 2023): coarse k-means
+    // cells bound the pair blowup, within-cell cosine >= theta marks
+    // near-duplicate groups, and the member LEAST similar to its centroid
+    // survives (diversity-preserving keeper rule). Removal is an EXISTS
+    // semi-join — no transitive closure. theta = 0.3 sits at the ~99th
+    // pairwise-cosine percentile of this corpus, so the removal set is
+    // non-trivial but sparse; K scales with the corpus in real use (IVF
+    // rule), 8 cells here match emb_kmeans_step's codebook.
+    QueryDef(
+      "emb_semdedup",
+      (s, dir) => {
+        val K = 8
+        val e = emb(s, dir).withColumnRenamed("vec_id", "id")
+        val cents = e.filter(col("id") < K)
+          .select(col("id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // persist: the assignment feeds BOTH sides of the removal
+        // self-join (and the window shuffle above it is the expensive part)
+        val assigned = graft.operators.SemDedup.assign(e, cents).persist()
+        graft.operators.SemDedup.removed(assigned, 0.3)
+          .select(col("id").as("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embSql,
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             scored AS (
+               SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
+                 ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) AS ccos
+               FROM emb, cents),
+             assigned AS (
+               SELECT vec_id, v, n2, c_id AS cell, ccos FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, c_id) AS rk FROM scored)
+               WHERE rk = 1)
+             SELECT a.vec_id, a.cell FROM assigned a
+             WHERE EXISTS (SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+                 AND ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3
+                 AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+             ORDER BY a.vec_id"""))
   )
 }
