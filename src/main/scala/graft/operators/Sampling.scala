@@ -18,6 +18,12 @@ object Sampling {
   def sampleGate(salt: String, key: Column, pct: Int): Column =
     pctHash(salt, key) < pct
 
+  /** Hash of (salt, key) in [0, 1000) — the per-mille gate for rates
+    * finer than whole percents (mixture sampling needs ~0.1% steps).
+    */
+  def permilleHash(salt: String, key: Column): Column =
+    Q.hash60(concat(lit(salt + "|"), key)) % 1000
+
   /** Split assignment by cumulative percentage ranges, e.g.
     * splits = Seq("train" -> 80, "val" -> 10, "test" -> 10).
     */

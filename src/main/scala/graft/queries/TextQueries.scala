@@ -224,6 +224,71 @@ object TextQueries {
                    FROM documents)
              GROUP BY 1 ORDER BY split""")),
 
+    // Data-mixture sampling (the LLaMA/Pile-style mixture step): given
+    // per-source mixture WEIGHTS and a total token BUDGET (half the
+    // corpus here), derive each source's per-mille sampling rate
+    // rate_s = min(1, budget·w_s / (W·tok_s)) and apply it with the
+    // deterministic per-mille hash gate. All rate math is exact integer
+    // DIV over per-source aggregates (20 rows; the window runs on a
+    // single tiny partition), docs are gated by a pure map — the only
+    // full-data shuffles are one groupBy(source) partial-agg pair. A
+    // left join from rates keeps sources whose sample came up empty.
+    QueryDef(
+      "doc_mixture_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val d = docs(s, dir).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val rates = d.groupBy("source")
+          .agg(sum(col("n_tokens")).as("tok"))
+          .withColumn("w",
+            when(col("source").isin("src0", "src1", "src2", "src3"), 125L)
+              .otherwise(30L))
+          .withColumn("btot", expr("sum(tok) OVER (PARTITION BY 1) DIV 2"))
+          .withColumn("wtot", sum(col("w")).over(w))
+          .withColumn("rate",
+            least(lit(1000L), expr("(btot * w DIV wtot) * 1000 DIV tok")))
+          .select("source", "rate")
+        val kept = d
+          .join(broadcast(rates), "source")
+          .filter(graft.operators.Sampling
+            .permilleHash("mix", col("doc_id")) < col("rate"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tok_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("rate"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             SELECT doc_id, source,
+               len(string_split(text, ' '))::bigint AS n_tokens
+             FROM documents),
+           rates AS (
+             SELECT source,
+               least(1000, (((sum(tok) OVER ()) // 2) * w // (sum(w) OVER ()))
+                 * 1000 // tok)::bigint AS rate
+             FROM (SELECT source, sum(n_tokens)::bigint AS tok,
+                     (CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 125 ELSE 30 END)::bigint AS w
+                   FROM d GROUP BY source)),
+           kept AS (
+             SELECT source, count(*)::bigint AS n_docs,
+               sum(n_tokens)::bigint AS tok_kept
+             FROM d JOIN rates USING (source)
+             WHERE ${Q.hash60Sql("'mix|' || doc_id")} % 1000 < rate
+             GROUP BY source)
+           SELECT source, rate,
+             coalesce(n_docs, 0)::bigint AS n_docs,
+             coalesce(tok_kept, 0)::bigint AS tok_kept
+           FROM rates LEFT JOIN kept USING (source)
+           ORDER BY source"""),
+    ),
+
     // END-TO-END pipeline composition: quality gate → exact-dedup
     // survivors → per-language corpus stats. The shape every training-data
     // prep job has; each stage is one of the operators verified above, and

@@ -59,4 +59,22 @@ class OperatorsSpec extends SparkSpec {
     // growing a sample never resamples (stable experiment cohorts)
     p10.subsetOf(p30) shouldBe true
   }
+
+  test("permilleHash is uniform on [0,1000), monotone-gated, partition-stable") {
+    val keys = spark.range(5000).select(concat(lit("doc_"), col("id")).as("k"))
+    val h = keys.select(Sampling.permilleHash("s", col("k")).as("h"))
+      .as[Long].collect()
+    all(h) should (be >= 0L and be < 1000L)
+    // a 12.5% per-mille gate lands near 12.5% (finer than pctHash's 1% steps)
+    (h.count(_ < 125).toDouble / 5000) shouldBe 0.125 +- 0.02
+    // monotone: the 125-permille cohort is inside the 300-permille cohort
+    h.count(x => x < 125 && x >= 300) shouldBe 0
+    // partitioning-independent (hash of the key, not of placement)
+    val h7 = keys.repartition(7)
+      .select(col("k"), Sampling.permilleHash("s", col("k")).as("h"))
+      .orderBy("k").as[(String, Long)].collect().map(_._2)
+    val h1 = keys.select(col("k"), Sampling.permilleHash("s", col("k")).as("h"))
+      .orderBy("k").as[(String, Long)].collect().map(_._2)
+    h7 shouldBe h1
+  }
 }
