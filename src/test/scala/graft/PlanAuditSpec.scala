@@ -206,4 +206,31 @@ class PlanAuditSpec extends SparkSpec {
       "hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
     }
   }
+
+  test("emb_semdedup: centroid assignment broadcasts; removal is a semi-join") {
+    val df = SparkEntry.queries("emb_semdedup")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // the 8-centroid table reaches every vector as a broadcast — the
+      // assignment stage is a pure map over the corpus scan
+      plan should include("BroadcastNestedLoopJoin BuildRight")
+      // removal never materializes the pair list: LeftSemi in the plan
+      plan should include("LeftSemi")
+    }
+  }
+
+  test("doc_mixture_sample: rate table broadcasts back to the corpus; " +
+    "full-data rows shuffle only for the per-source aggregations") {
+    val df = SparkEntry.queries("doc_mixture_sample")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // the 20-row rate frame joins the doc scan as a broadcast
+      "BroadcastHashJoin \\[source".r.findAllIn(plan).size should be >= 1
+      // docs hash-shuffle on source only for the two tiny aggregates —
+      // no sort-merge join of full data anywhere
+      plan should not include "SortMergeJoin [source"
+    }
+  }
 }
