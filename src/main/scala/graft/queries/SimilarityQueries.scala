@@ -688,6 +688,70 @@ object SimilarityQueries {
                WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
                  AND ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3
                  AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
-             ORDER BY a.vec_id"""))
+             ORDER BY a.vec_id""")),
+
+    // STREAMING SemDeDup — semantic dedup-against-history on a live
+    // embedding ingest. The coarse codebook is a CONSTANT of the query
+    // (8 centroid rows collected before the stream starts, the LSH-plane
+    // pattern), cell assignment is a pure map over the stream, and
+    // per-cell bounded state emits a pair for every historical cell-mate
+    // with cosine >= theta. The oracle recomputes the batch within-cell
+    // pair set — the streaming state machine must converge to it.
+    QueryDef(
+      "stream_semdedup",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val cents = emb(s, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("v"), col("n2"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+          .sortBy(_._1)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val e0 = src.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .withColumn("n2", call_function("dotd", col("v"), col("v")))
+        val withScores = cents.foldLeft(e0) { case (df, (cid, cv, cn2)) =>
+          df.withColumn(s"c$cid",
+            call_function("dotd", typedLit(cv), col("v")) /
+              (sqrt(lit(cn2)) * sqrt(col("n2"))))
+        }
+        val mx = greatest(cents.map { case (cid, _, _) => col(s"c$cid") }: _*)
+        // first max in ascending c_id order == row_number(ccos desc, c_id)
+        val cell = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
+          when(col(s"c$cid") === mx, lit(cid)).otherwise(acc)
+        }
+        val cv = withScores.withColumn("cell", cell)
+          .select(col("cell"), col("vec_id").as("id"), col("v"), col("n2"))
+          .as[graft.streaming.CellVec]
+        val name = "stream_sd_" + System.nanoTime()
+        val sq = graft.streaming.StreamSemDedup(cv, 0.3)
+          .writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name)
+          .select(col("idA").as("id_a"), col("idB").as("id_b"), col("qcos"))
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $embSql,
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             scored AS (
+               SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
+                 ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) AS ccos
+               FROM emb, cents),
+             assigned AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, c_id) AS rk FROM scored)
+               WHERE rk = 1),
+             pairs AS (
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+               FROM assigned a JOIN assigned b
+                 ON a.cell = b.cell AND a.vec_id < b.vec_id)
+             SELECT id_a, id_b, floor(cos * 1e6)::bigint AS qcos
+             FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b"""))
   )
 }

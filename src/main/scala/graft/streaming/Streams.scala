@@ -351,3 +351,78 @@ object StreamNearDup {
       }
   }
 }
+
+/** STREAMING SemDeDup — semantic dedup-against-history. Arriving vectors
+  * are routed to their coarse k-means cell (the codebook is a constant of
+  * the query, like the LSH planes); per-cell state holds the vector
+  * history, and an arrival emits a pair for every historical cell-mate
+  * with cosine >= theta. The cell bound is the same lever as the batch
+  * operator's: comparisons are per-cell, never corpus-wide, and the cell
+  * count tracks the corpus.
+  *
+  * State is BOUNDED like [[StreamNearDup]]: per-cell FIFO capped at
+  * `maxPerCell`, optional idle-cell TTL. The quantized cosine (floor 1e-6)
+  * is emitted so the pair set is engine-comparable; the double itself is
+  * the same left-to-right fold both `dotd` and the oracle compute.
+  */
+final case class CellVec(cell: Long, id: Long, v: Seq[Double], n2: Double)
+final case class SemDupPair(idA: Long, idB: Long, qcos: Long)
+private final case class CellHistory(entries: Seq[(Long, Seq[Double], Double)])
+
+object StreamSemDedup {
+
+  /** Default per-cell history cap — sized like StreamNearDup's: far above
+    * sound-codebook occupancy, small enough to bound a mega-cell.
+    */
+  val DefaultMaxPerCell = 1024
+
+  def apply(
+      vecs: Dataset[CellVec],
+      theta: Double,
+      maxPerCell: Int = DefaultMaxPerCell,
+      ttlMs: Long = 0L): Dataset[SemDupPair] = {
+    import vecs.sparkSession.implicits._
+    require(maxPerCell > 0, "maxPerCell must be positive")
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // identical op sequence to dotd / the oracle's list_reduce fold
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    vecs
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellHistory, SemDupPair](
+        OutputMode.Append, timeoutConf) {
+        (_, it: Iterator[CellVec], state: GroupState[CellHistory]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .from(state.getOption.map(_.entries).getOrElse(Seq.empty))
+            val out = Seq.newBuilder[SemDupPair]
+            it.toSeq.sortBy(_.id).foreach { d =>
+              buf.foreach { case (id, v, n2) =>
+                if (id != d.id) {
+                  val cos = dot(v, d.v) / (math.sqrt(n2) * math.sqrt(d.n2))
+                  if (cos >= theta)
+                    out += SemDupPair(
+                      math.min(id, d.id), math.max(id, d.id),
+                      math.floor(cos * 1000000L).toLong)
+                }
+              }
+              buf += ((d.id, d.v, d.n2))
+              if (buf.size > maxPerCell) buf.remove(0, buf.size - maxPerCell)
+            }
+            state.update(CellHistory(buf.toSeq))
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+}
