@@ -21,12 +21,20 @@ object ScaleCurve {
       pmod(hash(col("id")), lit(keys)).cast("long").as("k"),
       (pmod(hash(col("id") * 7), lit(1000)) / lit(10.0)).as("v"))
 
-  private def time(label: String, n: Long)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val rows = f
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[scale] $label%-18s n=$n%,12d rows_out=$rows%,12d  $sec%8.2f s")
-  }
+  /** Optional comma-separated op filter (re-measure one op without the
+    * full sweep): SPARK_GRAFT_SCALE_OPS=semdedup,minhash_lsh
+    */
+  private val only: Set[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+
+  private def time(label: String, n: Long)(f: => Long): Unit =
+    if (only.isEmpty || only(label)) {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-18s n=$n%,12d rows_out=$rows%,12d  $sec%8.2f s")
+    }
 
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
@@ -124,6 +132,31 @@ object ScaleCurve {
           (pmod(hash(col("id")), lit(241)) + 10).cast("int").as("len"))
         graft.operators.Packing
           .nextFitDecreasing(its, capacity = 2048, shards = 4096).count()
+      }
+      // SemDeDup core at n/10 vectors: cells sized for ~256 occupancy
+      // (the k-tracks-corpus rule), every 100th vector a planted near-dup
+      // of its predecessor routed to the SAME cell. The measured claim:
+      // the removal semi-join's work is sum(cell²) — bounded by the cell
+      // size, never corpus-quadratic — and rows_out ≈ planted dups.
+      time("semdedup", n / 10) {
+        graft.plans.DotD.register(spark)
+        val sd = n / 10
+        val dim = 16
+        val cells = math.max(8L, sd / 256)
+        val isDup = col("id") % 100 === 1
+        val src = when(isDup, col("id") - 1).otherwise(col("id"))
+        val d = spark.range(sd).select(
+          col("id"),
+          pmod(hash(src), lit(cells)).cast("long").as("cell"),
+          transform(sequence(lit(0L), lit(dim - 1L)), i =>
+            pmod(xxhash64(src, i), lit(1000L)).cast("double") / 500.0 - 1.0 +
+              when(isDup,
+                pmod(xxhash64(col("id"), i + 100), lit(10L)).cast("double")
+                  / 1000.0).otherwise(lit(0.0))).as("v"))
+          .withColumn("n2", call_function("dotd", col("v"), col("v")))
+          .withColumn("ccos",
+            pmod(hash(col("id")), lit(1000)).cast("double") / 1000.0)
+        graft.operators.SemDedup.removed(d, 0.95).count()
       }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
