@@ -289,6 +289,43 @@ object TextQueries {
            ORDER BY source"""),
     ),
 
+    // Deterministic curriculum sharding: exact-histogram range
+    // partitioning by token count (operators.RangeShards) — the
+    // reproducible "sort the corpus into N sorted shards" step that
+    // sampling-based repartitionByRange can't give. Output: per-shard
+    // stats; ranges are contiguous, whole-key, and run-identical.
+    QueryDef(
+      "doc_quality_shards",
+      (s, dir) => {
+        val d = docs(s, dir).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        graft.operators.RangeShards.assign(d, "n_tokens", 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_tokens")).as("min_tok"),
+            max(col("n_tokens")).as("max_tok"),
+            sum(col("n_tokens")).as("tok_total"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH d AS (
+             SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tokens
+             FROM documents),
+           h AS (SELECT n_tokens AS s, count(*)::bigint AS c
+                 FROM d GROUP BY n_tokens),
+           cuts AS (
+             SELECT s,
+               (coalesce(sum(c) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 8 // (sum(c) OVER ()))::bigint AS shard
+             FROM h)
+           SELECT shard, count(*)::bigint AS n_docs,
+             min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
+             sum(n_tokens)::bigint AS tok_total
+           FROM d JOIN cuts ON d.n_tokens = cuts.s
+           GROUP BY shard ORDER BY shard"""),
+    ),
+
     // END-TO-END pipeline composition: quality gate → exact-dedup
     // survivors → per-language corpus stats. The shape every training-data
     // prep job has; each stage is one of the operators verified above, and

@@ -77,4 +77,35 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("k").as[(String, Long)].collect().map(_._2)
     h7 shouldBe h1
   }
+
+  test("RangeShards: contiguous monotone ranges, whole-key shards, " +
+    "near-balanced, partitioning-independent") {
+    import graft.operators.RangeShards
+    // skewed integral scores: hash-spread 0..99 plus a fat tie group at 50
+    val d = spark.range(10000).select(col("id"),
+      when(col("id") % 5 === 0, lit(50L))
+        .otherwise(pmod(hash(col("id")), lit(100)).cast("long")).as("score"))
+    val a = RangeShards.assign(d, "score", 8)
+    val stats = a.groupBy("shard")
+      .agg(min("score").as("lo"), max("score").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect()
+    // ranges are contiguous and non-overlapping in shard order
+    stats.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) => lo2 should be > hi1
+      case _ =>
+    }
+    // whole-key granularity: every score maps to exactly one shard
+    a.groupBy("score").agg(countDistinct("shard").as("ns"))
+      .agg(max("ns")).as[Long].head() shouldBe 1L
+    // near-balance: each shard ≤ ideal + largest tie group
+    val tieMax = d.groupBy("score").count().agg(max("count")).as[Long].head()
+    all(stats.map(_._4)) should be <= (10000L / 8 + tieMax)
+    // deterministic under repartitioning
+    val b = RangeShards.assign(d.repartition(7), "score", 8)
+      .select("id", "shard").orderBy("id").as[(Long, Long)].collect()
+    val a1 = a.select("id", "shard").orderBy("id").as[(Long, Long)].collect()
+    b shouldBe a1
+  }
 }
