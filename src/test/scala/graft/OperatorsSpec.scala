@@ -108,4 +108,23 @@ class OperatorsSpec extends SparkSpec {
     val a1 = a.select("id", "shard").orderBy("id").as[(Long, Long)].collect()
     b shouldBe a1
   }
+
+  test("RangeShards law: shard equals floor(rowsBefore·N/total) from a " +
+    "brute-force rank, for several shard counts") {
+    import graft.operators.RangeShards
+    val rnd = new scala.util.Random(7)
+    val scores = Vector.fill(2000)(rnd.nextInt(60).toLong)
+    val d = scores.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val total = scores.size.toLong
+    for (n <- Seq(1, 3, 8, 16)) {
+      val brute = scores.zipWithIndex.map { case (s, i) =>
+        val before = scores.count(_ < s).toLong
+        i.toLong -> before * n / total
+      }.toMap
+      val dist = RangeShards.assign(d, "score", n)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+      dist shouldBe brute
+    }
+  }
 }

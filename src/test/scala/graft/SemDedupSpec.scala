@@ -81,4 +81,50 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     r7 shouldBe r1
   }
+
+  test("property law: distributed result equals the O(n²) brute force " +
+    "on random vectors (assignment + keeper rule)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val n = 300
+    val vecs = (0 until n).map(i =>
+      (i.toLong, IndexedSeq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val cents = (0 until 4).map(c =>
+      (c.toLong, IndexedSeq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // brute force: nearest centroid (ties → lowest c_id), then the
+    // EXISTS removal predicate pair by pair
+    val theta = 0.35
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(cv, v)) }
+        .maxBy { case (cid, c) => (c, -cid) }
+    }.toMap
+    val removedBrute = vecs.filter { case (id, v) =>
+      val (cell, ccos) = cellOf(id)
+      vecs.exists { case (id2, v2) =>
+        id2 != id && cellOf(id2)._1 == cell && cos(v, v2) >= theta && {
+          val ccos2 = cellOf(id2)._2
+          ccos2 < ccos || (ccos2 == ccos && id2 < id)
+        }
+      }
+    }.map(_._1).toSet
+
+    graft.plans.DotD.register(spark)
+    val e = vecs.toDF("id", "v")
+      .withColumn("n2", org.apache.spark.sql.functions
+        .call_function("dotd", org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("v")))
+    val c = cents.toDF("c_id", "cv")
+      .withColumn("cn2", org.apache.spark.sql.functions
+        .call_function("dotd", org.apache.spark.sql.functions.col("cv"),
+          org.apache.spark.sql.functions.col("cv")))
+    val removedDist = SemDedup.removed(SemDedup.assign(e, c), theta)
+      .collect().map(_.getLong(0)).toSet
+    removedDist shouldBe removedBrute
+    removedDist should not be empty // the law isn't vacuous at this theta
+  }
 }
