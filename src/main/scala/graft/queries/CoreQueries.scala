@@ -1366,6 +1366,61 @@ object CoreQueries {
                     THEN click_value END AS click_value
              FROM c WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- CEP sequence pattern with NEGATION (SASE-style SEQ(click →
+    // purchase) WITHIN 1h AND NOT error BETWEEN; cf. the retrieved CEP
+    // literature, PAPERS.md): the last-match SEQ step is exactly the
+    // as-of takeWithin sample (one union-window shuffle on user_id), and
+    // the negation is a range anti-join against the error stream on the
+    // same key — no NFA state machine, no per-event driver logic; both
+    // stages partition by user_id and scale as the as-of core does.
+    QueryDef(
+      "ev_cep_pattern",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        val purchases = KStream(
+          all.filter(col("event_type") === "purchase"), Seq("user_id"))
+        val clicks = KStream(
+          all.filter(col("event_type") === "click")
+            .withColumn("c_t", col("ts")), Seq("user_id"))
+        val matched = purchases
+          .takeWithin(clicks, Seq(col("user_id")),
+            Seq("click_t" -> col("c_t")), 3600L * 1000 * 1000)
+          .df.filter(col("click_t").isNotNull)
+          .select(col("seq").as("event_id"), col("user_id"),
+            col("ts").as("p_t"), col("click_t"))
+        val errors = all.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_uid"), col("ts").as("e_t"))
+        matched.join(errors,
+            col("user_id") === col("e_uid") &&
+              col("e_t") > col("click_t") && col("e_t") < col("p_t"),
+            "left_anti")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side
+               FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+                   OVER w AS click_t
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             m AS (
+               SELECT event_id, user_id, t AS p_t, click_t
+               FROM c
+               WHERE side = 1 AND click_t IS NOT NULL
+                 AND t - click_t <= 3600000000)
+             SELECT event_id, user_id, p_t, click_t FROM m
+             WHERE NOT EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.event_type = 'error' AND e.user_id = m.user_id
+                 AND epoch_us(e.ts) > m.click_t AND epoch_us(e.ts) < m.p_t)
+             ORDER BY event_id""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated
