@@ -1421,6 +1421,50 @@ object CoreQueries {
                  AND epoch_us(e.ts) > m.click_t AND epoch_us(e.ts) < m.p_t)
              ORDER BY event_id""")),
 
+    // ---- CEP Kleene closure (SEQ(click+ → purchase) with the iteration
+    // COUNT): how many clicks since the user's previous purchase, per
+    // purchase — the pattern-aggregation half of CEP engines. Pure
+    // carry-forward arithmetic: ONE union-window shuffle on user_id
+    // computes the cumulative click count, a purchases-only lag turns it
+    // into per-match deltas — no NFA, no iteration state.
+    QueryDef(
+      "ev_cep_kleene",
+      (s, dir) => {
+        val all = Q.events(s, dir)
+        val u = all.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+          .unionByName(all.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "side", "event_id")
+        val ck = u.withColumn("ck",
+          sum(when(col("side") === 0, 1L).otherwise(0L)).over(w))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        ck.filter(col("side") === 1)
+          .withColumn("n_clicks",
+            col("ck") - coalesce(lag(col("ck"), 1).over(wp), lit(0L)))
+          .select(col("event_id"), col("user_id"), col("n_clicks"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side
+               FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY t, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+               FROM u)
+             SELECT event_id, user_id,
+               (ck - coalesce(lag(ck) OVER (
+                  PARTITION BY user_id ORDER BY t, event_id), 0))::bigint
+                 AS n_clicks
+             FROM c WHERE side = 1 ORDER BY event_id""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated
