@@ -245,20 +245,28 @@ object Codecs {
     * `bit_count(xor)` verify. Candidate generation joins narrow
     * (id, band, value) rows — never all-pairs, never blobs.
     */
-  def imageNearDups(rows: Dataset[Multimodal.MediaRow], maxDist: Int): DataFrame = {
+  def imageNearDups(rows: Dataset[Multimodal.MediaRow], maxDist: Int): DataFrame =
+    hammingNearDups(imageHashes(rows).toDF("id", "phash"), "phash", maxDist)
+
+  /** Shared 64-bit-signature near-dup core: 4×16-bit Hamming banding
+    * (pigeonhole-exact for distance ≤ 3: any such pair agrees on at
+    * least one full band) + exact `bit_count(xor)` verify. Candidate
+    * generation joins narrow (id, band, value) rows — never all-pairs,
+    * never blobs. Used by both the image and audio perceptual hashes.
+    */
+  def hammingNearDups(hashes: DataFrame, hashCol: String, maxDist: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
-    val hashes = imageHashes(rows).toDF("id", "phash")
-    val banded = hashes.select(col("id"), col("phash"),
+    val banded = hashes.select(col("id"), col(hashCol).as("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("e"))
-      .select(col("id"), col("phash"), col("e.band"), col("e.bv"))
+          shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("e"))
+      .select(col("id"), col("h"), col("e.band"), col("e.bv"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.phash").as("ha"), col("b.phash").as("hb"))
+        col("a.h").as("ha"), col("b.h").as("hb"))
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
       .select(col("id_a"), col("id_b"))
@@ -305,4 +313,50 @@ object Codecs {
       }
     }
   }
+
+  /** 64-bit energy-delta audio fingerprint (the Haitsma–Kalker energy-
+    * difference shape over REAL decoded PCM): 65 equal frames of EXACT
+    * integer energy (sum of squared samples — bounded: 2^30 samples ×
+    * 2^30 per square stays far under Long overflow), bit i set iff
+    * energy(i+1) > energy(i). Small amplitude noise barely moves frame
+    * energies, so noised copies land within a few Hamming bits; decode +
+    * integer arithmetic is renderer-independent like [[aHash]].
+    */
+  def audioFingerprint(blob: Array[Byte]): Option[Long] =
+    decodeAudio(blob).flatMap { s =>
+      if (s.length < 130 || s.length > (1 << 30)) None // ≥2 samples/frame; energy bound
+      else {
+        val frames = 65
+        val e = new Array[Long](frames)
+        var i = 0
+        while (i < s.length) {
+          val f = (i.toLong * frames / s.length).toInt
+          val v = s(i).toLong
+          e(f) += v * v
+          i += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) bits |= (1L << b)
+          b += 1
+        }
+        Some(bits)
+      }
+    }
+
+  final case class AudioHash(id: Long, fp: Long)
+
+  /** Partition-batched audio fingerprints: blobs stay local, 16 bytes
+    * out per clip. Undecodable/short rows drop.
+    */
+  def audioHashes(rows: Dataset[Multimodal.MediaRow]): Dataset[AudioHash] = {
+    implicit val enc: Encoder[AudioHash] = Encoders.product[AudioHash]
+    rows.mapPartitions(it =>
+      it.flatMap(r => audioFingerprint(r.blob).map(AudioHash(r.id, _))))
+  }
+
+  /** Audio near-dup pairs via the shared [[hammingNearDups]] banding. */
+  def audioNearDups(rows: Dataset[Multimodal.MediaRow], maxDist: Int): DataFrame =
+    hammingNearDups(audioHashes(rows).toDF("id", "fp"), "fp", maxDist)
 }

@@ -156,4 +156,39 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L))
   }
+
+  test("Codecs.audioFingerprint + audioNearDups: a noised copy pairs with " +
+    "the original; a different envelope does not") {
+    import graft.multimodal.Codecs
+    val rnd = new scala.util.Random(11)
+    // amplitude-modulated tone: the energy-delta fingerprint tracks the
+    // per-frame envelope; dup = same plus small noise; other = reversed
+    // envelope (deltas flip sign)
+    def tone(rev: Boolean, noise: Int): Array[Short] =
+      Array.tabulate[Short](6500) { i =>
+        val fr = i / 100 // frame index at 65 frames
+        val env = if (rev) 65 - fr else fr + 1
+        val s = (if (i % 2 == 0) 1 else -1) * env * 400
+        (s + (if (noise > 0) rnd.nextInt(2 * noise) - noise else 0)).toShort
+      }
+    val base = wav(tone(rev = false, 0), 16000f)
+    val dup = wav(tone(rev = false, 40), 16000f)
+    val other = wav(tone(rev = true, 0), 16000f)
+    val junk = "still not audio".getBytes("UTF-8")
+
+    val Some(fBase) = Codecs.audioFingerprint(base)
+    val Some(fDup) = Codecs.audioFingerprint(dup)
+    val Some(fOther) = Codecs.audioFingerprint(other)
+    java.lang.Long.bitCount(fBase ^ fDup) should be <= 3
+    java.lang.Long.bitCount(fBase ^ fOther) should be > 3
+
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, base, MediaMeta("audio", 0, 0, 16000, 0)),
+      MediaRow(2L, dup, MediaMeta("audio", 0, 0, 16000, 0)),
+      MediaRow(3L, other, MediaMeta("audio", 0, 0, 16000, 0)),
+      MediaRow(4L, junk, MediaMeta("audio", 0, 0, 0, 0)))).repartition(3)
+    val pairs = Codecs.audioNearDups(ds, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
 }
