@@ -272,6 +272,25 @@ object Codecs {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Encode 16-bit PCM samples as a WAV blob via `javax.sound.sampled` —
+    * the REAL encode seam opposite [[decodeAudio]] (PCM16 WAV is lossless,
+    * so `decodeAudio(pcmToWav(x)) == x` exactly). Used by the audio
+    * catalog queries to materialize deterministic clips as genuine
+    * container bytes that then flow through the real decoder.
+    */
+  def pcmToWav(samples: Array[Short], rateHz: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer().put(samples)
+    val fmt = new AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decode an audio blob to 16-bit PCM samples via `javax.sound.sampled`
     * (JDK stdlib — WAV/AIFF/AU containers; compressed codecs like MP3
     * would need an SPI on the classpath). Junk-tolerant like
@@ -359,4 +378,75 @@ object Codecs {
   /** Audio near-dup pairs via the shared [[hammingNearDups]] banding. */
   def audioNearDups(rows: Dataset[Multimodal.MediaRow], maxDist: Int): DataFrame =
     hammingNearDups(audioHashes(rows).toDF("id", "fp"), "fp", maxDist)
+
+  // ---- Video: container demux + frame sampling ------------------------
+
+  /** Mux encoded frames into a tiny deterministic container ("GVID":
+    * magic, frame count, length-prefixed frames). A real video demuxer
+    * SPI (MP4/MKV) would slot into the same seam; the container PARSE is
+    * real (bounds-checked, junk-tolerant) and the frames are real encoded
+    * images decoded by [[decodeImage]].
+    */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47564944) // "GVID"
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    bos.toByteArray
+  }
+
+  /** Demux a GVID container back to its encoded frames. Junk-tolerant
+    * like the other decoders: bad magic, truncated frames, or absurd
+    * counts yield None instead of a task failure.
+    */
+  def demuxVideo(blob: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+      if (in.readInt() != 0x47564944) None
+      else {
+        val n = in.readInt()
+        if (n < 0 || n > (1 << 20)) None
+        else Some(Vector.fill(n) {
+          val len = in.readInt()
+          if (len < 0 || len > blob.length) throw new java.io.EOFException
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          b
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class FrameLuma(id: Long, frameIdx: Int, lumaSum: Long)
+
+  /** Frame-sampled video feature extraction: demux the container (real
+    * parse), keep every `stride`-th frame, decode each kept frame through
+    * the REAL javax.imageio path, and emit its EXACT integer luma sum
+    * (same Rec.601 integer weights as [[imageStats]]). Blobs stay in
+    * their partition; only (id, frameIdx, lumaSum) rows leave — the
+    * frame-sampling map every video-training pipeline starts with.
+    */
+  def videoFrameLuma(rows: Dataset[Multimodal.MediaRow], stride: Int): Dataset[FrameLuma] = {
+    implicit val enc: Encoder[FrameLuma] = Encoders.product[FrameLuma]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        demuxVideo(r.blob).toSeq.flatMap { frames =>
+          frames.zipWithIndex.collect {
+            case (fb, idx) if idx % stride == 0 =>
+              decodeImage(fb).map { case (_, _, px) =>
+                var s = 0L
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  s += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                    114 * (p & 0xff)) / 1000
+                  i += 1
+                }
+                FrameLuma(r.id, idx, s)
+              }
+          }.flatten
+        }
+      }
+    }
+  }
 }

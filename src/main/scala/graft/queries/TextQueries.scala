@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.multimodal.{Codecs, Multimodal}
 
 /** Text-analysis pipeline operators over `documents` — the LLM-training-
   * data surface (token counting, quality scoring, language ID,
@@ -13,6 +14,95 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Q.documents(s, dir)
+
+  /** Deterministic synthetic PCM16 clip per doc, encoded as a genuine WAV
+    * container ([[Codecs.pcmToWav]]): group-dependent sawtooth
+    * (group = doc_id % 32) plus tiny doc-dependent noise, 2600 samples.
+    * The sample formula is integer-exact and shared verbatim with the
+    * DuckDB oracle — PCM16 WAV is lossless, so decode∘encode is identity
+    * and both engines see the same samples. Clips in the same group
+    * differ only by the ±10 noise, so their frame energies (and hence
+    * [[Codecs.audioFingerprint]]s) stay within a few Hamming bits.
+    */
+  private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+    implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
+    docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 2600
+          val g = id % 32
+          val samples = Array.tabulate(n) { j =>
+            val base = ((j.toLong * j * (g + 3) + 17L * j) % 3000L) - 1500L
+            val noise = ((id * 1000003L + 7919L * j) % 21L) - 10L
+            (base + noise).toShort
+          }
+          Multimodal.MediaRow(id, Codecs.pcmToWav(samples, 8000f),
+            Multimodal.MediaMeta("audio", 0, 0, 8000, n))
+        }
+      }
+  }
+
+  /** Deterministic synthetic video per doc: six 8×8 PNG frames (real
+    * `javax.imageio` encode) muxed into a GVID container
+    * ([[Codecs.packVideo]]). Pixels follow an integer formula of
+    * (doc_id, frame, x, y) shared verbatim with the DuckDB oracle — PNG
+    * is lossless, so decode returns the exact pixels.
+    */
+  private def videoClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+    implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
+    docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (0 until 6).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val r = ((id * 7 + f * 13 + x * 3 + y * 5) % 256).toInt
+                val g = ((id * 11 + f * 3 + x * 7 + y) % 256).toInt
+                val b = ((id + f + x + y) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          Multimodal.MediaRow(id, Codecs.packVideo(frames),
+            Multimodal.MediaMeta("video", 8, 8, 0, 6))
+        }
+      }
+  }
+
+  /** Oracle CTE recomputing [[Codecs.audioFingerprint]] in DuckDB straight
+    * from the sample formula (no codec needed — the WAV round trip is
+    * bit-lossless). Frame energies are exact integer sums of squares; the
+    * 64-bit signature is assembled as two 32-bit halves to stay inside
+    * BIGINT, then folded to the signed Long Spark produces.
+    */
+  private val audioFpCte: String = """WITH samp AS (
+      SELECT doc_id AS id, j,
+        ((j*j*((doc_id % 32) + 3) + 17*j) % 3000) - 1500
+          + ((doc_id*1000003 + 7919*j) % 21) - 10 AS v
+      FROM documents, range(2600) t(j)),
+    en AS (
+      SELECT id, (j*65)//2600 AS f, sum(v*v) AS e
+      FROM samp GROUP BY id, (j*65)//2600),
+    el AS (SELECT id, list(e ORDER BY f) AS es FROM en GROUP BY id),
+    fp AS (
+      SELECT id,
+        (CASE WHEN hi >= 2147483648 THEN (hi - 4294967296)*4294967296 + lo
+              ELSE hi*4294967296 + lo END)::bigint AS fp
+      FROM (SELECT id,
+        list_sum([CASE WHEN es[b+2] > es[b+1] THEN (1::bigint << b) ELSE 0 END
+                  for b in range(32)])::bigint AS lo,
+        list_sum([CASE WHEN es[b+34] > es[b+33] THEN (1::bigint << b) ELSE 0 END
+                  for b in range(32)])::bigint AS hi
+        FROM el))"""
 
   /** Whitespace tokens of `text` (Q.tokens twin: string_split(text, ' ')). */
   private val toks: Column = split(col("text"), " ")
@@ -695,6 +785,62 @@ object TextQueries {
              SELECT doc_id, start//40 AS chunk_idx,
                len(list_slice(toks, start+1, start+50))::bigint AS n_tok,
                ${Q.hash60Sql("array_to_string(list_slice(toks, start+1, start+50), ' ')")} AS fp
-             FROM st ORDER BY doc_id, chunk_idx"""))
+             FROM st ORDER BY doc_id, chunk_idx""")),
+
+    // ---- Audio pipeline: the REAL WAV codec under the driver gate -----
+    // Spark synthesizes deterministic PCM, encodes genuine WAV containers,
+    // decodes them back through the real javax.sound path and fingerprints
+    // the samples (Haitsma-Kalker energy deltas). The oracle recomputes the
+    // identical fingerprint from the same integer formula, so this verifies
+    // the whole encode -> decode -> fingerprint chain bit-exactly. Blobs
+    // never shuffle; 16 bytes leave each clip.
+    QueryDef(
+      "mm_audio_fp",
+      (s, dir) =>
+        Codecs.audioHashes(audioClips(s, dir)).toDF("id", "fp").orderBy("id"),
+      Some(s"""$audioFpCte SELECT id, fp FROM fp ORDER BY id""")),
+
+    // Audio near-dup pairs: same 4x16-bit Hamming banding as the image
+    // aHash path (pigeonhole-exact at distance <= 3), exact bit_count
+    // verify on narrow rows. The oracle compares all fingerprint pairs
+    // with the same predicate — identical sets, because the banding has
+    // perfect recall at distance <= 3. (The quadratic pair count here is a
+    // property of the synthetic fixture — every clip in a doc_id%32 group
+    // is a near-copy — not of the operator, whose candidate generation is
+    // bounded by band-bucket sizes.)
+    QueryDef(
+      "mm_audio_neardup",
+      (s, dir) =>
+        Codecs.audioNearDups(audioClips(s, dir), 3).orderBy("id_a", "id_b"),
+      Some(s"""$audioFpCte
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM fp a JOIN fp b
+               ON a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 3
+             ORDER BY id_a, id_b""")),
+
+    // Video frame sampling: every video's GVID container is demuxed (real
+    // parse), every 2nd frame PNG-decoded through the real javax.imageio
+    // path, and reduced to its exact integer Rec.601 luma sum. The oracle
+    // recomputes the sums straight from the shared pixel formula (PNG is
+    // lossless) — verifying mux -> demux -> stride-sample -> decode ->
+    // feature end to end. Blobs never shuffle; 3 narrow rows leave per
+    // video.
+    QueryDef(
+      "mm_video_frames",
+      (s, dir) =>
+        Codecs.videoFrameLuma(videoClips(s, dir), 2)
+          .select(col("id"), col("frameIdx").cast("long").as("frame_idx"),
+            col("lumaSum").as("luma_sum"))
+          .orderBy("id", "frame_idx"),
+      Some("""WITH px AS (
+               SELECT doc_id AS id, f, x, y,
+                 (doc_id*7 + f*13 + x*3 + y*5) % 256 AS r,
+                 (doc_id*11 + f*3 + x*7 + y) % 256 AS g,
+                 (doc_id + f + x + y) % 256 AS b
+               FROM documents, (SELECT unnest([0, 2, 4]) AS f) fr,
+                 range(8) tx(x), range(8) ty(y))
+             SELECT id, f::bigint AS frame_idx,
+               sum((299*r + 587*g + 114*b)//1000)::bigint AS luma_sum
+             FROM px GROUP BY id, f ORDER BY id, frame_idx"""))
   )
 }

@@ -108,6 +108,31 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("Codecs.pcmToWav: lossless PCM16 round trip through the real codec") {
+    import graft.multimodal.Codecs
+    val samples = Array.tabulate[Short](500)(i => (((i * 37) % 3000) - 1500).toShort)
+    Codecs.decodeAudio(Codecs.pcmToWav(samples, 8000f)).get.toSeq shouldBe samples.toSeq
+  }
+
+  test("Codecs video: GVID mux/demux round trip, stride sampling, REAL " +
+    "per-frame PNG decode, junk tolerance") {
+    import graft.multimodal.Codecs
+    // 4 frames: solid gray levels 10, 20, 30, 40 → luma == level, sum = 64*level
+    val frames = (1 to 4).map(k => png(8, 8, (_, _) => {
+      val v = k * 10; (v << 16) | (v << 8) | v
+    }))
+    val blob = Codecs.packVideo(frames)
+    Codecs.demuxVideo(blob).get.map(_.toSeq) shouldBe frames.map(_.toSeq)
+    Codecs.demuxVideo("not a video".getBytes("UTF-8")) shouldBe None
+    Codecs.demuxVideo(blob.dropRight(10)) shouldBe None
+    val ds = spark.createDataset(Seq(
+      MediaRow(7L, blob, MediaMeta("video", 8, 8, 0, 4)),
+      MediaRow(8L, Array[Byte](1, 2, 3), MediaMeta("video", 0, 0, 0, 0))))
+    val out = Codecs.videoFrameLuma(ds, 2).collect().sortBy(_.frameIdx)
+    out.map(f => (f.id, f.frameIdx, f.lumaSum)).toSeq shouldBe
+      Seq((7L, 0, 64L * 10), (7L, 2, 64L * 30))
+  }
+
   test("Codecs.decodeAudio: REAL WAV decode through the extraction " +
     "pipeline (javax.sound, no stub)") {
     import graft.multimodal.Codecs
