@@ -1465,6 +1465,69 @@ object CoreQueries {
                  AS n_clicks
              FROM c WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- STREAMING CEP: the same SEQ(click → purchase WITHIN 1h, no
+    // error between) pattern detected live (streaming.CepPattern). Per-key
+    // state is two timestamp registers — O(1) forever, the scale shape a
+    // 100 TB event firehose needs — and the time-split two-batch feed
+    // proves a click parked in batch-1 state matches a purchase arriving
+    // in batch 2. Oracle: identical to the batch ev_cep_pattern.
+    QueryDef(
+      "stream_cep_pattern",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.eventsHalves(s, dir)
+        val schema = StreamFixtures.eventsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_cep_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .filter(col("event_type").isin("click", "error", "purchase"))
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"),
+            when(col("event_type") === "click", 0)
+              .when(col("event_type") === "error", 1).otherwise(2).as("kind"))
+          .as[graft.streaming.CepEvent]
+        val name = "stream_cep_" + System.nanoTime()
+        val q = graft.streaming.CepPattern(src, 3600L * 1000 * 1000)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: old half — registers park in state
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: recent half — cross-batch matches
+        } finally q.stop()
+        val res = s.table(name)
+          .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
+            col("pT").as("p_t"), col("clickT").as("click_t"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side
+               FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+                   OVER w AS click_t
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             m AS (
+               SELECT event_id, user_id, t AS p_t, click_t
+               FROM c
+               WHERE side = 1 AND click_t IS NOT NULL
+                 AND t - click_t <= 3600000000)
+             SELECT event_id, user_id, p_t, click_t FROM m
+             WHERE NOT EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.event_type = 'error' AND e.user_id = m.user_id
+                 AND epoch_us(e.ts) > m.click_t AND epoch_us(e.ts) < m.p_t)
+             ORDER BY event_id""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated

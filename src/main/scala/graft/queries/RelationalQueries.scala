@@ -703,6 +703,136 @@ object RelationalQueries {
            SELECT node, rank_q FROM ranked
            ORDER BY rank_q DESC, node LIMIT 20""")),
 
+    // Triangle counting over the part co-purchase graph (parts sharing an
+    // order), with the degree-orientation optimization every distributed
+    // triangle counter uses (node-iterator on the LOWEST-degree corner):
+    // each undirected edge is oriented from its lower-(degree, id) endpoint
+    // to the higher, so wedge fan-out per node is bounded by the ORIENTED
+    // degree (≤ √(2m) after orientation) instead of the raw degree — the
+    // difference between O(Σ d²) and O(m^1.5) candidates at 100 TB. Each
+    // triangle is counted exactly once (at its unique minimum-order
+    // corner). Three narrow shuffles (dedup, wedge self-join, closure
+    // probe); the global clustering coefficient is emitted as an exact
+    // integer ppm so both engines agree bit-for-bit.
+    QueryDef(
+      "graph_triangles",
+      (s, dir) => {
+        val l = li(s, dir)
+        val pairs = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+          .join(l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v")), "ok")
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct().persist()
+        val deg = pairs.select(col("u").as("node"))
+          .unionAll(pairs.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        val o = pairs
+          .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("s"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("t"))
+        val wedges = o.select(col("s"), col("t").as("x"))
+          .join(o.select(col("s"), col("t").as("y")), "s")
+          .filter(col("x") < col("y"))
+        val tri = wedges
+          .join(pairs, col("x") === col("u") && col("y") === col("v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+          expr("sum((d * (d - 1)) DIV 2)").cast("long").as("n_wedges"))
+        val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
+        degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            expr("(3 * n_triangles * 1000000) DIV n_wedges").as("gcc_ppm"))
+      },
+      Some("""WITH pairs AS (
+               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             deg AS (
+               SELECT node, count(*) AS d FROM (
+                 SELECT u AS node FROM pairs
+                 UNION ALL SELECT v AS node FROM pairs)
+               GROUP BY node),
+             o AS (
+               SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                           THEN u ELSE v END AS s,
+                      CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                           THEN v ELSE u END AS t
+               FROM pairs JOIN deg du ON du.node = pairs.u
+                          JOIN deg dv ON dv.node = pairs.v),
+             w AS (
+               SELECT e1.t AS x, e2.t AS y
+               FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+             tri AS (
+               SELECT count(*) AS n_triangles FROM w
+               JOIN pairs ON w.x = pairs.u AND w.y = pairs.v),
+             agg AS (
+               SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                      count(*) AS n_edges,
+                      (SELECT sum((d * (d - 1)) // 2) FROM deg) AS n_wedges
+               FROM pairs)
+             SELECT n_nodes::bigint AS n_nodes, n_edges::bigint AS n_edges,
+               n_wedges::bigint AS n_wedges, n_triangles::bigint AS n_triangles,
+               ((3 * n_triangles * 1000000) // n_wedges)::bigint AS gcc_ppm
+             FROM agg CROSS JOIN tri""")),
+
+    // Dataset-version reconciliation (snapshot diff): two deterministic
+    // snapshots of orders full-outer-join on the key and every row is
+    // classified added / removed / changed / same — the table-diff
+    // primitive behind dataset versioning and CDC backfills in a training
+    // pipeline. ONE narrow shuffle of (key, comparable columns); at 100 TB
+    // the production shape prepends per-range checksums (RangeShards) so
+    // clean key ranges never reach the row-level diff, and the row diff
+    // runs only on dirty ranges — same classification semantics, same
+    // output. Per-class exact key-sum doubles as the reconciliation
+    // checksum.
+    QueryDef(
+      "ord_snapshot_diff",
+      (s, dir) => {
+        val o = ord(s, dir)
+        val v1 = o.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("st1"),
+            col("o_totalprice").as("tp1"))
+        val v2 = o.filter(col("o_orderkey") % 89 =!= 0)
+          .select(col("o_orderkey").as("k2"), col("o_orderstatus").as("st2"),
+            (col("o_totalprice") +
+              when(col("o_orderkey") % 53 === 0, lit(1.0)).otherwise(lit(0.0)))
+              .as("tp2"))
+        v1.join(v2, col("k1") === col("k2"), "full_outer")
+          .select(
+            when(col("k1").isNull, "added")
+              .when(col("k2").isNull, "removed")
+              .when(col("tp1") =!= col("tp2") || col("st1") =!= col("st2"),
+                "changed")
+              .otherwise("same").as("diff_class"),
+            coalesce(col("k1"), col("k2")).as("k"))
+          .groupBy("diff_class")
+          .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+          .orderBy("diff_class")
+      },
+      Some("""WITH v1 AS (
+               SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+               FROM orders WHERE o_orderkey % 97 <> 0),
+             v2 AS (
+               SELECT o_orderkey AS k, o_orderstatus AS st,
+                 o_totalprice + (CASE WHEN o_orderkey % 53 = 0
+                                      THEN 1.0 ELSE 0.0 END) AS tp
+               FROM orders WHERE o_orderkey % 89 <> 0),
+             d AS (
+               SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                           WHEN v2.k IS NULL THEN 'removed'
+                           WHEN v1.tp <> v2.tp OR v1.st <> v2.st THEN 'changed'
+                           ELSE 'same' END AS diff_class,
+                      coalesce(v1.k, v2.k) AS k
+               FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             SELECT diff_class, count(*) AS n, sum(k)::bigint AS key_sum
+             FROM d GROUP BY diff_class ORDER BY diff_class""")),
+
     // Incremental rollup maintenance: the HISTORY partial aggregate
     // (orders before 1999) merges with the DELTA partial (1999+) by
     // summing partial states — no rescan of history. This is how a daily

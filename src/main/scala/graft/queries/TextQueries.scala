@@ -15,6 +15,29 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Q.documents(s, dir)
 
+  /** Per-JVM memoized media-blob fixtures (the StreamFixtures pattern,
+    * VERDICT r2 "What's wrong" #2): synthetic clip GENERATION runs once
+    * per (kind, dir) and lands in a temp parquet; the timed catalog
+    * queries then read blobs and exercise only the operator under test
+    * (demux, decode, fingerprint) — not fixture synthesis.
+    */
+  private object MediaFixtures {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+
+    def cached(s: SparkSession, dir: String, kind: String)(
+        build: => Dataset[Multimodal.MediaRow]): Dataset[Multimodal.MediaRow] = {
+      implicit val enc: Encoder[Multimodal.MediaRow] =
+        Encoders.product[Multimodal.MediaRow]
+      val p = cache.getOrElseUpdate(kind + "|" + dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_media_${kind}_").toString + "/blobs"
+        build.write.parquet(root)
+        root
+      })
+      s.read.parquet(p).as[Multimodal.MediaRow]
+    }
+  }
+
   /** Deterministic synthetic PCM16 clip per doc, encoded as a genuine WAV
     * container ([[Codecs.pcmToWav]]): group-dependent sawtooth
     * (group = doc_id % 32) plus tiny doc-dependent noise, 2600 samples.
@@ -24,7 +47,10 @@ object TextQueries {
     * differ only by the ±10 noise, so their frame energies (and hence
     * [[Codecs.audioFingerprint]]s) stay within a few Hamming bits.
     */
-  private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+  private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
+    MediaFixtures.cached(s, dir, "audio")(audioClipsBuild(s, dir))
+
+  private def audioClipsBuild(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
     implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
     docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
       .mapPartitions { it =>
@@ -48,7 +74,10 @@ object TextQueries {
     * (doc_id, frame, x, y) shared verbatim with the DuckDB oracle — PNG
     * is lossless, so decode returns the exact pixels.
     */
-  private def videoClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+  private def videoClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
+    MediaFixtures.cached(s, dir, "video")(videoClipsBuild(s, dir))
+
+  private def videoClipsBuild(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
     implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
     docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
       .mapPartitions { it =>

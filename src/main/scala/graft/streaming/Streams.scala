@@ -352,6 +352,59 @@ object StreamNearDup {
   }
 }
 
+/** Streaming CEP sequence-with-negation — the streaming twin of the batch
+  * `ev_cep_pattern` query (SASE-style SEQ(click → purchase) WITHIN w AND
+  * NOT error BETWEEN; reference scespet routes such patterns through its
+  * push-graph listeners). For this pattern class the NFA collapses to two
+  * registers — the latest click and latest error timestamp per key — so
+  * per-key state is O(1) REGARDLESS of stream length: the 100 TB shape is
+  * exactly this (no event buffering, no match-set explosion).
+  *
+  * Last-match SEQ semantics: a purchase matches the LATEST click within
+  * `winUs`, and is vetoed iff the latest error falls strictly between that
+  * click and the purchase. Strict bounds make same-timestamp error order
+  * irrelevant; clicks sort before purchases within a cycle (kind order), so
+  * a same-cycle click is visible to its purchase — identical to the batch
+  * oracle's (t, side, event_id) window order.
+  *
+  * Ordering contract: within one micro-batch the group's events are sorted
+  * by (ts, kind, seq); across batches arrival order must respect event
+  * order per key (the per-key-ordered-source assumption; the catalog query
+  * feeds time-split halves to prove cross-batch register carry).
+  */
+final case class CepEvent(k: String, ts: Long, seq: Long, kind: Int) // 0=click 1=error 2=purchase
+final case class CepMatch(k: String, eventId: Long, pT: Long, clickT: Long)
+private final case class CepState(lastClick: Long, lastError: Long)
+
+object CepPattern {
+
+  private val None_ = Long.MinValue
+
+  def apply(events: Dataset[CepEvent], winUs: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CepEvent], state: GroupState[CepState]) =>
+          var s = state.getOption.getOrElse(CepState(None_, None_))
+          val out = Seq.newBuilder[CepMatch]
+          it.toSeq.sortBy(e => (e.ts, e.kind, e.seq)).foreach { e =>
+            e.kind match {
+              case 0 => s = s.copy(lastClick = e.ts)
+              case 1 => s = s.copy(lastError = e.ts)
+              case _ =>
+                if (s.lastClick != None_ && e.ts - s.lastClick <= winUs &&
+                  !(s.lastError > s.lastClick && s.lastError < e.ts))
+                  out += CepMatch(key, e.seq, e.ts, s.lastClick)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
 /** STREAMING SemDeDup — semantic dedup-against-history. Arriving vectors
   * are routed to their coarse k-means cell (the codebook is a constant of
   * the query, like the LSH planes); per-cell state holds the vector

@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("CepPattern: SEQ(click→purchase) within window, negation veto, " +
+    "same-cycle ordering, cross-batch register carry") {
+    // kinds: 0=click 1=error 2=purchase; window = 100
+    val b1 = Seq(
+      CepEvent("u1", 10, 1, 0), // click
+      CepEvent("u1", 50, 2, 2), // purchase → match (click 10)
+      CepEvent("u1", 60, 3, 1), // error
+      CepEvent("u1", 80, 4, 2), // purchase → VETOED (error 60 ∈ (10,80))
+      CepEvent("u1", 90, 5, 0), // click — parks in state
+      CepEvent("u2", 20, 6, 2)) // purchase with no click → no match
+    val b2 = Seq(
+      CepEvent("u1", 120, 7, 2),  // purchase → match click 90 ACROSS batches
+      CepEvent("u1", 200, 8, 2),  // purchase → click 90 too old (Δ=110>100)
+      CepEvent("u1", 210, 9, 0),  // click
+      CepEvent("u1", 210, 10, 1), // error at SAME ts as click: not between
+      CepEvent("u1", 220, 11, 2), // purchase → match (strict bounds)
+      CepEvent("u1", 230, 12, 0), // click
+      CepEvent("u1", 230, 13, 2), // purchase SAME cycle → click visible
+      CepEvent("u1", 235, 14, 1), // error
+      CepEvent("u1", 240, 15, 2)) // purchase → VETOED (error 235 ∈ (230,240))
+    val mem = MemoryStream[CepEvent](spark)
+    mem.addData(b1: _*)
+    mem.addData(b2: _*)
+    runToCompletion(
+      CepPattern(mem.toDS(), 100L).writeStream.outputMode("append"), "cep_tw")
+    spark.table("cep_tw").orderBy("eventId")
+      .as[CepMatch].collect().toSeq shouldBe Seq(
+      CepMatch("u1", 2, 50, 10),
+      CepMatch("u1", 7, 120, 90),
+      CepMatch("u1", 11, 220, 210),
+      CepMatch("u1", 13, 230, 230))
+  }
+
   test("CountSlices recovers from a checkpoint across query RESTARTS " +
     "(stateful exactly-once: stop mid-stream, new query, same state)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
