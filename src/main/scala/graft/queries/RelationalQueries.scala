@@ -833,6 +833,54 @@ object RelationalQueries {
              SELECT diff_class, count(*) AS n, sum(k)::bigint AS key_sum
              FROM d GROUP BY diff_class ORDER BY diff_class""")),
 
+    // SCD2 change-log compaction: each customer's order stream is a
+    // change log of o_orderpriority; consecutive equal values collapse
+    // into one validity interval [valid_from, valid_to] (gaps-and-islands
+    // via change-flag + running sum — the standard slowly-changing-
+    // dimension build). ONE shuffle on the customer key serves both
+    // window passes and the final rollup; at 100 TB this is the shape
+    // that turns an event log into a temporal dimension without a
+    // self-join per version.
+    QueryDef(
+      "ord_scd2",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wRun = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        ord(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority"))
+          .withColumn("chg",
+            when(lag(col("o_orderpriority"), 1).over(w) === col("o_orderpriority"),
+              0L).otherwise(1L))
+          .withColumn("island", sum(col("chg")).over(wRun))
+          .groupBy("o_custkey", "island", "o_orderpriority")
+          .agg(unix_micros(min(col("o_orderdate")).cast("timestamp")).as("valid_from"),
+            unix_micros(max(col("o_orderdate")).cast("timestamp")).as("valid_to"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey", "island")
+      },
+      Some("""WITH c AS (
+               SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                 CASE WHEN lag(o_orderpriority) OVER w = o_orderpriority
+                      THEN 0 ELSE 1 END AS chg
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)),
+             i AS (
+               SELECT *, sum(chg) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM c)
+             SELECT o_custkey, island::bigint AS island, o_orderpriority,
+               min(epoch_us(o_orderdate)) AS valid_from,
+               max(epoch_us(o_orderdate)) AS valid_to,
+               count(*)::bigint AS n_orders
+             FROM i GROUP BY o_custkey, island, o_orderpriority
+             ORDER BY o_custkey, island""")),
+
     // Incremental rollup maintenance: the HISTORY partial aggregate
     // (orders before 1999) merges with the DELTA partial (1999+) by
     // summing partial states — no rescan of history. This is how a daily
