@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with the degree-orientation optimization
+  * (node-iterator on the minimum-order corner — the scheme GraphX's
+  * `triangleCount` and Cohen's MapReduce counter use).
+  *
+  * Input: canonical undirected edges `(u, v)` with `u < v`, distinct.
+  * Each edge is oriented from its lower-(degree, id) endpoint to the
+  * higher; wedges are built ONLY at a node's oriented out-neighbors, so
+  * candidate wedges are O(m^1.5) instead of O(Σ d²) — on a skewed graph a
+  * single hub with degree 10⁶ would otherwise contribute 5·10¹¹ wedges.
+  * Every triangle is counted exactly once, at its unique minimum-order
+  * corner. All stages are narrow-row hash joins (AQE can skew-split the
+  * wedge join); nothing is sampled — the count is exact.
+  *
+  * Output: one row — n_nodes, n_edges, n_wedges (unoriented, Σ C(d,2)),
+  * n_triangles, and the global clustering coefficient 3·T/wedges as exact
+  * integer ppm (engine-bit-identical).
+  */
+object Triangles {
+
+  def stats(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v")).distinct().persist()
+    val deg = pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = pairs
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val wedges = o.select(col("s"), col("t").as("x"))
+      .join(o.select(col("s"), col("t").as("y")), "s")
+      .filter(col("x") < col("y"))
+    val tri = wedges
+      .join(pairs, col("x") === col("u") && col("y") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum((d * (d - 1)) DIV 2)").cast("long").as("n_wedges"))
+    val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) DIV n_wedges").as("gcc_ppm"))
+  }
+}

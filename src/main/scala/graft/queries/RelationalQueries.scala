@@ -721,33 +721,8 @@ object RelationalQueries {
         val pairs = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
           .join(l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v")), "ok")
           .filter(col("u") < col("v"))
-          .select("u", "v").distinct().persist()
-        val deg = pairs.select(col("u").as("node"))
-          .unionAll(pairs.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("d"))
-        val o = pairs
-          .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-          .select(
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("u"))
-              .otherwise(col("v")).as("s"),
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("v"))
-              .otherwise(col("u")).as("t"))
-        val wedges = o.select(col("s"), col("t").as("x"))
-          .join(o.select(col("s"), col("t").as("y")), "s")
-          .filter(col("x") < col("y"))
-        val tri = wedges
-          .join(pairs, col("x") === col("u") && col("y") === col("v"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
-          expr("sum((d * (d - 1)) DIV 2)").cast("long").as("n_wedges"))
-        val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
-        degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
-          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-            col("n_triangles"),
-            expr("(3 * n_triangles * 1000000) DIV n_wedges").as("gcc_ppm"))
+          .select("u", "v")
+        graft.operators.Triangles.stats(pairs)
       },
       Some("""WITH pairs AS (
                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

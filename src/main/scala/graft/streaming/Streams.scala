@@ -355,17 +355,24 @@ object StreamNearDup {
 /** Streaming CEP sequence-with-negation — the streaming twin of the batch
   * `ev_cep_pattern` query (SASE-style SEQ(click → purchase) WITHIN w AND
   * NOT error BETWEEN; reference scespet routes such patterns through its
-  * push-graph listeners). For this pattern class the NFA collapses to two
-  * registers — the latest click and latest error timestamp per key — so
-  * per-key state is O(1) REGARDLESS of stream length: the 100 TB shape is
-  * exactly this (no event buffering, no match-set explosion).
+  * push-graph listeners). For this pattern class the NFA collapses to
+  * THREE timestamp registers per key — the latest click, and the two most
+  * recent DISTINCT error timestamps — so per-key state is O(1) REGARDLESS
+  * of stream length: the 100 TB shape is exactly this (no event
+  * buffering, no match-set explosion).
+  *
+  * Two error registers, not one: the veto needs `max error ts STRICTLY
+  * below p_t`, and an error in the purchase's own cycle (ts == p_t,
+  * processed first by kind order) lands in `err1` — with a single
+  * register it would MASK an earlier in-interval error (caught by the
+  * random-stream property law in StreamingSpec). Since processing is
+  * ts-ordered, the strictly-below maximum is always err1 or err2.
   *
   * Last-match SEQ semantics: a purchase matches the LATEST click within
-  * `winUs`, and is vetoed iff the latest error falls strictly between that
-  * click and the purchase. Strict bounds make same-timestamp error order
-  * irrelevant; clicks sort before purchases within a cycle (kind order), so
-  * a same-cycle click is visible to its purchase — identical to the batch
-  * oracle's (t, side, event_id) window order.
+  * `winUs`, and is vetoed iff an error falls strictly between that click
+  * and the purchase. Clicks sort before purchases within a cycle (kind
+  * order), so a same-cycle click is visible to its purchase — identical
+  * to the batch oracle's (t, side, event_id) window order.
   *
   * Ordering contract: within one micro-batch the group's events are sorted
   * by (ts, kind, seq); across batches arrival order must respect event
@@ -374,7 +381,7 @@ object StreamNearDup {
   */
 final case class CepEvent(k: String, ts: Long, seq: Long, kind: Int) // 0=click 1=error 2=purchase
 final case class CepMatch(k: String, eventId: Long, pT: Long, clickT: Long)
-private final case class CepState(lastClick: Long, lastError: Long)
+private final case class CepState(lastClick: Long, err1: Long, err2: Long)
 
 object CepPattern {
 
@@ -387,15 +394,17 @@ object CepPattern {
       .flatMapGroupsWithState[CepState, CepMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[CepEvent], state: GroupState[CepState]) =>
-          var s = state.getOption.getOrElse(CepState(None_, None_))
+          var s = state.getOption.getOrElse(CepState(None_, None_, None_))
           val out = Seq.newBuilder[CepMatch]
           it.toSeq.sortBy(e => (e.ts, e.kind, e.seq)).foreach { e =>
             e.kind match {
               case 0 => s = s.copy(lastClick = e.ts)
-              case 1 => s = s.copy(lastError = e.ts)
+              case 1 =>
+                if (e.ts > s.err1) s = s.copy(err1 = e.ts, err2 = s.err1)
               case _ =>
+                val lastErrBelow = if (s.err1 < e.ts) s.err1 else s.err2
                 if (s.lastClick != None_ && e.ts - s.lastClick <= winUs &&
-                  !(s.lastError > s.lastClick && s.lastError < e.ts))
+                  lastErrBelow <= s.lastClick)
                   out += CepMatch(key, e.seq, e.ts, s.lastClick)
             }
           }

@@ -10,6 +10,32 @@ import graft.operators.{Sampling, TopK}
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Triangles.stats equals O(n³) brute-force enumeration on seeded " +
+    "random graphs (orientation counts each triangle exactly once)") {
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (u.toLong, v.toLong)).toSeq
+      val adj = edges.toSet
+      val triBrute = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((a, c)) && adj((b, c))
+      } yield 1).size.toLong
+      val degBrute = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map(_._2.size.toLong)
+      val wedgeBrute = degBrute.map(d => d * (d - 1) / 2).sum
+      val row = graft.operators.Triangles.stats(edges.toDF("u", "v"))
+        .collect().head
+      row.getLong(row.fieldIndex("n_nodes")) shouldBe degBrute.size.toLong
+      row.getLong(row.fieldIndex("n_edges")) shouldBe edges.size.toLong
+      row.getLong(row.fieldIndex("n_wedges")) shouldBe wedgeBrute
+      row.getLong(row.fieldIndex("n_triangles")) shouldBe triBrute
+    }
+  }
+
   test("TopK.perGroup equals brute force under a total order") {
     val rows = (1 to 200).map(i => ((i % 7).toString, (i * 37) % 100, i.toLong))
     val df = rows.toDF("g", "score", "id")

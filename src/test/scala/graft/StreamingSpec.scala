@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
       CepMatch("u1", 13, 230, 230))
   }
 
+  test("CepPattern property: 3-batch streaming matches the brute-force " +
+    "pattern semantics on seeded random event streams") {
+    val rnd = new scala.util.Random(1234)
+    val events = (0 until 400).map { i =>
+      CepEvent("u" + rnd.nextInt(6), rnd.nextInt(500).toLong, i.toLong,
+        rnd.nextInt(3)) // kind uniform over click/error/purchase
+    }
+    val win = 60L
+    // brute force straight from the pattern definition: a purchase p
+    // matches the latest click with ts ≤ p.ts; within `win`; vetoed iff
+    // an error falls STRICTLY between them.
+    val expected = events.filter(_.kind == 2).flatMap { p =>
+      val byKey = events.filter(_.k == p.k)
+      val clicks = byKey.filter(c => c.kind == 0 && c.ts <= p.ts)
+      if (clicks.isEmpty) None
+      else {
+        val ct = clicks.map(_.ts).max
+        val veto = byKey.exists(e => e.kind == 1 && e.ts > ct && e.ts < p.ts)
+        if (p.ts - ct <= win && !veto) Some(CepMatch(p.k, p.seq, p.ts, ct))
+        else None
+      }
+    }.sortBy(_.eventId)
+    val sorted = events.sortBy(e => (e.ts, e.kind, e.seq))
+    val mem = MemoryStream[CepEvent](spark)
+    mem.addData(sorted.take(130): _*)
+    mem.addData(sorted.slice(130, 260): _*)
+    mem.addData(sorted.drop(260): _*)
+    runToCompletion(
+      CepPattern(mem.toDS(), win).writeStream.outputMode("append"), "cep_prop")
+    spark.table("cep_prop").orderBy("eventId")
+      .as[CepMatch].collect().toSeq shouldBe expected
+  }
+
   test("CountSlices recovers from a checkpoint across query RESTARTS " +
     "(stateful exactly-once: stop mid-stream, new query, same state)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
