@@ -27,12 +27,16 @@ class OperatorsSpec extends SparkSpec {
       val degBrute = edges.flatMap(e => Seq(e._1, e._2))
         .groupBy(identity).map(_._2.size.toLong)
       val wedgeBrute = degBrute.map(d => d * (d - 1) / 2).sum
-      val row = graft.operators.Triangles.stats(edges.toDF("u", "v"))
-        .collect().head
-      row.getLong(row.fieldIndex("n_nodes")) shouldBe degBrute.size.toLong
-      row.getLong(row.fieldIndex("n_edges")) shouldBe edges.size.toLong
-      row.getLong(row.fieldIndex("n_wedges")) shouldBe wedgeBrute
-      row.getLong(row.fieldIndex("n_triangles")) shouldBe triBrute
+      // both physical strategies (edge-iterator broadcast path and the
+      // huge-graph wedge-join path) must produce the identical exact count
+      for (threshold <- Seq(Long.MaxValue, 0L)) {
+        val row = graft.operators.Triangles
+          .stats(edges.toDF("u", "v"), threshold).collect().head
+        row.getLong(row.fieldIndex("n_nodes")) shouldBe degBrute.size.toLong
+        row.getLong(row.fieldIndex("n_edges")) shouldBe edges.size.toLong
+        row.getLong(row.fieldIndex("n_wedges")) shouldBe wedgeBrute
+        row.getLong(row.fieldIndex("n_triangles")) shouldBe triBrute
+      }
     }
   }
 
