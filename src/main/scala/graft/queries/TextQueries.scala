@@ -308,6 +308,42 @@ object TextQueries {
              len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]'))::bigint AS n_bpe
              FROM documents ORDER BY doc_id""")),
 
+    // One BPE-training merge scan (vocabulary induction): count adjacent
+    // symbol pairs weighted by word frequency — the inner loop of
+    // tokenizer training. Scale shape: the corpus collapses to the WORD
+    // FREQUENCY table first (one groupBy — at 100 TB the distinct-word
+    // frame is ~10⁷ rows regardless of corpus size, the same reason real
+    // BPE trainers pre-aggregate), so the pair explosion runs over words,
+    // not tokens; the winning pair would then be merged and the scan
+    // repeated (the loop is driver-bounded like KMeans/PageRank).
+    QueryDef(
+      "doc_bpe_pairs",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+        words
+          .select(col("wn"), explode(expr(
+            "transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH words AS (
+               SELECT w, count(*) AS wn
+               FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                     FROM documents)
+               WHERE length(w) >= 2 GROUP BY w),
+             pairs AS (
+               SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+                 AS pair, wn
+               FROM words)
+             SELECT pair, sum(wn)::bigint AS n
+             FROM pairs GROUP BY pair
+             ORDER BY n DESC, pair LIMIT 20""")),
+
     // Deterministic sampling: hash-gate instead of seeded RNG — the same
     // 10% sample on any engine, any partitioning, any run.
     QueryDef(

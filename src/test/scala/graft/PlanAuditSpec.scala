@@ -233,4 +233,60 @@ class PlanAuditSpec extends SparkSpec {
       plan should not include "SortMergeJoin [source"
     }
   }
+
+  test("graph_triangles (edge-iterator path): adjacency joins broadcast; " +
+    "the wedge set never becomes a join") {
+    val df = SparkEntry.queries("graph_triangles")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // both adjacency-array joins reach the oriented-edge stream as
+      // broadcasts — the closure count is in-row array_intersect, so no
+      // exchange ever carries a wedge row
+      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+      plan should include("array_intersect")
+    }
+  }
+
+  test("ord_snapshot_diff: ONE join of narrow rows — full outer on the key") {
+    val df = SparkEntry.queries("ord_snapshot_diff")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("FullOuter")
+      // comparable columns only: the scan never reads o_orderdate
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+      all(reads) should not include "o_orderdate"
+    }
+  }
+
+  test("ord_scd2: both window passes and the rollup share ONE customer-key " +
+    "exchange") {
+    val df = SparkEntry.queries("ord_scd2")(spark, dir)
+    df.collect()
+    // AQE's toString echoes the initial plan below the final one — audit
+    // only the final section or every exchange double-counts
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // one hash exchange on o_custkey feeds lag + running sum + groupBy;
+      // the only other exchange is the final ORDER BY's range partition
+      "hashpartitioning\\(o_custkey".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
+  test("doc_bpe_pairs: the pair explosion runs over the distinct-WORD " +
+    "frame, not the token stream") {
+    val df = SparkEntry.queries("doc_bpe_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // corpus → word-frequency aggregate BEFORE any pair generation:
+      // the explode of 2-char pairs sits above the w-keyed aggregate
+      val explodeIdx = plan.indexOf("Generate explode(transform")
+      val aggIdx = plan.lastIndexOf("hashpartitioning(w")
+      explodeIdx should be >= 0
+      aggIdx should be >= 0
+      explodeIdx should be < aggIdx // physical plans print top-down
+    }
+  }
 }
