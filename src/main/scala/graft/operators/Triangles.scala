@@ -80,11 +80,16 @@ object Triangles {
           .agg(count(lit(1)).as("n_triangles"))
       }
     val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
-      expr("sum((d * (d - 1)) DIV 2)").cast("long").as("n_wedges"))
+      coalesce(expr("sum((d * (d - 1)) DIV 2)").cast("long"), lit(0L))
+        .as("n_wedges"))
     val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
     degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        expr("(3 * n_triangles * 1000000) DIV n_wedges").as("gcc_ppm"))
+        // wedge-free graphs (empty, or disjoint single edges) have no
+        // defined clustering coefficient — emit 0 instead of a div-0
+        when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 1000000) DIV n_wedges"))
+          .otherwise(lit(0L)).as("gcc_ppm"))
   }
 }

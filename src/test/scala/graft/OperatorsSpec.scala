@@ -40,6 +40,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Triangles.stats degenerate inputs: empty graph and wedge-free " +
+    "graph produce zeros, not a division error") {
+    val empty = graft.operators.Triangles
+      .stats(Seq.empty[(Long, Long)].toDF("u", "v")).collect().head
+    empty.toSeq shouldBe Seq(0L, 0L, 0L, 0L, 0L)
+    // two disjoint edges: 4 nodes, 2 edges, no wedges, no triangles
+    val flat = graft.operators.Triangles
+      .stats(Seq((1L, 2L), (3L, 4L)).toDF("u", "v")).collect().head
+    flat.toSeq shouldBe Seq(4L, 2L, 0L, 0L, 0L)
+  }
+
   test("TopK.perGroup equals brute force under a total order") {
     val rows = (1 to 200).map(i => ((i % 7).toString, (i * 37) % 100, i.toLong))
     val df = rows.toDF("g", "score", "id")
