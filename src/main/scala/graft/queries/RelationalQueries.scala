@@ -856,6 +856,68 @@ object RelationalQueries {
              FROM i GROUP BY o_custkey, island, o_orderpriority
              ORDER BY o_custkey, island""")),
 
+    // STREAMING SCD2: the same change-log compaction LIVE (CDC feed →
+    // dimension maintenance). Per-key state is the single OPEN interval
+    // (O(1) forever); a value change emits the closed interval. Fed as
+    // two date-split halves so an interval open at the batch-1 boundary
+    // provably EXTENDS through batch 2 before closing. Append mode emits
+    // only CLOSED intervals — the oracle keeps exactly the islands that
+    // have a successor (each key's live current version stays in state).
+    QueryDef(
+      "stream_scd2",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.ordersHalves(s, dir)
+        val schema = StreamFixtures.ordersHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_sscd2_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .select(col("o_custkey").cast("string").as("k"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+            col("o_orderkey").as("seq"),
+            col("o_orderpriority").as("value"))
+          .as[graft.streaming.ScdEvent]
+        val name = "stream_scd2_" + System.nanoTime()
+        val q = graft.streaming.ScdCompact(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: early half; tail intervals park
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: straddling intervals extend/close
+        } finally q.stop()
+        val res = s.table(name)
+          .select(col("k").cast("long").as("o_custkey"), col("island"),
+            col("value").as("o_orderpriority"),
+            col("validFrom").as("valid_from"), col("validTo").as("valid_to"),
+            col("n").as("n_orders"))
+          .orderBy("o_custkey", "island")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH c AS (
+               SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                 CASE WHEN lag(o_orderpriority) OVER w = o_orderpriority
+                      THEN 0 ELSE 1 END AS chg
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)),
+             i AS (
+               SELECT *, sum(chg) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM c),
+             agg AS (
+               SELECT o_custkey, island::bigint AS island, o_orderpriority,
+                 min(epoch_us(o_orderdate)) AS valid_from,
+                 max(epoch_us(o_orderdate)) AS valid_to,
+                 count(*)::bigint AS n_orders
+               FROM i GROUP BY o_custkey, island, o_orderpriority)
+             SELECT * FROM agg
+             QUALIFY island < max(island) OVER (PARTITION BY o_custkey)
+             ORDER BY o_custkey, island""")),
+
     // Incremental rollup maintenance: the HISTORY partial aggregate
     // (orders before 1999) merges with the DELTA partial (1999+) by
     // summing partial states — no rescan of history. This is how a daily

@@ -77,6 +77,32 @@ object StreamFixtures {
   def eventsHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(eventsHalves(s, dir) + "/lo").schema
 
+  /** The orders table split into two single-file halves by o_orderdate
+    * (change-log time) — the SCD2 streaming twin feeds these to prove an
+    * interval OPEN in batch-1 state extends across the batch boundary.
+    * Same-date rows always land in the same half, so per-key event order
+    * is respected across batches.
+    */
+  def ordersHalves(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate("orders_halves|" + dir, {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val r0 = o.agg(min("o_orderdate"), max("o_orderdate")).head()
+      val (lo0, hi0) = (r0.getAs[java.time.LocalDateTime](0),
+        r0.getAs[java.time.LocalDateTime](1))
+      val mid = lo0.plusSeconds(
+        java.time.Duration.between(lo0, hi0).getSeconds / 2)
+      val root = Files.createTempDirectory("graft_fx_orders_").toString
+      o.filter(col("o_orderdate") <= lit(mid)).coalesce(1)
+        .write.parquet(s"$root/lo")
+      o.filter(col("o_orderdate") > lit(mid)).coalesce(1)
+        .write.parquet(s"$root/hi")
+      root
+    })
+
+  /** Schema of the orders fixture halves. */
+  def ordersHalvesSchema(s: SparkSession, dir: String) =
+    s.read.parquet(ordersHalves(s, dir) + "/lo").schema
+
   /** Copy the parquet files of fixture half `half` ("lo"/"hi") into the
     * per-run streaming source directory `destDir`, prefixing filenames so
     * both halves can coexist.

@@ -414,6 +414,50 @@ object CepPattern {
   }
 }
 
+/** STREAMING SCD2 compaction — the streaming twin of the batch `ord_scd2`
+  * gaps-and-islands build: a change-log stream folds into validity
+  * intervals LIVE. Per-key state is the one OPEN interval (value,
+  * valid_from, valid_to, count, island ordinal) — O(1) per key forever;
+  * a value change CLOSES the open interval (emitted) and opens the next.
+  * The open tail interval stays in state (a live dimension's current
+  * version is by definition not yet closed), so the batch oracle keeps
+  * exactly the islands that have a successor.
+  *
+  * Ordering contract: same as the other fMGWS operators — (ts, seq) sort
+  * within batch, per-key-ordered source across batches.
+  */
+final case class ScdEvent(k: String, ts: Long, seq: Long, value: String)
+final case class ScdInterval(
+    k: String, island: Long, value: String, validFrom: Long, validTo: Long, n: Long)
+private final case class ScdState(
+    island: Long, value: String, from: Long, to: Long, n: Long)
+
+object ScdCompact {
+
+  def apply(events: Dataset[ScdEvent]): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ScdState, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[ScdEvent], state: GroupState[ScdState]) =>
+          var s = state.getOption.orNull
+          val out = Seq.newBuilder[ScdInterval]
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            if (s == null) s = ScdState(1L, e.value, e.ts, e.ts, 1L)
+            else if (e.value == s.value)
+              s = s.copy(to = e.ts, n = s.n + 1)
+            else {
+              out += ScdInterval(key, s.island, s.value, s.from, s.to, s.n)
+              s = ScdState(s.island + 1, e.value, e.ts, e.ts, 1L)
+            }
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
 /** STREAMING SemDeDup — semantic dedup-against-history. Arriving vectors
   * are routed to their coarse k-means cell (the codebook is a constant of
   * the query, like the LSH planes); per-cell state holds the vector

@@ -144,6 +144,30 @@ class StreamingSpec extends SparkSpec {
       .as[CepMatch].collect().toSeq shouldBe expected
   }
 
+  test("ScdCompact: change-log intervals close on value change; an " +
+    "interval OPEN at a batch boundary extends through the next batch") {
+    val b1 = Seq(
+      ScdEvent("c1", 10, 1, "HIGH"),
+      ScdEvent("c1", 20, 2, "HIGH"),
+      ScdEvent("c1", 30, 3, "LOW"), // closes HIGH [10,20] n=2
+      ScdEvent("c2", 15, 4, "MED"))
+    val b2 = Seq(
+      ScdEvent("c1", 40, 5, "LOW"),  // extends the LOW interval across batches
+      ScdEvent("c1", 50, 6, "HIGH"), // closes LOW [30,40] n=3
+      ScdEvent("c2", 25, 7, "MED"))  // c2's MED stays open — never emitted
+    val mem = MemoryStream[ScdEvent](spark)
+    val q = ScdCompact(mem.toDS()).writeStream
+      .queryName("scd_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.table("scd_tw").orderBy("k", "island")
+      .as[ScdInterval].collect().toSeq shouldBe Seq(
+      ScdInterval("c1", 1, "HIGH", 10, 20, 2),
+      ScdInterval("c1", 2, "LOW", 30, 40, 2))
+  }
+
   test("CountSlices recovers from a checkpoint across query RESTARTS " +
     "(stateful exactly-once: stop mid-stream, new query, same state)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
