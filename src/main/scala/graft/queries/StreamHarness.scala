@@ -103,6 +103,24 @@ object StreamFixtures {
   def ordersHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(ordersHalves(s, dir) + "/lo").schema
 
+  /** The documents table split by doc_id median — the streaming corpus
+    * pipeline feeds lower ids first, so first-wins dedup across batches
+    * equals the batch keep-min-doc_id rule.
+    */
+  def docsHalves(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate("docs_halves|" + dir, {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mid = d.agg((min("doc_id") + max("doc_id")) / 2).head().getDouble(0)
+      val root = Files.createTempDirectory("graft_fx_docs_").toString
+      d.filter(col("doc_id") <= mid).coalesce(1).write.parquet(s"$root/lo")
+      d.filter(col("doc_id") > mid).coalesce(1).write.parquet(s"$root/hi")
+      root
+    })
+
+  /** Schema of the documents fixture halves. */
+  def docsHalvesSchema(s: SparkSession, dir: String) =
+    s.read.parquet(docsHalves(s, dir) + "/lo").schema
+
   /** Copy the parquet files of fixture half `half` ("lo"/"hi") into the
     * per-run streaming source directory `destDir`, prefixing filenames so
     * both halves can coexist.

@@ -517,6 +517,60 @@ object TextQueries {
              sum(n_tokens::decimal(38,6))::bigint AS total_tokens
            FROM survivors GROUP BY lang ORDER BY lang""")),
 
+    // STREAMING corpus cleaning: the same gate → dedup → stats pipeline on
+    // a LIVE ingest feed. The dedup stage is streaming.KeepFirst —
+    // first-wins with a deterministic (doc_id) tie-break, because Spark's
+    // dropDuplicates keeps an arbitrary batch row and this corpus really
+    // does carry identical texts under different lang labels. Fed as two
+    // doc_id-split halves so cross-batch registry hits are exercised;
+    // the per-language rollup runs over the sink (the streaming stages
+    // are the gate + stateful dedup). Oracle: identical to the batch
+    // pipeline_clean_corpus.
+    QueryDef(
+      "stream_clean_corpus",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.docsHalves(s, dir)
+        val schema = StreamFixtures.docsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_scc_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+          .select(Q.hash60(col("text")).as("h"), col("doc_id").as("ord"),
+            col("lang"), col("n_tokens").cast("long").as("nTokens"))
+          .as[graft.streaming.KeyedDoc]
+        val name = "stream_scc_" + System.nanoTime()
+        val q = graft.streaming.KeepFirst(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: low doc_ids seed the registry
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: cross-batch dups suppressed
+        } finally q.stop()
+        val res = s.table(name)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            Q.dsum(col("nTokens")).cast("long").as("total_tokens"))
+          .orderBy("lang")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(s"""WITH quality AS (
+             SELECT *, len(string_split(text, ' ')) AS n_tokens
+             FROM documents WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+           survivors AS (
+             SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY ${Q.hash60Sql("text")} ORDER BY doc_id) AS rn
+               FROM quality)
+             WHERE rn = 1)
+           SELECT lang, count(*) AS n_docs,
+             sum(n_tokens::decimal(38,6))::bigint AS total_tokens
+           FROM survivors GROUP BY lang ORDER BY lang""")),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic stand-in (byte length / prefix hash) —
     // the real image/audio decode would be a mapPartitions over the same

@@ -414,6 +414,37 @@ object CepPattern {
   }
 }
 
+/** Streaming FIRST-WINS dedup with deterministic tie-break — the exact
+  * streaming twin of the batch keep-min-id dedup (`row_number() OVER
+  * (PARTITION BY h ORDER BY id) = 1`). Spark's own `dropDuplicates` keeps
+  * an ARBITRARY row within a micro-batch (partition order), which
+  * diverges from the batch oracle whenever duplicate keys carry different
+  * payloads (the sf0.1 corpus has identical texts under different lang
+  * labels); this operator sorts each batch-group by `ord` and emits the
+  * first row per key exactly once across the stream's lifetime. State is
+  * one boolean per seen key — the dedup-registry shape, same as
+  * `dropDuplicates` itself holds.
+  */
+final case class KeyedDoc(h: Long, ord: Long, lang: String, nTokens: Long)
+
+object KeepFirst {
+
+  def apply(docs: Dataset[KeyedDoc]): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[KeyedDoc], state: GroupState[Boolean]) =>
+          if (state.getOption.getOrElse(false)) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.toSeq.minBy(d => (d.ord, d.lang)))
+          }
+      }
+  }
+}
+
 /** STREAMING SCD2 compaction — the streaming twin of the batch `ord_scd2`
   * gaps-and-islands build: a change-log stream folds into validity
   * intervals LIVE. Per-key state is the one OPEN interval (value,

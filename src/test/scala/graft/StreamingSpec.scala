@@ -144,6 +144,29 @@ class StreamingSpec extends SparkSpec {
       .as[CepMatch].collect().toSeq shouldBe expected
   }
 
+  test("KeepFirst: min-ord row wins within a batch; cross-batch " +
+    "duplicates suppress against the registry") {
+    val b1 = Seq(
+      KeyedDoc(100L, 7, "de", 30), // same key, higher ord — loses
+      KeyedDoc(100L, 3, "en", 30), // min ord — the batch-1 survivor
+      KeyedDoc(200L, 5, "fr", 40))
+    val b2 = Seq(
+      KeyedDoc(100L, 1, "xx", 30), // later BATCH: registry wins over lower ord
+      KeyedDoc(300L, 9, "en", 50))
+    val mem = MemoryStream[KeyedDoc](spark)
+    val q = KeepFirst(mem.toDS()).writeStream
+      .queryName("kf_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.table("kf_tw").orderBy("h")
+      .as[KeyedDoc].collect().toSeq shouldBe Seq(
+      KeyedDoc(100L, 3, "en", 30),
+      KeyedDoc(200L, 5, "fr", 40),
+      KeyedDoc(300L, 9, "en", 50))
+  }
+
   test("ScdCompact: change-log intervals close on value change; an " +
     "interval OPEN at a batch boundary extends through the next batch") {
     val b1 = Seq(
