@@ -1528,6 +1528,59 @@ object CoreQueries {
                  AND epoch_us(e.ts) > m.click_t AND epoch_us(e.ts) < m.p_t)
              ORDER BY event_id""")),
 
+    // ---- STREAMING CEP Kleene counts: one counter register per key
+    // (click increments, purchase emits-and-resets) — with CepPattern
+    // this gives the full CEP pair live, both O(1) state. Same two-batch
+    // time-split feed; oracle identical to the batch ev_cep_kleene.
+    QueryDef(
+      "stream_cep_kleene",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.eventsHalves(s, dir)
+        val schema = StreamFixtures.eventsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_kleene_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"),
+            when(col("event_type") === "click", 0).otherwise(2).as("kind"))
+          .as[graft.streaming.CepEvent]
+        val name = "stream_kl_" + System.nanoTime()
+        val q = graft.streaming.CepKleene(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: counters park in state
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: counts straddle the boundary
+        } finally q.stop()
+        val res = s.table(name)
+          .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
+            col("nClicks").as("n_clicks"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH u AS (
+               SELECT event_id, user_id, epoch_us(ts) AS t, 1 AS side
+               FROM events WHERE event_type='purchase'
+               UNION ALL
+               SELECT event_id, user_id, epoch_us(ts) AS t, 0 AS side
+               FROM events WHERE event_type='click'),
+             c AS (
+               SELECT *,
+                 sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY t, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+               FROM u)
+             SELECT event_id, user_id,
+               (ck - coalesce(lag(ck) OVER (
+                  PARTITION BY user_id ORDER BY t, event_id), 0))::bigint
+                 AS n_clicks
+             FROM c WHERE side = 1 ORDER BY event_id""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated

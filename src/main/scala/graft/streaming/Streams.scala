@@ -414,6 +414,38 @@ object CepPattern {
   }
 }
 
+/** Streaming CEP Kleene-closure count — the streaming twin of the batch
+  * `ev_cep_kleene` (clicks since the previous purchase, per purchase).
+  * The iteration count of SEQ(click+ → purchase) needs exactly ONE
+  * counter register per key: click increments, purchase emits-and-resets.
+  * O(1) state forever, same contract as [[CepPattern]].
+  */
+final case class KleeneMatch(k: String, eventId: Long, nClicks: Long)
+
+object CepKleene {
+
+  def apply(events: Dataset[CepEvent]): Dataset[KleeneMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Long, KleeneMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CepEvent], state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[KleeneMatch]
+          it.toSeq.sortBy(e => (e.ts, e.kind, e.seq)).foreach { e =>
+            e.kind match {
+              case 0 => c += 1
+              case 2 => out += KleeneMatch(key, e.seq, c); c = 0L
+              case _ => ()
+            }
+          }
+          state.update(c)
+          out.result().iterator
+      }
+  }
+}
+
 /** Streaming FIRST-WINS dedup with deterministic tie-break — the exact
   * streaming twin of the batch keep-min-id dedup (`row_number() OVER
   * (PARTITION BY h ORDER BY id) = 1`). Spark's own `dropDuplicates` keeps

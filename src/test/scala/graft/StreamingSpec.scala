@@ -144,6 +144,26 @@ class StreamingSpec extends SparkSpec {
       .as[CepMatch].collect().toSeq shouldBe expected
   }
 
+  test("CepKleene: click counter resets per purchase and carries across " +
+    "the batch boundary") {
+    val mem = MemoryStream[CepEvent](spark)
+    val q = CepKleene(mem.toDS()).writeStream
+      .queryName("kleene_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData( // 2 clicks then purchase; 1 click parks in state
+        CepEvent("u1", 10, 1, 0), CepEvent("u1", 20, 2, 0),
+        CepEvent("u1", 30, 3, 2), CepEvent("u1", 40, 4, 0))
+      q.processAllAvailable()
+      mem.addData( // +2 clicks in batch 2 → purchase sees 3 total
+        CepEvent("u1", 50, 5, 0), CepEvent("u1", 60, 6, 0),
+        CepEvent("u1", 70, 7, 2), CepEvent("u1", 80, 8, 2)) // back-to-back → 0
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("kleene_tw").orderBy("eventId")
+      .as[KleeneMatch].collect().toSeq shouldBe Seq(
+      KleeneMatch("u1", 3, 2), KleeneMatch("u1", 7, 3), KleeneMatch("u1", 8, 0))
+  }
+
   test("KeepFirst: min-ord row wins within a batch; cross-batch " +
     "duplicates suppress against the registry") {
     val b1 = Seq(
