@@ -1581,6 +1581,56 @@ object CoreQueries {
                  AS n_clicks
              FROM c WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- STREAMING funnel: three first-completion registers per user
+    // (view → click-after → purchase-after), stage completions emitted
+    // live, counts rolled up from the emission stream. Oracle identical
+    // to the batch ev_funnel.
+    QueryDef(
+      "stream_funnel",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.eventsHalves(s, dir)
+        val schema = StreamFixtures.eventsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_funnel_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"),
+            when(col("event_type") === "view", 0)
+              .when(col("event_type") === "click", 1).otherwise(2).as("kind"))
+          .as[graft.streaming.CepEvent]
+        val name = "stream_fn_" + System.nanoTime()
+        val q = graft.streaming.FunnelTracker(src)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: registers park
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: stages complete across batches
+        } finally q.stop()
+        val res = s.table(name)
+          .agg(sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_click_after"),
+            sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_purchase_after"))
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+             t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                    FROM events e JOIN t1 USING (user_id)
+                    WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1
+                    GROUP BY 1),
+             t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                    FROM events e JOIN t2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2
+                    GROUP BY 1)
+           SELECT (SELECT count(*) FROM t1) AS n_view,
+                  (SELECT count(*) FROM t2) AS n_click_after,
+                  (SELECT count(*) FROM t3) AS n_purchase_after""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated

@@ -446,6 +446,49 @@ object CepKleene {
   }
 }
 
+/** Streaming funnel tracking — the streaming twin of the batch
+  * `ev_funnel` (view → click-after → purchase-after). Per-key state is
+  * three timestamp registers (first view, first click strictly after it,
+  * first purchase strictly after that) — O(1) forever; each register's
+  * first set emits a stage-completion event, so the funnel counts are a
+  * trivial rollup of the emission stream. Strict-inequality stage gates
+  * make same-timestamp ordering irrelevant (same argument as
+  * [[CepPattern]]).
+  */
+final case class FunnelStage(k: String, stage: Int, ts: Long)
+private final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+object FunnelTracker {
+
+  private val None_ = Long.MinValue
+
+  /** kinds: 0 = view, 1 = click, 2 = purchase (ordered stages). */
+  def apply(events: Dataset[CepEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CepEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+          val out = Seq.newBuilder[FunnelStage]
+          it.toSeq.sortBy(e => (e.ts, e.kind, e.seq)).foreach { e =>
+            e.kind match {
+              case 0 if s.t1 == None_ =>
+                s = s.copy(t1 = e.ts); out += FunnelStage(key, 1, e.ts)
+              case 1 if s.t1 != None_ && s.t2 == None_ && e.ts > s.t1 =>
+                s = s.copy(t2 = e.ts); out += FunnelStage(key, 2, e.ts)
+              case 2 if s.t2 != None_ && s.t3 == None_ && e.ts > s.t2 =>
+                s = s.copy(t3 = e.ts); out += FunnelStage(key, 3, e.ts)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
 /** Streaming FIRST-WINS dedup with deterministic tie-break — the exact
   * streaming twin of the batch keep-min-id dedup (`row_number() OVER
   * (PARTITION BY h ORDER BY id) = 1`). Spark's own `dropDuplicates` keeps

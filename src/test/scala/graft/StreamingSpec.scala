@@ -164,6 +164,30 @@ class StreamingSpec extends SparkSpec {
       KleeneMatch("u1", 3, 2), KleeneMatch("u1", 7, 3), KleeneMatch("u1", 8, 0))
   }
 
+  test("FunnelTracker: stages gate strictly in order and complete across " +
+    "the batch boundary") {
+    // kinds: 0=view 1=click 2=purchase
+    val mem = MemoryStream[CepEvent](spark)
+    val q = FunnelTracker(mem.toDS()).writeStream
+      .queryName("funnel_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData(
+        CepEvent("u1", 5, 0, 1),  // click BEFORE any view → never counts
+        CepEvent("u1", 10, 1, 0), // view → stage 1
+        CepEvent("u1", 10, 2, 1), // click at SAME ts as view → strict > fails
+        CepEvent("u2", 10, 3, 2)) // purchase with no prior stages → nothing
+      q.processAllAvailable()
+      mem.addData(
+        CepEvent("u1", 20, 4, 1), // click after t1 → stage 2 (cross-batch)
+        CepEvent("u1", 30, 5, 2), // purchase after t2 → stage 3
+        CepEvent("u1", 40, 6, 2)) // second purchase ignored
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("funnel_tw").orderBy("stage")
+      .as[FunnelStage].collect().toSeq shouldBe Seq(
+      FunnelStage("u1", 1, 10), FunnelStage("u1", 2, 20), FunnelStage("u1", 3, 30))
+  }
+
   test("KeepFirst: min-ord row wins within a batch; cross-batch " +
     "duplicates suppress against the registry") {
     val b1 = Seq(
