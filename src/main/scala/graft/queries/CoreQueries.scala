@@ -1631,6 +1631,64 @@ object CoreQueries {
                   (SELECT count(*) FROM t2) AS n_click_after,
                   (SELECT count(*) FROM t3) AS n_purchase_after""")),
 
+    // ---- STREAMING session-path mining: gap-sessionize live (state = the
+    // one OPEN session per user; silence > 30 min closes and emits its
+    // ordered path), census over the emitted closed sessions. Each user's
+    // live trailing session stays in state, so the oracle drops every
+    // user's LAST session. Two-batch feed: sessions straddling the split
+    // keep accumulating before closing.
+    QueryDef(
+      "stream_session_paths",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.eventsHalves(s, dir)
+        val schema = StreamFixtures.eventsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_spaths_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"), col("event_type").as("etype"))
+          .as[graft.streaming.CepEvent2]
+        val name = "stream_sp_" + System.nanoTime()
+        val q = graft.streaming.SessionPaths(src, 1800L * 1000 * 1000)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: open sessions park in state
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: straddlers extend, then close
+        } finally q.stop()
+        val res = s.table(name)
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_us(ts) AS t, event_id AS seq, event_type
+               FROM events),
+             s AS (
+               SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, seq)),
+             i AS (
+               SELECT *, sum(new_s) OVER (
+                 PARTITION BY user_id ORDER BY t, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM s),
+             p AS (
+               SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY t, seq) AS path
+               FROM i GROUP BY user_id, sid),
+             closed AS (
+               SELECT * FROM p
+               QUALIFY sid < max(sid) OVER (PARTITION BY user_id))
+             SELECT path, count(*)::bigint AS n
+             FROM closed GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated

@@ -489,6 +489,45 @@ object FunnelTracker {
   }
 }
 
+/** Streaming gap-sessionization with PATH accumulation — the streaming
+  * twin of the batch `ev_session_paths` (sessionize → ordered path
+  * concat). Per-key state is the one OPEN session (last event ts + the
+  * ordered event-type path); an event arriving beyond `gapUs` CLOSES the
+  * session and emits its path. State is bounded by the session itself
+  * (a session ends after `gapUs` of silence by definition), and each
+  * user's live trailing session stays in state — the oracle keeps
+  * exactly the sessions that have a successor.
+  */
+final case class SessionPath(k: String, sessionStart: Long, path: String)
+private final case class SessState(start: Long, last: Long, path: List[String])
+
+object SessionPaths {
+
+  def apply(events: Dataset[CepEvent2], gapUs: Long): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[SessState, SessionPath](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CepEvent2], state: GroupState[SessState]) =>
+          var s = state.getOption.orNull
+          val out = Seq.newBuilder[SessionPath]
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            if (s == null) s = SessState(e.ts, e.ts, List(e.etype))
+            else if (e.ts - s.last > gapUs) {
+              out += SessionPath(key, s.start, s.path.reverse.mkString(">"))
+              s = SessState(e.ts, e.ts, List(e.etype))
+            } else s = SessState(s.start, e.ts, e.etype :: s.path)
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
+/** String-typed event for path-building stateful operators. */
+final case class CepEvent2(k: String, ts: Long, seq: Long, etype: String)
+
 /** Streaming FIRST-WINS dedup with deterministic tie-break — the exact
   * streaming twin of the batch keep-min-id dedup (`row_number() OVER
   * (PARTITION BY h ORDER BY id) = 1`). Spark's own `dropDuplicates` keeps

@@ -188,6 +188,25 @@ class StreamingSpec extends SparkSpec {
       FunnelStage("u1", 1, 10), FunnelStage("u1", 2, 20), FunnelStage("u1", 3, 30))
   }
 
+  test("SessionPaths: a session straddling the batch boundary keeps " +
+    "accumulating; gap closes and emits the ordered path") {
+    val mem = MemoryStream[CepEvent2](spark)
+    val q = SessionPaths(mem.toDS(), 100L).writeStream
+      .queryName("spaths_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData(
+        CepEvent2("u1", 10, 1, "view"), CepEvent2("u1", 50, 2, "click"))
+      q.processAllAvailable() // session open at batch end
+      mem.addData(
+        CepEvent2("u1", 120, 3, "purchase"), // within gap of 50 → extends
+        CepEvent2("u1", 300, 4, "view"))     // gap > 100 → closes first session
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("spaths_tw")
+      .as[SessionPath].collect().toSeq shouldBe Seq(
+      SessionPath("u1", 10, "view>click>purchase"))
+  }
+
   test("KeepFirst: min-ord row wins within a batch; cross-batch " +
     "duplicates suppress against the registry") {
     val b1 = Seq(
