@@ -1689,6 +1689,49 @@ object CoreQueries {
              SELECT path, count(*)::bigint AS n
              FROM closed GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- STREAMING cohort retention: per-user cohort-week register +
+    // emitted-offset set (bounded by the user's distinct active weeks);
+    // the retention matrix is a count over the emission stream. Oracle
+    // identical to the batch ev_cohort_retention.
+    QueryDef(
+      "stream_cohort_retention",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.eventsHalves(s, dir)
+        val schema = StreamFixtures.eventsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_cohort_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .select(col("user_id").cast("string").as("k"), col("ts"),
+            col("seq"), col("value").as("v"))
+          .as[graft.streaming.KeyedEvent]
+        val name = "stream_co_" + System.nanoTime()
+        val q = graft.streaming.CohortTracker(src, 604800000000L)
+          .writeStream.queryName(name).format("memory").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: cohorts register
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: later-week offsets emit
+        } finally q.stop()
+        val res = s.table(name)
+          .groupBy(col("cohortW").as("cohort_w"), col("offsetW").as("offset_w"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_w", "offset_w")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some("""WITH fw AS (
+               SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_w
+               FROM events GROUP BY 1),
+             act AS (
+               SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+               FROM events)
+             SELECT cohort_w, w - cohort_w AS offset_w, count(*) AS n_users
+             FROM act JOIN fw USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- the seeded random-walk SOURCE under the driver gate (SURVEY
     // §2.1 row 10, golden-only in round 1): quantized noise makes the
     // cumulative walk an exact bigint window sum, so the generated

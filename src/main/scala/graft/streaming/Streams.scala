@@ -528,6 +528,47 @@ object SessionPaths {
 /** String-typed event for path-building stateful operators. */
 final case class CepEvent2(k: String, ts: Long, seq: Long, etype: String)
 
+/** Streaming cohort retention — the streaming twin of the batch
+  * `ev_cohort_retention`. Per-key state is the user's cohort week (set by
+  * the FIRST event — under the ts-ordered-source contract that IS the min
+  * week) plus the set of week-offsets already emitted; each new offset
+  * emits one (cohort, offset) hit, so the retention matrix is a plain
+  * count over the emission stream. State is bounded by the number of
+  * distinct weeks the key was ever active in.
+  */
+final case class CohortHit(k: String, cohortW: Long, offsetW: Long)
+private final case class CohortState(cohortW: Long, seen: Set[Long])
+
+object CohortTracker {
+
+  def apply(events: Dataset[KeyedEvent], widthUs: Long): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[CohortState]) =>
+          var s = state.getOption.orNull
+          val out = Seq.newBuilder[CohortHit]
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            val w = Math.floorDiv(e.ts, widthUs)
+            if (s == null) {
+              s = CohortState(w, Set(0L))
+              out += CohortHit(key, w, 0L)
+            } else {
+              val off = w - s.cohortW
+              if (!s.seen(off)) {
+                s = s.copy(seen = s.seen + off)
+                out += CohortHit(key, s.cohortW, off)
+              }
+            }
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+  }
+}
+
 /** Streaming FIRST-WINS dedup with deterministic tie-break — the exact
   * streaming twin of the batch keep-min-id dedup (`row_number() OVER
   * (PARTITION BY h ORDER BY id) = 1`). Spark's own `dropDuplicates` keeps

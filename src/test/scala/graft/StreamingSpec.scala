@@ -207,6 +207,27 @@ class StreamingSpec extends SparkSpec {
       SessionPath("u1", 10, "view>click>purchase"))
   }
 
+  test("CohortTracker: cohort week fixes on first event; each offset " +
+    "emits once, including across batches") {
+    val mem = MemoryStream[KeyedEvent](spark)
+    val q = CohortTracker(mem.toDS(), 100L).writeStream
+      .queryName("cohort_tw").format("memory").outputMode("append").start()
+    try {
+      mem.addData( // u1 cohort = week 0; two events same week → one hit
+        KeyedEvent("u1", 10, 1, 0), KeyedEvent("u1", 50, 2, 0),
+        KeyedEvent("u2", 250, 3, 0)) // u2 cohort = week 2
+      q.processAllAvailable()
+      mem.addData(
+        KeyedEvent("u1", 120, 4, 0), // week 1 → offset 1 (cross-batch)
+        KeyedEvent("u1", 130, 5, 0), // same offset → suppressed
+        KeyedEvent("u2", 260, 6, 0)) // same week → suppressed
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("cohort_tw").orderBy("k", "offsetW")
+      .as[CohortHit].collect().toSeq shouldBe Seq(
+      CohortHit("u1", 0, 0), CohortHit("u1", 0, 1), CohortHit("u2", 2, 0))
+  }
+
   test("KeepFirst: min-ord row wins within a batch; cross-batch " +
     "duplicates suppress against the registry") {
     val b1 = Seq(
