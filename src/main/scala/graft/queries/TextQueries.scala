@@ -344,6 +344,25 @@ object TextQueries {
              FROM pairs GROUP BY pair
              ORDER BY n DESC, pair LIMIT 20""")),
 
+    // FULL BPE merge-training loop (operators.BPE): 8 greedy argmax-merge
+    // rounds over the distinct-word frequency frame — the actual tokenizer
+    // trainer, not just one scan. Oracle replays the same 8 data-dependent
+    // rounds as generated unrolled CTEs (see BPE.oracleSql). Restricting
+    // words to [a-z0-9]+ keeps the `|…|` segmentation encoding unambiguous.
+    QueryDef(
+      "doc_bpe_train",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+        graft.operators.BPE.trainDf(s, words, rounds = 8).orderBy("merge_rank")
+      },
+      Some(graft.operators.BPE.oracleSql(
+        """SELECT w, count(*) AS wn FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 8))),
+
     // Deterministic sampling: hash-gate instead of seeded RNG — the same
     // 10% sample on any engine, any partitioning, any run.
     QueryDef(

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.BPE
+
+/** Law: the distributed BPE trainer equals a plain single-node reference
+  * implementation of the classic Sennrich merge loop (argmax pair by
+  * count desc then pair asc; greedy non-overlapping left-to-right merge)
+  * on every corpus, including adversarial repeated-symbol words where the
+  * greedy/overlap distinction actually bites.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-node reference trainer over (word, freq). */
+  private def refTrain(words: Map[String, Long], rounds: Int): Seq[BPE.Merge] = {
+    var segs: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[BPE.Merge]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- segs; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x + " " + y) }
+        out += BPE.Merge(r, s"$a $b", n)
+        segs = segs.map { case (syms, wn) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2 // greedy: merged symbol not rescanned
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), wn)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def law(words: Map[String, Long], rounds: Int): Unit = {
+    val df = words.toSeq.toDF("w", "wn")
+    BPE.train(df, rounds) shouldBe refTrain(words, rounds)
+  }
+
+  test("matches reference on a small natural corpus") {
+    law(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "lowest" -> 4L, "wider" -> 2L, "new" -> 7L), rounds = 10)
+  }
+
+  test("matches reference on repeated-symbol words (greedy overlap cases)") {
+    // 'aaaa', 'aaa' exercise non-overlapping left-to-right semantics:
+    // merging (a,a) on 'aaa' must give [aa, a], not [aa, aa]
+    law(Map("aaaa" -> 9L, "aaa" -> 5L, "aa" -> 3L, "abab" -> 4L,
+      "ababab" -> 2L, "bbbb" -> 6L), rounds = 6)
+  }
+
+  test("matches reference on a pseudo-random corpus") {
+    // deterministic pseudo-random words over a 3-letter alphabet: small
+    // alphabet forces deep merge chains (multi-char symbols re-merging)
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 60).map { _ =>
+      val len = 2 + rnd.nextInt(7)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      w
+    }.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    law(words, rounds = 12)
+  }
+
+  test("stops cleanly when no pairs remain") {
+    // single-char words: zero pairs, zero merges, no crash
+    law(Map("a" -> 3L, "b" -> 2L), rounds = 4)
+  }
+}
