@@ -109,6 +109,21 @@ object PQ {
     encodeSubs(subRows(emb, "vec_id", "v", m, subLen), codebookDf(emb, cbs), "vec_id")
   }
 
+  /** Per-query ADC lookup table: (q_id, m, code, pdot) — the dot of each
+    * EXACT query subvector with each trained codeword, floor-quantized to
+    * int64 so the M-way candidate sums are exact (double sums are
+    * fold-order-nondeterministic; longs are not). M·K rows per query —
+    * always broadcast-sized.
+    */
+  def lut(queries: DataFrame, cbs: Seq[Codeword]): DataFrame = {
+    val m = cbs.map(_.m).max + 1
+    val subLen = cbs.head.cw.length
+    subRows(queries, "q_id", "qv", m, subLen)
+      .join(broadcast(codebookDf(queries, cbs)), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        floor(dot(col("sub"), col("cw")) * 1e6).cast("long").as("pdot"))
+  }
+
   /** ADC top-k: per-query LUT of query-subvector × codeword dots
     * (quantized to int64 — exact cross-partition sums), M adds per
     * candidate, top-k by quantized score (vec_id tie-break). Queries never
@@ -123,13 +138,7 @@ object PQ {
       queries: DataFrame,
       cbs: Seq[Codeword],
       topK: Int): DataFrame = {
-    val m = cbs.map(_.m).max + 1
-    val subLen = cbs.head.cw.length
-    val lut = subRows(queries, "q_id", "qv", m, subLen)
-      .join(broadcast(codebookDf(queries, cbs)), "m")
-      .select(col("q_id"), col("m"), col("code"),
-        floor(dot(col("sub"), col("cw")) * 1e6).cast("long").as("pdot"))
-    encoded.join(broadcast(lut), Seq("m", "code"))
+    encoded.join(broadcast(lut(queries, cbs)), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("pdot")).as("score_q"))

@@ -61,4 +61,38 @@ class AnnRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.6 }
   }
+
+  /** Composed IVF-PQ at realistic parameters (trained coarse quantizer ×
+    * M=8/K=256 trained codebooks), recall vs exact cosine at nprobe 1 and
+    * 4 — the serving-shape lever: more probes buys recall, monotonically.
+    */
+  private def ivfpqRecall(nprobe: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // m=16 over 64 dims (4-dim subspaces): the ADC ceiling on this corpus
+    // is 0.8 at m=16 vs 0.6 at m=8 — finer subspaces, exacter scores
+    val got = graft.operators.IvfPq.topK(emb, col("vec_id") < 3,
+      kCoarse = 8, kmIters = 5, m = 16, k = 256, pqIters = 2,
+      nprobe = nprobe, topK = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = topk("knn_brute")
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("IVF-PQ end-to-end: nprobe=4 recalls >= 60% of exact top-5, monotone in nprobe") {
+    val r1 = ivfpqRecall(1)
+    val r4 = ivfpqRecall(4)
+    withClue(s"recall nprobe=1: $r1, nprobe=4: $r4") {
+      r4 should be >= 0.6
+      r4 should be >= r1
+      r1 should be >= 0.2 // single-cell probe still finds some of top-5
+    }
+  }
 }
