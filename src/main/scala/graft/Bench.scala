@@ -50,6 +50,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // fixture-schema canary: fail once, loudly, on testdata drift
+    graft.core.Preflight.check(spark, sfDir)
     // optional args: bench only the named queries (debug aid; the driver
     // passes none and gets the full catalog)
     val selected =
@@ -104,7 +106,7 @@ object Bench {
     // oracle SQL + parquet, run sequentially right after the Spark pass.
     val oracle = SparkEntry.oracleSql
     val sparkComparable = ok.collect { case (n, d) if oracle.contains(n) => d }.sum
-    val duckTotal: Option[Double] =
+    val duckRun: Option[(Double, String)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_DUCK").exists(_.nonEmpty)) None
       else runDuck(sfDir, ok.map(_._1).filter(oracle.contains))
 
@@ -115,13 +117,22 @@ object Bench {
     val rs = multi.map { case (k, v) => "\"" + k + "\":[" + v.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val pair = duckTotal match {
-      case Some(d) if d > 0 =>
-        f""","spark":$sparkComparable%.2f,"duck":$d%.2f,"ratio":${sparkComparable / d}%.3f"""
+    // validity marker (ADVICE r4): a total over a partial catalog is not
+    // comparable round-over-round — flag it, and only claim a ratio when
+    // every query ran (a query that errors is not "within 2x").
+    val fullCatalog = failed.isEmpty
+    val pair = duckRun match {
+      case Some((d, detail)) if d > 0 =>
+        val ratio =
+          if (fullCatalog) f""","ratio":${sparkComparable / d}%.3f""" else ""
+        // duck_detail = duck_bench.py's own JSON ({"total","queries"}) so
+        // oracle-side outliers (e.g. doc_bpe_train's unrolled CTE) are
+        // visible per-query instead of silently flattering the total
+        f""","spark":$sparkComparable%.2f,"duck":$d%.2f$ratio,"duck_detail":$detail"""
       case _ => ""
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size}$pair,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","full_catalog":$fullCatalog,"queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size}$pair,"sf":"$sfDir"}"""
     if (args.isEmpty) Files.writeString(Paths.get("BENCH.json"), json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), json))
@@ -132,10 +143,11 @@ object Bench {
   }
 
   /** Run tools/duck_bench.py on the same sfDir over the named oracle
-    * queries; returns its total seconds, or None if the leg can't run
-    * (missing python/duckdb must not invalidate the Spark artifact).
+    * queries; returns (total seconds, duck's full JSON line — including the
+    * per-query map), or None if the leg can't run (missing python/duckdb
+    * must not invalidate the Spark artifact).
     */
-  private def runDuck(sfDir: String, names: Seq[String]): Option[Double] =
+  private def runDuck(sfDir: String, names: Seq[String]): Option[(Double, String)] =
     try {
       val oraclePath = Files.createTempFile("graft_oracle", ".json")
       Files.writeString(oraclePath, Oracle.dumpJson(SparkEntry.oracleSql))
@@ -147,6 +159,10 @@ object Bench {
       p.waitFor()
       Files.deleteIfExists(oraclePath)
       if (p.exitValue() != 0) None
-      else """"total":\s*([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+      else for {
+        total <- """"total":\s*([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+        line <- out.linesIterator.map(_.trim)
+          .find(l => l.startsWith("{") && l.endsWith("}"))
+      } yield (total, line)
     } catch { case _: Throwable => None }
 }

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-schema canary: one loud failure on testdata drift, never a
+    // catalog of per-query stack traces (VERDICT r4 #4)
+    graft.core.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val failures = Seq.newBuilder[String]
     SparkEntry.queries

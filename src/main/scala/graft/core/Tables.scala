@@ -1,14 +1,17 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet tables (`TESTDATA.md`).
   *
   * Conventions for event streams (scespet `HasVal`/`MacroTerm` analog —
   * reference: /root/reference/src/scespet/core/types.scala:63-75):
-  *   - `ts: Long`  — event time as an opaque ordered long (here: epoch nanos).
-  *     scespet models time as Long millis; we keep the same contract.
+  *   - `ts: Long`  — event time as an opaque ordered long (here: epoch
+  *     micros, normalized by [[Tables.tsUsExpr]] from whatever physical type
+  *     the fixture carries). scespet models time as Long millis; we keep the
+  *     same opaque-ordered-long contract.
   *   - `seq: Long` — stable arrival-order tie-break. Reproduces scespet's
   *     deterministic source merge (SimpleEnv.scala:33-38,80-92).
   */
@@ -19,17 +22,38 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
-  /** `events` is written with nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects by default; read them as Long nanos, then
-    * truncate to epoch MICROS as the canonical `ts` ordering column: DuckDB
-    * (the correctness oracle) reads ns parquet as µs TIMESTAMP, so µs is the
-    * finest resolution both engines agree on exactly (`epoch_us(ts)` twin).
+  /** Canonical event-time normalization: whatever physical type the fixture
+    * writes `ts` as, produce epoch MICROS as a Long — the finest resolution
+    * Spark and DuckDB (the correctness oracle, `epoch_us(ts)` twin) agree on
+    * exactly. The fixture has flipped encodings across harness rounds
+    * (int64 epoch-nanos → timestamp[us]); this is the ONE place that absorbs
+    * that, for batch AND streaming sources alike. Branch on the runtime
+    * schema, never assume:
+    *   - LongType        → epoch-nanos long; truncate: `ts div 1000`
+    *   - timestamp types → `unix_micros(cast(ts as timestamp))` under the
+    *     UTC session TZ (every graft session sets spark.sql.session.timeZone
+    *     = UTC, so NTZ and LTZ wall-clocks coincide).
+    */
+  def tsUsExpr(tsType: DataType): Column = tsType match {
+    case LongType                          => expr("ts div 1000")
+    case TimestampType | TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — extend Tables.tsUsExpr")
+  }
+
+  def tsUsExpr(schema: StructType): Column = tsUsExpr(schema("ts").dataType)
+
+  /** `events` loader. Historically the fixture used ns parquet timestamps,
+    * which Spark's vectorized reader rejects unless read as Long
+    * (`nanosAsLong`) — keep that conf for robustness if the encoding flips
+    * back; [[tsUsExpr]] handles either physical type it lands as.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts", expr("ts div 1000"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw
+      .withColumn("ts", tsUsExpr(raw.schema))
       .withColumn("seq", col("event_id"))
   }
 

@@ -100,9 +100,15 @@ object KMeans {
     val centDf = cents
       .map(c => (c.cell, c.v.toSeq, math.sqrt(c.v.map(x => x * x).sum)))
       .toDF("__cell", "__cv", "__cnorm")
+    // group on EVERY input column (ADVICE r4: grouping on just (id, vn)
+    // silently dropped any other columns, so the k>LargeK cutover changed
+    // the output schema vs the literal path; `id` is unique per the run()
+    // contract, so the extra group keys don't change the aggregation and
+    // both paths now emit df.* + cell)
+    val keyCols = df.columns.map(col).toIndexedSeq
     df.crossJoin(broadcast(centDf))
       .withColumn("__s", dot(col("vn"), col("__cv")) / col("__cnorm"))
-      .groupBy("id", "vn")
+      .groupBy(keyCols: _*)
       .agg(max_by(col("__cell"), struct(col("__s"), -col("__cell"))).as("cell"))
   }
 

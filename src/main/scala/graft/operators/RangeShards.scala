@@ -24,19 +24,26 @@ object RangeShards {
 
   /** Adds a `shard` column: shard = floor(rowsBefore · n / total), where
     * rowsBefore counts rows with strictly smaller `scoreCol`.
+    *
+    * NULL scores (ADVICE r4: the old equality join silently DROPPED them)
+    * are an explicit policy: NULL sorts first (Spark's default null
+    * ordering), so NULL-score rows form the lowest whole-key group and
+    * land in shard 0 — no row ever disappears from a sharding pass. The
+    * histogram's NULL group and the null-safe `<=>` join keep the law
+    * shard = floor(rowsBefore·n/total) exact for them too.
     */
   def assign(df: DataFrame, scoreCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val h = df.groupBy(col(scoreCol).as("s")).agg(count(lit(1)).as("c"))
     // tiny frame: |distinct scores| rows — the only place a global
     // window runs, by design (the data itself never single-partitions)
-    val before = Window.orderBy("s")
+    val before = Window.orderBy(col("s").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cuts = h
       .withColumn("cb", coalesce(sum(col("c")).over(before), lit(0L)))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy(lit(1))))
       .withColumn("shard", expr(s"cb * $nShards DIV tot"))
       .select(col("s"), col("shard"))
-    df.join(broadcast(cuts), col(scoreCol) === col("s")).drop("s")
+    df.join(broadcast(cuts), col(scoreCol) <=> col("s")).drop("s")
   }
 }

@@ -29,9 +29,30 @@ object Triangles {
     */
   val BroadcastEdgeThreshold = 20000000L
 
+  /** Eager form: materializes the 1-row stats while the intermediate
+    * caches are live, then unpersists them (ADVICE r4: the lazy form left
+    * `pairs`/`deg`/`o` cached for the session). The result is a single row,
+    * so re-wrapping it as a local DataFrame costs nothing.
+    */
   def stats(
       pairsIn: DataFrame,
       broadcastThreshold: Long = BroadcastEdgeThreshold): DataFrame = {
+    val (out, cleanup) = statsPlan(pairsIn, broadcastThreshold)
+    try {
+      val spark = pairsIn.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally cleanup()
+  }
+
+  /** Lazy form: the full distributed plan plus an explicit cleanup handle
+    * that unpersists the shared intermediates — callers that need the plan
+    * itself (audits, composition) consume the DataFrame, then invoke the
+    * handle.
+    */
+  def statsPlan(
+      pairsIn: DataFrame,
+      broadcastThreshold: Long = BroadcastEdgeThreshold): (DataFrame, () => Unit) = {
     // persist every multiply-consumed stage: `pairs` feeds degree/orient/
     // closure/edge-count, `deg` feeds both orientation joins + the node
     // agg, and `o` is BOTH sides of the wedge self-join — without the
@@ -83,7 +104,7 @@ object Triangles {
       coalesce(expr("sum((d * (d - 1)) DIV 2)").cast("long"), lit(0L))
         .as("n_wedges"))
     val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
-    degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
+    val out = degAgg.crossJoin(edgeAgg).crossJoin(tri) // 1×1×1 scalar combine
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         // wedge-free graphs (empty, or disjoint single edges) have no
@@ -91,5 +112,6 @@ object Triangles {
         when(col("n_wedges") > 0,
           expr("(3 * n_triangles * 1000000) DIV n_wedges"))
           .otherwise(lit(0L)).as("gcc_ppm"))
+    (out, () => { o.unpersist(); deg.unpersist(); pairs.unpersist(); () })
   }
 }

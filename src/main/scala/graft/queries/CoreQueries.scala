@@ -178,8 +178,8 @@ object CoreQueries {
       Some("""SELECT user_id, window_id,
              sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
-                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
                      AS window_id FROM events)
              GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
 
@@ -193,8 +193,8 @@ object CoreQueries {
       Some("""SELECT user_id, window_id,
              sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
-                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
                      AS window_id FROM events)
              GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
 
@@ -342,7 +342,7 @@ object CoreQueries {
         // the file stream source wants a directory: glob the one table file
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("ts div 1000"))
+          .withColumn("ts", graft.core.Tables.tsUsExpr(schema))
         val agg = graft.streaming.Streams.tumblingAgg(
           src, Seq("user_id"), "1 day", "0 seconds",
           "n" -> count(lit(1)),
@@ -377,7 +377,7 @@ object CoreQueries {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("ts div 1000"))
+          .withColumn("ts", graft.core.Tables.tsUsExpr(schema))
         val agg = src
           .withColumn("event_time", timestamp_micros(col("ts")))
           .withWatermark("event_time", "0 seconds")
@@ -426,7 +426,7 @@ object CoreQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             col("value").as("v"))
           .as[graft.streaming.KeyedEvent]
         val name = "stream_cs_" + System.nanoTime()
@@ -571,7 +571,7 @@ object CoreQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             col("value").as("v"),
             (col("event_type") === "error").as("gate"))
           .as[graft.streaming.GatedEvent]
@@ -590,8 +590,8 @@ object CoreQueries {
                  sum(value::decimal(38,6))::double AS sum_value,
                  count(CASE WHEN event_type='error' THEN 1 END) AS n_trig
                FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
-                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
                        AS window_id FROM events)
                GROUP BY user_id, window_id)
              WHERE n_trig > 0 ORDER BY user_id, window_id""")),
@@ -611,7 +611,7 @@ object CoreQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             col("value").as("v"), (col("value") >= 50).as("gate"))
           .as[graft.streaming.GatedEvent]
         val name = "stream_gw_" + System.nanoTime()
@@ -656,7 +656,7 @@ object CoreQueries {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
             col("value").as("v"))
           .as[graft.streaming.ZipEvent]
@@ -702,7 +702,7 @@ object CoreQueries {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
             col("value").as("v"))
           .as[graft.streaming.ZipEvent]
@@ -755,7 +755,7 @@ object CoreQueries {
           val src = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
             .select(col("user_id").cast("string").as("k"),
-              expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+              graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
               col("value").as("v"))
             .as[graft.streaming.KeyedEvent]
           val name = "stream_ew_" + System.nanoTime()
@@ -793,7 +793,7 @@ object CoreQueries {
             .select(col("user_id").as(s"${pfx}_uid"),
               col("event_id").as(s"${pfx}_id"),
               col("value").as(s"${pfx}_val"),
-              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+              timestamp_micros(graft.core.Tables.tsUsExpr(schema)).as(s"${pfx}_time"))
             .withWatermark(s"${pfx}_time", "0 seconds")
         val joined = side("purchase", "p").join(side("click", "c"),
           expr("""p_uid = c_uid AND
@@ -844,7 +844,7 @@ object CoreQueries {
             .select(col("user_id").as(s"${pfx}_uid"),
               col("event_id").as(s"${pfx}_id"),
               col("value").as(s"${pfx}_val"),
-              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+              timestamp_micros(graft.core.Tables.tsUsExpr(schema)).as(s"${pfx}_time"))
             .withWatermark(s"${pfx}_time", "0 seconds")
         val joined = side("purchase", "p").join(side("click", "c"),
           expr("""p_uid = c_uid AND
@@ -891,7 +891,7 @@ object CoreQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type").isin("purchase", "click"))
-          .select(col("user_id"), expr("ts div 1000").as("ts"),
+          .select(col("user_id"), graft.core.Tables.tsUsExpr(schema).as("ts"),
             col("event_type").as("tag"), col("value").as("v"))
         val agg = graft.streaming.Streams.tumblingAgg(
           src, Seq("user_id"), "1 day", "0 seconds",
@@ -1222,7 +1222,7 @@ object CoreQueries {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
         val agg = src
           .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
           .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))

@@ -238,7 +238,7 @@ object ParityQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .select(col("user_id").cast("string").as("k"),
-            expr("ts div 1000").as("ts"), col("event_id").as("seq"),
+            graft.core.Tables.tsUsExpr(schema).as("ts"), col("event_id").as("seq"),
             col("value").as("v"),
             (col("event_type") === "error").as("gate"))
           .as[graft.streaming.GatedEvent]
@@ -256,8 +256,8 @@ object ParityQueries {
                SELECT user_id, window_id, count(*) AS n,
                  sum(value::decimal(38,6))::double AS sum_value
                FROM (SELECT *, coalesce(sum(CASE WHEN event_type='error' THEN 1 END)
-                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::bigint
                        AS window_id FROM events)
                GROUP BY user_id, window_id)
              QUALIFY window_id < max(window_id) OVER (PARTITION BY user_id)

@@ -50,6 +50,16 @@ object StreamFixtures {
 
   private val cache = scala.collection.concurrent.TrieMap[String, String]()
 
+  // ADVICE r4: fixture roots lived for the JVM but were never removed —
+  // every Verify/Bench/test JVM left a few graft_fx_* dirs in /tmp. The
+  // cache is per-JVM by design (memoized across the catalog), so the
+  // matching lifetime for cleanup is a shutdown hook.
+  sys.addShutdownHook {
+    cache.values.foreach { root =>
+      try deleteRecursively(root) catch { case _: Throwable => () }
+    }
+  }
+
   /** The events table split into two single-file parquet halves by event
     * time: `lo/` (ts ≤ mid) and `hi/` (ts > mid), columns exactly
     * [[graft.core.Tables.events]] (µs ts + seq). Built once per (dir) per

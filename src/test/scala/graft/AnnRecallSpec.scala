@@ -86,13 +86,17 @@ class AnnRecallSpec extends SparkSpec {
     recalls.sum / recalls.size
   }
 
-  test("IVF-PQ end-to-end: nprobe=4 recalls >= 60% of exact top-5, monotone in nprobe") {
+  test("IVF-PQ end-to-end (residual/IVFADC encoding): nprobe=1 already meets " +
+    "the old nprobe=4 bar, monotone in nprobe") {
     val r1 = ivfpqRecall(1)
     val r4 = ivfpqRecall(4)
     withClue(s"recall nprobe=1: $r1, nprobe=4: $r4") {
       r4 should be >= 0.6
       r4 should be >= r1
-      r1 should be >= 0.2 // single-cell probe still finds some of top-5
+      // residual encoding (VERDICT r4 #7): quantizing v − c(cell) instead
+      // of raw vectors lifted single-probe recall to the pre-residual
+      // multi-probe bar
+      r1 should be >= 0.6
     }
   }
 }

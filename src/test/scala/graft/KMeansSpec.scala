@@ -56,6 +56,18 @@ class KMeansSpec extends SparkSpec {
     join shouldBe lits
   }
 
+  test("both assignment paths preserve extra input columns with the same " +
+    "schema (ADVICE r4: the join path used to emit only (id, vn, cell))") {
+    val cents = (0 until 4).map(c => KMeans.Centroid(c,
+      Array.tabulate(8)(d => if (d == c) 1.0 else 0.1))).toSeq
+    val withExtra = normed.withColumn("tag", concat(lit("t"), col("id")))
+    val lits = KMeans.assign(withExtra, cents, forceJoin = false)
+    val join = KMeans.assign(withExtra, cents, forceJoin = true)
+    join.columns.toSeq shouldBe lits.columns.toSeq
+    join.select("id", "tag", "cell").orderBy("id").collect() shouldBe
+      lits.select("id", "tag", "cell").orderBy("id").collect()
+  }
+
   test("k=4096 assignment plans O(1) in k (no per-centroid aliased columns)") {
     // 4096 distinct unit-ish centroids from a hash grid
     val cents = (0 until 4096).map { c =>

@@ -168,4 +168,23 @@ class OperatorsSpec extends SparkSpec {
       dist shouldBe brute
     }
   }
+
+  test("RangeShards NULL-score policy: rows are kept, NULL sorts first " +
+    "into shard 0, law unchanged for non-NULL scores") {
+    import graft.operators.RangeShards
+    // 100 NULL scores + 900 spread 0..8 — NULL is the lowest tie group
+    val d = spark.range(1000).select(col("id"),
+      when(col("id") < 100, lit(null).cast("long"))
+        .otherwise(col("id") % 9).as("score"))
+    val a = RangeShards.assign(d, "score", 4)
+    a.count() shouldBe 1000L // ADVICE r4: equality join dropped NULL rows
+    // NULLs are the lowest whole-key group: all in shard 0
+    a.filter(col("score").isNull).select("shard")
+      .distinct().as[Long].collect() shouldBe Array(0L)
+    // law for the rest: floor(rowsBefore·4/1000) with NULLs counted before
+    val nonNull = a.filter(col("score").isNotNull)
+      .select("score", "shard").as[(Long, Long)].collect()
+    val counts = (0L to 8L).map(s => s -> (100L + s * 100)).toMap // rowsBefore
+    nonNull.foreach { case (s, shard) => shard shouldBe counts(s) * 4 / 1000 }
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regression guards: the properties that make the catalog
   * scale-safe, asserted on the actual executed plans at sf0.001 —
   * predicate pushdown + column pruning reaching the parquet scan,
@@ -236,16 +238,28 @@ class PlanAuditSpec extends SparkSpec {
 
   test("graph_triangles (edge-iterator path): adjacency joins broadcast; " +
     "the wedge set never becomes a join") {
-    val df = SparkEntry.queries("graph_triangles")(spark, dir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    withClue(plan) {
-      // both adjacency-array joins reach the oriented-edge stream as
-      // broadcasts — the closure count is in-row array_intersect, so no
-      // exchange ever carries a wedge row
-      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
-      plan should include("array_intersect")
-    }
+    // audit the LAZY plan (Triangles.statsPlan): the catalog query's
+    // stats() now materializes eagerly and unpersists its intermediates
+    // (ADVICE r4), so its returned frame is a local 1-row relation — the
+    // distributed plan to pin lives one level down, on the same pairs
+    // frame graph_triangles builds
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pairs = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      .join(l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select("u", "v")
+    val (df, cleanup) = graft.operators.Triangles.statsPlan(pairs)
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan) {
+        // both adjacency-array joins reach the oriented-edge stream as
+        // broadcasts — the closure count is in-row array_intersect, so no
+        // exchange ever carries a wedge row
+        "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+        plan should include("array_intersect")
+      }
+    } finally cleanup()
   }
 
   test("ord_snapshot_diff: ONE join of narrow rows — full outer on the key") {
