@@ -693,6 +693,207 @@ object SimilarityQueries {
                    FROM scored WHERE nm = 4)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
 
+    // RESIDUAL IVF-PQ (classic IVFADC, Jégou et al. 2011 §III) — the same
+    // composed dataflow as knn_ivfpq but PQ quantizes the residual
+    // r = v − c(cell) instead of the raw vector. The score splits exactly:
+    // q·v = q·c(cell) + q·r, so the ADC LUT stays CELL-INDEPENDENT (it is
+    // q·codeword over the residual codebook) and the per-(query, cell)
+    // constant q·c rides the broadcast probe list as one quantized long.
+    // Residuals spread far tighter than raw vectors — the same M×K code
+    // budget buys exacter scores, which is why IVFADC is the published
+    // serving recipe at small nprobe. operators.IvfPq runs this at
+    // realistic parameters (recall-gated in AnnRecallSpec); this entry
+    // pins the residual dataflow cross-engine at oracle-mirrorable size.
+    QueryDef(
+      "knn_ivfpq_residual",
+      (s, dir) => {
+        val M = 4; val SUB = DIM / M; val K = 8; val NPROBE = 2
+        val w = org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir).persist() // coarse + residual PQ + queries
+        // ---- IVF coarse: one Lloyd step from the first-K seeds (same
+        // machinery as knn_ivfpq) ----
+        def assign(cents: DataFrame): DataFrame =
+          e.join(broadcast(cents), lit(true))
+            .withColumn("ccos",
+              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+            .withColumn("rk", row_number().over(
+              w.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+        val cents0 = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val cents1 = assign(cents0)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .select(col("cell").as("c_id"), col("cv"),
+            call_function("dotd", col("cv"), col("cv")).as("cn2"))
+        val a1 = assign(cents1)
+        // ---- residual subvectors: r = v − c(cell), sub-sliced ----
+        val rsubs = a1
+          .join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
+          .select(col("vec_id"),
+            explode(array((0 until M).map { m =>
+              struct(lit(m).as("m"),
+                zip_with(slice(col("v"), m * SUB + 1, SUB),
+                  slice(col("cv"), m * SUB + 1, SUB),
+                  (x, c) => x - c).as("sub"))
+            }: _*)).as("s"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+          .persist() // seeds + one refit + final encode consume it
+        // ---- PQ on residuals: one codebook refit from first-K sub-seeds ----
+        val cb0 = rsubs.filter(col("vec_id") < K)
+          .select(col("m"), col("vec_id").as("code"), col("sub").as("cw"))
+          .withColumn("cwn2", dot(col("cw"), col("cw")))
+        def encodeWith(cb: DataFrame): DataFrame =
+          rsubs.join(broadcast(cb), "m")
+            .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
+            .withColumn("rk", row_number().over(
+              w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
+            .filter(col("rk") === 1)
+            .select("vec_id", "m", "code")
+        val cb1 = encodeWith(cb0).join(rsubs, Seq("vec_id", "m"))
+          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
+          .groupBy("m", "code")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("mean")))),
+            p => p.getField("mean")).as("cw"))
+          .withColumn("cwn2", dot(col("cw"), col("cw")))
+        val encoded = encodeWith(cb1)
+        // ---- probes: NPROBE nearest cells + the q·c score constant ----
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        val probes = q.join(broadcast(cents1), lit(true))
+          .withColumn("pcos",
+            dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+          .withColumn("prk", row_number().over(
+            w.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))))
+          .filter(col("prk") <= NPROBE)
+          .select(col("q_id"), col("c_id").as("qcell"),
+            floor(dot(col("qv"), col("cv")) * 1e6).cast("long").as("qc"))
+        // ---- ADC: cell-independent residual LUT + per-cell constant ----
+        val lut = q
+          .select(col("q_id"),
+            explode(array((0 until M).map { m =>
+              struct(lit(m).as("m"), slice(col("qv"), m * SUB + 1, SUB).as("qsub"))
+            }: _*)).as("s"))
+          .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
+          .join(broadcast(cb1), "m")
+          .select(col("q_id"), col("m"), col("code"),
+            floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
+        encoded.join(a1.select("vec_id", "cell"), "vec_id")
+          .join(broadcast(probes), col("cell") === col("qcell"))
+          .join(broadcast(lut), Seq("q_id", "m", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg((min(col("qc")) + sum(col("pdot_q"))).cast("long").as("score_q"),
+            count(lit(1)).as("nm"))
+          .filter(col("nm") === M)
+          .withColumn("rk", row_number().over(
+            w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "score_q")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             a0 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
+                 FROM emb, cents0 c)
+               WHERE rk = 1),
+             cmeans AS (
+               SELECT cell, i AS dim,
+                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS m
+               FROM a0, range(1, 65) t(i)
+               GROUP BY cell, i),
+             cents1 AS (
+               SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cmeans GROUP BY cell),
+             cents1n AS (
+               SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
+             a1 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
+                 FROM emb, cents1n c)
+               WHERE rk = 1),
+             rsubs AS (
+               SELECT a1.vec_id, m,
+                 list_transform(range(1, 17), i -> a1.v[m*16+i] - c.cv[m*16+i]) AS sub
+               FROM a1 JOIN cents1n c ON a1.cell = c.c_id, range(0, 4) t(m)),
+             cb0 AS (SELECT m, vec_id AS code, sub AS cw FROM rsubs WHERE vec_id < 8),
+             cb0n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb0),
+             enc0 AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT rsubs.vec_id, rsubs.m, cb0n.code,
+                   row_number() OVER (PARTITION BY rsubs.vec_id, rsubs.m
+                     ORDER BY cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb0n.code) AS rk
+                 FROM rsubs JOIN cb0n ON rsubs.m = cb0n.m)
+               WHERE rk = 1),
+             pmeans AS (
+               SELECT j.m, j.code, i AS pos,
+                 sum(floor(j.sub[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS mean
+               FROM (SELECT e.m, e.code, s.sub
+                     FROM enc0 e JOIN rsubs s
+                       ON e.vec_id = s.vec_id AND e.m = s.m) j,
+                    range(1, 17) t(i)
+               GROUP BY j.m, j.code, i),
+             cb1 AS (
+               SELECT m, code, list(mean ORDER BY pos) AS cw
+               FROM pmeans GROUP BY m, code),
+             cb1n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb1),
+             encoded AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT rsubs.vec_id, rsubs.m, cb1n.code,
+                   row_number() OVER (PARTITION BY rsubs.vec_id, rsubs.m
+                     ORDER BY cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb1n.code) AS rk
+                 FROM rsubs JOIN cb1n ON rsubs.m = cb1n.m)
+               WHERE rk = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
+             probes AS (
+               SELECT q_id, qcell, qc FROM (
+                 SELECT q.q_id, c.c_id AS qcell,
+                   floor((${dotSql("c.cv", "qv")}) * 1e6)::bigint AS qc,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     ${dotSql("c.cv", "qv")} / (sqrt(qn2) * sqrt(c.cn2)) DESC, c.c_id) AS prk
+                 FROM q, cents1n c)
+               WHERE prk <= 2),
+             lut AS (
+               SELECT qs.q_id, cb1n.m, cb1n.code,
+                 floor((${dotSql("qsub", "cw")}) * 1e6)::bigint AS pdot_q
+               FROM (SELECT vec_id AS q_id, m, v[(m*16+1):(m*16+16)] AS qsub
+                     FROM emb, range(0, 4) t(m) WHERE vec_id < 3) qs
+               JOIN cb1n ON qs.m = cb1n.m),
+             cand AS (
+               SELECT encoded.vec_id, encoded.m, encoded.code, probes.q_id, probes.qc
+               FROM encoded
+               JOIN a1 ON encoded.vec_id = a1.vec_id
+               JOIN probes ON a1.cell = probes.qcell),
+             scored AS (
+               SELECT q_id, vec_id,
+                 (min(qc) + sum(pdot_q))::bigint AS score_q, count(*) AS nm
+               FROM cand JOIN lut USING (q_id, m, code)
+               WHERE vec_id <> q_id
+               GROUP BY q_id, vec_id)
+             SELECT q_id, rk, vec_id, score_q
+             FROM (SELECT q_id, vec_id, score_q, row_number() OVER (
+                     PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS rk
+                   FROM scored WHERE nm = 4)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
     // Embedding-cosine near-duplicate pairs, MinHash-LSH shaped: NB=4
     // banded 16-bit sign signatures generate candidates (narrow
     // (vec_id, band, bh) rows — 2^16 buckets per band bound fan-out at
