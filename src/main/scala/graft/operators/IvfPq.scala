@@ -33,7 +33,93 @@ object IvfPq {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** IVF-PQ cosine top-k.
+  /** A built IVF-PQ index: trained coarse centroids, residual codebooks,
+    * and the encoded corpus — `(vec_id, cell, m, code)`, M rows of one-byte
+    * payload per vector. Build ONCE, serve many query batches: the real
+    * deployment shape (the index is the expensive artifact; [[serve]] is
+    * the cheap per-batch plan).
+    */
+  final case class Index(
+      cents: Seq[KMeans.Centroid],
+      cbs: Seq[PQ.Codeword],
+      encoded: DataFrame)
+
+  /** Train + encode an IVF-PQ index over a NORMALIZED corpus
+    * `(vec_id: Long, v: array&lt;double&gt;)` (unit vectors — ADC inner
+    * product then ranks by cosine).
+    *
+    * RESIDUAL encoding (classic IVFADC, Jégou et al. 2011, §III): PQ
+    * quantizes r = v − c(cell) rather than v itself. Residuals spread far
+    * tighter than raw vectors, so the same M×K code budget buys exacter
+    * scores — the standard recall upgrade at small nprobe. Scoring splits
+    * exactly: q·v = q·c(cell) + q·r, where the first term is a per-
+    * (query, cell) CONSTANT carried on the probe list and the second is
+    * the usual cell-independent ADC LUT sum (the LUT is q·codeword — the
+    * codebooks live in residual space, but the lookup shape is unchanged).
+    */
+  def build(
+      embN: DataFrame,
+      kCoarse: Int, kmIters: Int,
+      m: Int, k: Int, pqIters: Int): Index = {
+    val spark = embN.sparkSession
+    import spark.implicits._
+    val (cents, assign) = KMeans.run(
+      embN.select(col("vec_id").as("id"), col("v")), kCoarse, kmIters)
+    val centDf = cents.map(c => (c.cell, c.v.toSeq)).toDF("cell", "cv")
+    val resid = embN
+      .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+      .localCheckpoint() // trainer (iterative) + encode both consume it
+    val cbs = PQ.trainCodebooks(resid.select("vec_id", "v"), m, k, pqIters)
+    val encoded = PQ.encode(resid.select("vec_id", "v"), cbs)
+      .join(resid.select("vec_id", "cell"), "vec_id")
+    Index(cents, cbs, encoded)
+  }
+
+  /** Serve one query batch `(q_id: Long, qv: array&lt;double&gt;)` (unit
+    * vectors, EXACT — asymmetric distance) against a built index.
+    *
+    * Scale shape: centroids, probe lists, and LUTs broadcast; candidates
+    * bounded by the nprobe probed cells per query, never the corpus; ONE
+    * partial-aggregated (q_id, vec_id) shuffle. The per-(query, cell)
+    * residual constant q·c rides the probe list as a quantized long.
+    */
+  def serve(index: Index, queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = index.cents
+      .map(c => (c.cell, c.v.toSeq, math.sqrt(c.v.map(x => x * x).sum)))
+      .toDF("cell", "cv", "cnorm")
+    // nprobe nearest cells by cosine (cell tie-break) + the floor-
+    // quantized q·c(cell) score constant. Centroids are means of unit
+    // vectors; queries are unit too → cosine = dot / |centroid|.
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("s", dot(col("qv"), col("cv")) / col("cnorm"))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("s").desc, col("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("q_id"), col("cell"),
+        floor(dot(col("qv"), col("cv")) * 1e6).cast("long").as("qc"))
+    // ADC inside probed cells: M integer adds per candidate plus the cell
+    // constant. Each candidate lives in exactly one cell, so qc is
+    // constant per (q_id, vec_id) group — min() just makes the aggregate
+    // deterministic.
+    index.encoded.join(broadcast(probes), "cell")
+      .join(broadcast(PQ.lut(queries, index.cbs)), Seq("q_id", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg((min(col("qc")) + sum(col("pdot"))).as("score_q"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
+      .filter(col("rk") <= topK)
+      .select("q_id", "rk", "vec_id", "score_q")
+  }
+
+  /** IVF-PQ cosine top-k — [[build]] + [[serve]] in one call.
     *
     * @param emb     (vec_id: Long, v: array&lt;double&gt;) corpus; normalized
     *                internally (ADC inner product then ranks by cosine)
@@ -53,67 +139,13 @@ object IvfPq {
       kCoarse: Int, kmIters: Int,
       m: Int, k: Int, pqIters: Int,
       nprobe: Int, topK: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val n2 = aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)
     val embN = emb
       .select(col("vec_id"), transform(col("v"), x => x / sqrt(n2)).as("v"))
       .localCheckpoint() // both trainers + encode + queries consume it
-
-    // IVF: trained coarse cells + corpus assignment (id → vec_id)
-    val (cents, assign) = KMeans.run(
-      embN.select(col("vec_id").as("id"), col("v")), kCoarse, kmIters)
-    val centDf = cents
-      .map(c => (c.cell, c.v.toSeq, math.sqrt(c.v.map(x => x * x).sum)))
-      .toDF("cell", "cv", "cnorm")
-
-    // RESIDUAL encoding (classic IVFADC, Jégou et al. 2011, §III): PQ
-    // quantizes r = v − c(cell) rather than v itself. Residuals spread far
-    // tighter than raw vectors, so the same M×K code budget buys exacter
-    // scores — the standard recall upgrade at small nprobe. Scoring splits
-    // exactly: q·v = q·c(cell) + q·r, where the first term is a per-
-    // (query, cell) CONSTANT carried on the probe list and the second is
-    // the usual cell-independent ADC LUT sum (the LUT is q·codeword — the
-    // codebooks live in residual space, but the lookup shape is unchanged).
-    val resid = embN
-      .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
-      .join(broadcast(centDf.select("cell", "cv")), "cell")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
-      .localCheckpoint() // trainer (iterative) + encode both consume it
-    val cbs = PQ.trainCodebooks(resid.select("vec_id", "v"), m, k, pqIters)
-    val encoded = PQ.encode(resid.select("vec_id", "v"), cbs)
-      .join(resid.select("vec_id", "cell"), "vec_id")
-
-    // query probe list: nprobe nearest cells by cosine (cell tie-break),
-    // plus the floor-quantized q·c(cell) score constant. KMeans.run
-    // normalizes internally, so centroids are in the same geometry as
-    // embN's unit vectors; queries are unit too → cosine = dot / |centroid|.
+    val index = build(embN, kCoarse, kmIters, m, k, pqIters)
     val queries = embN.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val probes = queries.crossJoin(broadcast(centDf))
-      .withColumn("s", dot(col("qv"), col("cv")) / col("cnorm"))
-      .withColumn("prk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("s").desc, col("cell"))))
-      .filter(col("prk") <= nprobe)
-      .select(col("q_id"), col("cell"),
-        floor(dot(col("qv"), col("cv")) * 1e6).cast("long").as("qc"))
-
-    // ADC inside probed cells: candidates = codes in the query's probe
-    // set; M integer adds per candidate plus the cell constant, one
-    // partial-agg shuffle. Each candidate lives in exactly one cell, so
-    // qc is constant per (q_id, vec_id) group — min() just makes the
-    // aggregate deterministic.
-    encoded.join(broadcast(probes), "cell")
-      .join(broadcast(PQ.lut(queries, cbs)), Seq("q_id", "m", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg((min(col("qc")) + sum(col("pdot"))).as("score_q"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
-      .filter(col("rk") <= topK)
-      .select("q_id", "rk", "vec_id", "score_q")
+    serve(index, queries, nprobe, topK)
   }
 }

@@ -232,11 +232,12 @@ object SimilarityQueries {
         val assigned = e.join(broadcast(cents), lit(true))
           .withColumn("ccos",
             dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+          // map-side-combinable argmax (see knn_ivf_trained note)
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+            struct(col("ccos"), -col("c_id"))).as("b"))
+          .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+            col("b.c_id").as("cell"))
         val q = assigned.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("n2").as("qn2"), col("cell").as("qcell"))
@@ -288,10 +289,15 @@ object SimilarityQueries {
           e.join(broadcast(cents), lit(true))
             .withColumn("ccos",
               dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+            // argmax as a map-side-combinable aggregate, not a ranking
+            // window: the K candidate rows per vector collapse BEFORE the
+            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
+            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
+            .groupBy("vec_id")
+            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+              struct(col("ccos"), -col("c_id"))).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+              col("b.c_id").as("cell"))
         val cents0 = e.filter(col("vec_id") < K)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         // one Lloyd step: quantized dimension-wise means per cell
@@ -402,10 +408,10 @@ object SimilarityQueries {
         def encodeWith(cb: DataFrame): DataFrame =
           subs.join(broadcast(cb), "m")
             .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
-            .filter(col("rk") === 1)
-            .select("vec_id", "m", "code")
+            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
+            // K candidate rows per (vector, subspace) collapse map-side
+            .groupBy("vec_id", "m")
+            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
         // one Lloyd refit: exact quantized means per (m, code, dim); codes
         // with no members drop out (consistently in both engines)
         val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
@@ -520,10 +526,15 @@ object SimilarityQueries {
           e.join(broadcast(cents), lit(true))
             .withColumn("ccos",
               dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+            // argmax as a map-side-combinable aggregate, not a ranking
+            // window: the K candidate rows per vector collapse BEFORE the
+            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
+            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
+            .groupBy("vec_id")
+            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+              struct(col("ccos"), -col("c_id"))).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+              col("b.c_id").as("cell"))
         val cents0 = e.filter(col("vec_id") < K)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         val cents1 = assign(cents0)
@@ -554,10 +565,10 @@ object SimilarityQueries {
         def encodeWith(cb: DataFrame): DataFrame =
           subs.join(broadcast(cb), "m")
             .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
-            .filter(col("rk") === 1)
-            .select("vec_id", "m", "code")
+            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
+            // K candidate rows per (vector, subspace) collapse map-side
+            .groupBy("vec_id", "m")
+            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
         val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
           .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("m", "code", "pos")
@@ -716,10 +727,15 @@ object SimilarityQueries {
           e.join(broadcast(cents), lit(true))
             .withColumn("ccos",
               dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+            // argmax as a map-side-combinable aggregate, not a ranking
+            // window: the K candidate rows per vector collapse BEFORE the
+            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
+            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
+            .groupBy("vec_id")
+            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+              struct(col("ccos"), -col("c_id"))).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+              col("b.c_id").as("cell"))
         val cents0 = e.filter(col("vec_id") < K)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         val cents1 = assign(cents0)
@@ -733,7 +749,10 @@ object SimilarityQueries {
             p => p.getField("m")).as("cv"))
           .select(col("cell").as("c_id"), col("cv"),
             call_function("dotd", col("cv"), col("cv")).as("cn2"))
-        val a1 = assign(cents1)
+        // persist: the trained assignment feeds BOTH the residual frame
+        // and the final candidate→cell join — unpersisted, the whole
+        // corpus×cells argmax window would run twice
+        val a1 = assign(cents1).persist()
         // ---- residual subvectors: r = v − c(cell), sub-sliced ----
         val rsubs = a1
           .join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
@@ -753,10 +772,10 @@ object SimilarityQueries {
         def encodeWith(cb: DataFrame): DataFrame =
           rsubs.join(broadcast(cb), "m")
             .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))))
-            .filter(col("rk") === 1)
-            .select("vec_id", "m", "code")
+            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
+            // K candidate rows per (vector, subspace) collapse map-side
+            .groupBy("vec_id", "m")
+            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
         val cb1 = encodeWith(cb0).join(rsubs, Seq("vec_id", "m"))
           .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("m", "code", "pos")
@@ -965,11 +984,11 @@ object SimilarityQueries {
         val assigned = e.join(broadcast(cents), lit(true))
           .withColumn("ccos",
             dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-          .filter(col("rk") === 1)
-          .select(col("v"), col("c_id").as("cell"))
+          // map-side-combinable argmax (see knn_ivf_trained note)
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("v"), col("c_id")),
+            struct(col("ccos"), -col("c_id"))).as("b"))
+          .select(col("b.v").as("v"), col("b.c_id").as("cell"))
         // determinism: decimal-casting ARBITRARY doubles rounds the 13th
         // digit with engine-specific modes — floor-quantize to 1e-9
         // instead (floor is mode-free), sum exact longs, ONE division

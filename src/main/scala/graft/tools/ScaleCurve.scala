@@ -158,6 +158,42 @@ object ScaleCurve {
             pmod(hash(col("id")), lit(1000)).cast("double") / 1000.0)
         graft.operators.SemDedup.removed(d, 0.95).count()
       }
+      // IVF-PQ SERVING at n/10 indexed vectors: the index (centroids,
+      // codebooks, codes) is synthetic — hash-derived, no training — so
+      // the measurement isolates the SERVE path: probe-list broadcast,
+      // code-table scan filtered to probed cells, LUT join, one
+      // (q_id, vec_id) partial-agg shuffle. Cells track the corpus
+      // (~256 occupancy), so per-query candidate volume is CONSTANT
+      // (64 q × 8 probes × ~256 codes); what grows with n is only the
+      // narrow M-byte code-table scan — the shape that serves 10⁹
+      // vectors from RAM (a deployment additionally buckets the code
+      // table by cell for partition pruning).
+      time("ivfpq_serve", n / 10) {
+        val sd = n / 10
+        val dim = 16; val m = 4; val sub = dim / m; val k = 256
+        val cells = math.max(16L, sd / 256).toInt
+        def h(a: Long, b: Long): Double =
+          ((a * 2654435761L + b * 40503L) % 1000L).toDouble / 500.0 - 1.0
+        val cents = (0 until cells).map(c =>
+          graft.operators.KMeans.Centroid(c, Array.tabulate(dim)(d => h(c, d)))).toSeq
+        val cbs = (0 until m).flatMap(mi => (0 until k).map(code =>
+          graft.operators.PQ.Codeword(mi, code,
+            Array.tabulate(sub)(d => h(mi * 1000L + code, d) / 4.0)))).toSeq
+        val encoded = spark.range(sd).select(
+          col("id").as("vec_id"),
+          pmod(hash(col("id")), lit(cells)).cast("int").as("cell"),
+          explode(sequence(lit(0), lit(m - 1))).as("m"))
+          .withColumn("code",
+            pmod(xxhash64(col("vec_id"), col("m")), lit(k)).cast("int"))
+        val queries = spark.range(64).select(
+          col("id").as("q_id"),
+          transform(sequence(lit(0L), lit(dim - 1L)), i =>
+            pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 500.0 - 1.0)
+            .as("qv"))
+        graft.operators.IvfPq.serve(
+          graft.operators.IvfPq.Index(cents, cbs, encoded),
+          queries, nprobe = 8, topK = 10).count()
+      }
       // Triangle counting at n/4 edges on a seeded random graph with avg
       // degree ~32. The claim measured: degree orientation bounds wedge
       // candidates by m·d̄⁺ (≈ m^1.5 worst case), never Σ d² — wall-clock
