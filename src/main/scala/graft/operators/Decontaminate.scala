@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination with a Bloom-filter prune — the at-scale form
+  * of the eval-leakage sweep (reference pipeline analog: `doc_decontaminate`
+  * runs the exact broadcast-join form under the oracle).
+  *
+  * At 100 TB the benchmark n-gram index is 10⁷–10⁹ distinct 60-bit hashes:
+  * raw, that is GBs on the wire per executor and may exceed the broadcast
+  * budget; as a Bloom filter at ~10 bits/key it is MBs. The two-phase plan:
+  *
+  *   1. PRUNE: build the Bloom over the benchmark hashes (one distributed
+  *     `treeAggregate` — Spark's `stat.bloomFilter`), broadcast the sketch,
+  *     and gate the exploded corpus (doc_id, hash) stream on
+  *     `mightContain` — a pure map that drops ~everything (benchmark hits
+  *     are rare by construction; survivors = true hits + fpp·misses).
+  *   2. EXACT: join ONLY the survivors against the real index. False
+  *     positives die here, so the result is BIT-IDENTICAL to the exact
+  *     join — the Bloom buys scale, never changes the answer.
+  *
+  * The exact join over survivors is tiny (its input is already ~hit-sized),
+  * so whether Spark picks broadcast or shuffle for it no longer matters —
+  * that is the point: the un-broadcastable full index only ever meets the
+  * hit-sized stream.
+  */
+object Decontaminate {
+
+  /** (doc_id, n_hits) per contaminated corpus doc — identical output to the
+    * plain exact join of `corpus` (doc_id, h) against `bench` (h).
+    *
+    * @param corpus exploded corpus n-gram hashes: (doc_id: Long, h: Long)
+    * @param bench  distinct benchmark hashes: (h: Long)
+    * @param fpp    Bloom false-positive rate (sizing knob: ~10 bits/key at 1%)
+    */
+  def hits(corpus: DataFrame, bench: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val nBench = bench.count() // also sizes the filter
+    val bloom = bench.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    corpus
+      .filter(mightContain(col("h"))) // prune: pure map, no shuffle
+      .join(bench.hint("broadcast"), "h") // exact: survivors only
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

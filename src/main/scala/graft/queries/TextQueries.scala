@@ -654,6 +654,47 @@ object TextQueries {
            FROM corp JOIN bench USING (h)
            GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The SAME decontamination sweep through operators.Decontaminate's
+    // Bloom-pruned two-phase plan (prune on a broadcast ~10-bits/key
+    // sketch → exact join over survivors only). The answer is identical
+    // by construction — false positives die in the exact phase — so it
+    // shares doc_decontaminate's oracle verbatim: what this entry pins is
+    // that the at-scale plan (the one that works when the benchmark index
+    // is too big to broadcast raw) returns the bit-identical result.
+    QueryDef(
+      "doc_decontaminate_bloom",
+      (s, dir) => {
+        def grams8(toks: Column): Column = array_distinct(
+          transform(
+            sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+            i => Q.hash60(concat_ws(" ",
+              (0 until 8).map(o => element_at(toks, i + o)): _*))))
+        val base = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), grams8(col("t")).as("hs"))
+          .persist()
+        val bench = base.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        val corpus = base.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        graft.operators.Decontaminate.hits(corpus, bench)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+             SELECT doc_id,
+               list_distinct([${Q.hash60Sql("array_to_string(t[i:i+7], ' ')")}
+                 for i in range(1, greatest(len(t) - 6, 1))]) AS hs
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 8),
+           bench AS (
+             SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % 20 = 0),
+           corp AS (
+             SELECT doc_id, unnest(hs) AS h FROM base WHERE doc_id % 20 <> 0)
+           SELECT doc_id, count(*) AS n_hits
+           FROM corp JOIN bench USING (h)
+           GROUP BY doc_id ORDER BY doc_id""")),
+
     // Collocation mining: top bigrams by LIFT — the vocabulary-induction /
     // tokenizer-merge primitive. Determinism without logs (libm log is
     // not cross-engine bit-stable): lift = (c_ab·N) / (c_a·c_b), exact

@@ -169,6 +169,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Decontaminate.hits (Bloom-pruned) is bit-identical to the exact " +
+    "join, and the prune passes every true hit") {
+    import graft.operators.Decontaminate
+    // corpus: 5000 (doc, hash) rows over a large hash space; bench: a
+    // planted subset, so hits are known
+    val corpus = spark.range(5000).select(
+      (col("id") % 100).as("doc_id"),
+      (hash(col("id")).cast("long") * 1000003L).as("h"))
+    val bench = corpus.filter(col("doc_id") % 7 === 0)
+      .select("h").distinct()
+    val got = Decontaminate.hits(corpus, bench)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = corpus.join(bench, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe exact
+    // disjoint benchmark: no false hits survive the exact phase
+    val none = Decontaminate.hits(corpus,
+      spark.range(100).select((col("id") + 1).as("h")))
+    none.count() shouldBe 0L
+  }
+
   test("RangeShards NULL-score policy: rows are kept, NULL sorts first " +
     "into shard 0, law unchanged for non-NULL scores") {
     import graft.operators.RangeShards
