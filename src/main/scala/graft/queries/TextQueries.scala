@@ -695,6 +695,64 @@ object TextQueries {
            FROM corp JOIN bench USING (h)
            GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Cross-document repeated-SPAN mining — the distributed signal behind
+    // exact-substring deduplication ("Deduplicating Training Data Makes
+    // Language Models Better", Lee et al. 2021: repeated ≥k-token spans
+    // across documents are memorization fuel and should be cut). The
+    // suffix-array construction of the paper is inherently sequential; the
+    // scalable equivalent is rolling 8-token window hashes: a span is
+    // REPEATED iff its hash occurs in ≥2 distinct documents. All frames
+    // are narrow (doc_id, hash64) longs: one explode, one groupBy(h)
+    // partial agg to find shared hashes, one hash-join back, two tiny
+    // per-doc aggs — no text ever shuffles, no broadcast of the (possibly
+    // huge) shared-span set needed. Per doc: total distinct spans, spans
+    // shared with another doc, and an exact per-mille share — the cut
+    // signal for a span-level dedup pass.
+    QueryDef(
+      "doc_repeated_spans",
+      (s, dir) => {
+        def spanHashes(toks: Column): Column = array_distinct(
+          transform(
+            sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+            i => Q.hash60(concat_ws(" ",
+              (0 until 8).map(o => element_at(toks, i + o)): _*))))
+        val spans = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"),
+            explode(spanHashes(split(col("text"), " "))).as("h"))
+          .persist() // feeds the shared-set agg AND both per-doc aggs
+        // per-doc distinct by construction ⇒ count(*) = distinct docs
+        val shared = spans.groupBy("h")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+        val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val sharedPerDoc = spans.join(shared, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .withColumn("shared_pm",
+            expr("n_shared * 1000 DIV n_spans")) // exact integer per-mille
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH spans AS (
+             SELECT doc_id, unnest(list_distinct(
+               [${Q.hash60Sql("array_to_string(t[i:i+7], ' ')")}
+                 for i in range(1, greatest(len(t) - 6, 1))])) AS h
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 8),
+           shared AS (
+             SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+           per_doc AS (
+             SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+           shared_per_doc AS (
+             SELECT doc_id, count(*) AS n_shared
+             FROM spans JOIN shared USING (h) GROUP BY doc_id)
+           SELECT p.doc_id, p.n_spans,
+             coalesce(s.n_shared, 0)::bigint AS n_shared,
+             (coalesce(s.n_shared, 0) * 1000 // p.n_spans)::bigint AS shared_pm
+           FROM per_doc p LEFT JOIN shared_per_doc s USING (doc_id)
+           ORDER BY p.doc_id""")),
+
     // Collocation mining: top bigrams by LIFT — the vocabulary-induction /
     // tokenizer-merge primitive. Determinism without logs (libm log is
     // not cross-engine bit-stable): lift = (c_ab·N) / (c_a·c_b), exact
