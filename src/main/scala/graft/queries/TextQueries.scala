@@ -695,6 +695,69 @@ object TextQueries {
            FROM corp JOIN bench USING (h)
            GROUP BY doc_id ORDER BY doc_id""")),
 
+    // STREAMING decontamination — the production deployment of the
+    // eval-leakage sweep: the benchmark index is STATIC (built once,
+    // batch), new corpus documents arrive continuously and each
+    // micro-batch joins its exploded n-gram hashes against it
+    // (stream-static inner join — stateless, no watermark needed; the
+    // per-doc hit count is the only state, bounded by contaminated docs,
+    // which are rare by construction). Two time-ordered batches prove the
+    // accumulation crosses micro-batch boundaries. Oracle: the same
+    // batch SQL as doc_decontaminate — arrival order cannot change a
+    // pure count.
+    QueryDef(
+      "stream_decontaminate",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        def grams8(toks: Column): Column = array_distinct(
+          transform(
+            sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+            i => Q.hash60(concat_ws(" ",
+              (0 until 8).map(o => element_at(toks, i + o)): _*))))
+        // static side: benchmark index from the batch table (every 20th doc)
+        val bench = docs(s, dir)
+          .filter(col("doc_id") % 20 === 0 &&
+            size(split(col("text"), " ")) >= 8)
+          .select(explode(grams8(split(col("text"), " "))).as("h"))
+          .distinct().persist()
+        val fx = StreamFixtures.docsHalves(s, dir)
+        val schema = StreamFixtures.docsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_sdc_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .filter(col("doc_id") % 20 =!= 0 &&
+            size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"),
+            explode(grams8(split(col("text"), " "))).as("h"))
+          .join(bench, "h") // stream-static: benchmark broadcast per batch
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+        val name = "stream_sdc_" + System.nanoTime()
+        val q = src.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable() // batch 1: low-id half
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: hits accumulate across batches
+        } finally q.stop()
+        val res = s.table(name).orderBy("doc_id").localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(s"""WITH base AS (
+             SELECT doc_id,
+               list_distinct([${Q.hash60Sql("array_to_string(t[i:i+7], ' ')")}
+                 for i in range(1, greatest(len(t) - 6, 1))]) AS hs
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 8),
+           bench AS (
+             SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % 20 = 0),
+           corp AS (
+             SELECT doc_id, unnest(hs) AS h FROM base WHERE doc_id % 20 <> 0)
+           SELECT doc_id, count(*) AS n_hits
+           FROM corp JOIN bench USING (h)
+           GROUP BY doc_id ORDER BY doc_id""")),
+
     // Cross-document repeated-SPAN mining — the distributed signal behind
     // exact-substring deduplication ("Deduplicating Training Data Makes
     // Language Models Better", Lee et al. 2021: repeated ≥k-token spans
