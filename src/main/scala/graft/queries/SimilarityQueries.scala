@@ -1067,6 +1067,85 @@ object SimilarityQueries {
                (count(*) * 1000000000)::double AS mean_norm
              FROM emb GROUP BY label ORDER BY label""")),
 
+    // Label-noise detection by centroid margin — the embedding-space
+    // data-quality audit (confident-learning shape): build each label's
+    // centroid (exact quantized means of unit vectors), score every vector
+    // against ALL label centroids, and flag vectors whose own-label cosine
+    // trails the best other label (margin < 0 ⇒ the embedding sits in
+    // another label's region — a mislabel/noise candidate for relabeling
+    // or exclusion). Scale shape: L centroids (L = |labels|, tiny)
+    // broadcast; scoring is a pure map over the corpus; per-vector
+    // reduction is a map-side-combinable max/max_by; output is the
+    // bounded worst-50 list. Determinism: identical dot folds both
+    // engines, margins floor-quantized to 1e-6 BEFORE compare/sort,
+    // (margin, vec_id) total order.
+    QueryDef(
+      "emb_mislabel",
+      (s, dir) => {
+        val e = emb(s, dir).persist() // centroid agg + scoring pass
+        val w = e.select(col("vec_id"), col("label"),
+          transform(col("v"), x => x / sqrt(col("n2"))).as("w"))
+        val cents = w
+          .select(col("label"), posexplode(col("w")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
+          .groupBy("label")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .select(col("label").as("clabel"), col("cv"),
+            sqrt(call_function("dotd", col("cv"), col("cv"))).as("cn"))
+        val scored = w.join(broadcast(cents), lit(true))
+          .withColumn("ccos", dot(col("w"), col("cv")) / col("cn"))
+        val own = scored.filter(col("clabel") === col("label"))
+          .select(col("vec_id"), col("label"), col("ccos").as("own"))
+        val oth = scored.filter(col("clabel") =!= col("label"))
+          .groupBy("vec_id")
+          .agg(max_by(col("clabel"), struct(col("ccos"), -col("clabel")))
+            .as("best_label"),
+            max(col("ccos")).as("other"))
+        own.join(oth, "vec_id")
+          .withColumn("margin_q",
+            floor((col("own") - col("other")) * 1e6).cast("long"))
+          .filter(col("margin_q") < 0)
+          .orderBy(col("margin_q"), col("vec_id"))
+          .limit(50)
+          .select("vec_id", "label", "best_label", "margin_q")
+      },
+      Some(s"""WITH $embSql,
+             vn AS (SELECT vec_id, label,
+                      list_transform(v, x -> x / sqrt(n2)) AS w FROM emb),
+             lmeans AS (
+               SELECT label, i AS pos,
+                 sum(floor(w[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS m
+               FROM vn, range(1, 65) t(i)
+               GROUP BY label, i),
+             cents AS (
+               SELECT label AS clabel, list(m ORDER BY pos) AS cv
+               FROM lmeans GROUP BY label),
+             centsn AS (
+               SELECT clabel, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM cents),
+             scored AS (
+               SELECT vn.vec_id, vn.label, c.clabel,
+                 (${dotSql("c.cv", "w")}) / c.cn AS ccos
+               FROM vn, centsn c),
+             own AS (
+               SELECT vec_id, label, ccos AS own
+               FROM scored WHERE clabel = label),
+             oth AS (
+               SELECT vec_id, clabel AS best_label, ccos AS other FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, clabel) AS rk
+                 FROM scored WHERE clabel <> label)
+               WHERE rk = 1)
+             SELECT o.vec_id, w.label, o.best_label,
+               floor((w.own - o.other) * 1e6)::bigint AS margin_q
+             FROM own w JOIN oth o USING (vec_id)
+             WHERE floor((w.own - o.other) * 1e6) < 0
+             ORDER BY margin_q, o.vec_id LIMIT 50""")),
+
     // SemDeDup semantic deduplication (Abbas et al. 2023): coarse k-means
     // cells bound the pair blowup, within-cell cosine >= theta marks
     // near-duplicate groups, and the member LEAST similar to its centroid
