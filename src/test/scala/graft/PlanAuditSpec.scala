@@ -288,6 +288,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("doc_decontaminate_bloom: the Bloom prune is a pure filter BELOW " +
+    "the exact join — no extra exchange for the prune") {
+    val df = SparkEntry.queries("doc_decontaminate_bloom")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the mightContain UDF filter sits in the scan-side pipeline; the
+      // exact phase is a broadcast join of the survivors
+      val filterIdx = plan.indexOf("UDF(")
+      val joinIdx = plan.indexOf("BroadcastHashJoin")
+      filterIdx should be >= 0
+      joinIdx should be >= 0
+      joinIdx should be < filterIdx // top-down print: join consumes filter
+    }
+  }
+
+  test("emb_mislabel: centroids broadcast; per-vector reduction is an " +
+    "aggregate, not a ranking window") {
+    val df = SparkEntry.queries("emb_mislabel")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 1
+      plan should include("max_by")
+      // no corpus-wide ranking window anywhere in this plan
+      plan should not include "RunningWindowFunction"
+    }
+  }
+
+  test("doc_repeated_spans: narrow hash frames only — the shared-span set " +
+    "joins back by hash, text never shuffles") {
+    val df = SparkEntry.queries("doc_repeated_spans")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // every exchange carries (doc_id|h)-keyed longs; none carries text
+      val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      exchanges should not be empty
+      exchanges.subsetOf(Set("h", "doc_id")) shouldBe true
+    }
+  }
+
   test("doc_bpe_pairs: the pair explosion runs over the distinct-WORD " +
     "frame, not the token stream") {
     val df = SparkEntry.queries("doc_bpe_pairs")(spark, dir)
