@@ -826,6 +826,80 @@ object TextQueries {
            FROM per_doc p LEFT JOIN shared_per_doc s USING (doc_id)
            ORDER BY p.doc_id""")),
 
+    // Sparse weighted-cosine document similarity — the SPARSE counterpart
+    // to the dense ANN suite (`knn_*`): documents as tf·idf-weighted token
+    // vectors, scored pairwise through an inverted index instead of
+    // all-pairs. Determinism without logs (the engine-wide rule): the
+    // inverse-document-frequency weight is the exact integer
+    // (1000·N) div df; components, norms, and dots accumulate EXACTLY
+    // (decimal(38) here, hugeint in the oracle — order-independent), and
+    // the only doubles are the final sqrt/divide of exact integers,
+    // floor-quantized to 1e-6 before ranking. Scale shape (same as
+    // dedup_ngram_jaccard): the df ≤ 100 cap bounds candidate generation
+    // to Σ df² NARROW rows (two ids + two int64 components), never n² and
+    // never text; restricting the measure to rare tokens is also the
+    // signal-correct choice — stopword-df tokens carry no similarity.
+    QueryDef(
+      "doc_sparse_knn",
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist() // feeds df counts, N, and the component frame
+        val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = tf.select(countDistinct(col("doc_id")).as("n"))
+        val comp = tf.join(dfc.filter(col("df") <= 100), "tok")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"),
+            expr("tf * ((1000 * n) div df)").as("x"))
+          .persist() // norms + both sides of the index self-join
+        val norms = comp.groupBy("doc_id")
+          .agg(sum(col("x").cast("decimal(38,0)") * col("x")).as("n2"))
+        val dots = comp.as("a")
+          .join(comp.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), "id_a")
+          .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), "id_b")
+          .withColumn("cos_q", floor(
+            col("dot").cast("double") /
+              (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+              * 1e6).cast("long"))
+          .filter(col("cos_q") >= 100000)
+          .orderBy(col("cos_q").desc, col("id_a"), col("id_b"))
+          .limit(20)
+          .select("id_a", "id_b", "cos_q")
+      },
+      Some("""WITH tf AS (
+             SELECT doc_id, tok, count(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             GROUP BY doc_id, tok),
+           dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+           comp AS (
+             SELECT doc_id, tok, tf * ((1000 * n.n) // df) AS x
+             FROM tf JOIN dfc USING (tok) CROSS JOIN n
+             WHERE df <= 100),
+           norms AS (
+             SELECT doc_id, sum(x::hugeint * x) AS n2 FROM comp GROUP BY doc_id),
+           dots AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(a.x::hugeint * b.x) AS dot
+             FROM comp a JOIN comp b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b, cos_q FROM (
+             SELECT id_a, id_b,
+               floor(dot::double /
+                 (sqrt(na.n2::double) * sqrt(nb.n2::double)) * 1e6)::bigint AS cos_q
+             FROM dots JOIN norms na ON dots.id_a = na.doc_id
+                       JOIN norms nb ON dots.id_b = nb.doc_id)
+           WHERE cos_q >= 100000
+           ORDER BY cos_q DESC, id_a, id_b LIMIT 20""")),
+
     // Collocation mining: top bigrams by LIFT — the vocabulary-induction /
     // tokenizer-merge primitive. Determinism without logs (libm log is
     // not cross-engine bit-stable): lift = (c_ab·N) / (c_a·c_b), exact
