@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge-training loop — the tokenizer-training inner
@@ -89,6 +89,73 @@ object BPE {
     train(words, rounds)
       .map(m => (m.rank, m.pair, m.n))
       .toDF("merge_rank", "pair", "n")
+  }
+
+  /** The merge-apply expression — the ENCODE half of the tokenizer
+    * (Sennrich apply-in-rank-order: each merge is applied greedily
+    * left-to-right across the whole word before the next rank; with the
+    * `|sym|` encoding each application is one plain `replace`). The entire
+    * merge table folds into ONE nested-replace projection — a map-only,
+    * whole-stage-codegen pass with zero extra jobs and zero shuffles (the
+    * merge table is driver-resident and k-bounded: `rounds` rules, never
+    * data-sized).
+    */
+  def segExpr(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(regexp_replace(word, "(.)", "|$1|")) {
+      (c, m) =>
+        val Array(a, b) = m.pair.split(" ", 2)
+        replace(c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+
+  /** Encode a distinct-word frame with a trained merge table: adds `toks`
+    * (the BPE token array) and `n_toks`. Input needs a `w: string` column
+    * of `[a-z0-9]+` words. Corpus encoding then JOINS this frame back to
+    * per-doc word occurrences — tokens are materialized once per DISTINCT
+    * word (~10⁷ rows at 100 TB), never once per corpus token.
+    */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    words
+      .withColumn("toks",
+        regexp_extract_all(segExpr(col("w"), merges), lit("[^|]+"), lit(0)))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+
+  /** DuckDB oracle prelude for train-then-encode: the same unrolled
+    * data-dependent argmax chain as [[oracleSql]], but keeping the word
+    * `w` through every state and emitting ALL of w0..wN plus a final
+    * `encoded` CTE = (w, toks, n_toks, wn) — the encoded distinct-word
+    * frame. Returns a full single-line `WITH …` prefix; append a final
+    * SELECT that reads from `encoded`.
+    */
+  def encodeOracleWith(wordsSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (
+      SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, wn
+      FROM ($wordsSql)),\n"""
+    for (r <- 1 to rounds) {
+      sb ++= s"""p$r AS (
+        SELECT pair FROM (
+          SELECT pair, sum(wn)::bigint AS n FROM (
+            SELECT unnest([syms[i] || ' ' || syms[i+1]
+                           for i in range(1, len(syms))]) AS pair, wn
+            FROM (SELECT regexp_extract_all(seg, '[^|]+') AS syms, wn
+                  FROM w${r - 1}
+                  WHERE len(regexp_extract_all(seg, '[^|]+')) >= 2))
+          GROUP BY pair)
+        ORDER BY n DESC, pair LIMIT 1),\n"""
+      sb ++= s"""w$r AS (
+        SELECT w, replace(seg,
+            '|' || string_split(p.pair, ' ')[1] || '||'
+                || string_split(p.pair, ' ')[2] || '|',
+            '|' || replace(p.pair, ' ', '') || '|') AS seg, wn
+        FROM w${r - 1}, p$r p),\n"""
+    }
+    sb ++= s"""encoded AS (
+      SELECT w, regexp_extract_all(seg, '[^|]+') AS toks,
+             len(regexp_extract_all(seg, '[^|]+'))::bigint AS n_toks, wn
+      FROM w$rounds)"""
+    // single-line: SparkEntry.oracleSql strips `|` margins, and this SQL is
+    // full of literal `|` — no line may ever start with whitespace + `|`.
+    sb.toString.replaceAll("\\s+", " ").trim
   }
 
   /** DuckDB oracle for [[trainDf]]: the data-dependent argmax loop cannot

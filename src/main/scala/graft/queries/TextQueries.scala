@@ -363,6 +363,49 @@ object TextQueries {
              SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
            WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 8))),
 
+    // BPE ENCODE — the other half of the tokenizer: apply the trained
+    // merge table to the corpus (train on this corpus, then tokenize it —
+    // the standard self-tokenization pipeline step). Scale shape: the
+    // k-bounded merge table (8 driver-resident rules) folds into ONE
+    // nested-replace projection over the DISTINCT-WORD frame
+    // (BPE.encode — map-only, whole-stage codegen), and per-doc token
+    // counts come from joining that ~10⁷-row (at 100 TB) word→n_toks map
+    // back to doc word occurrences via broadcast — merges are NEVER
+    // applied per corpus token. One shuffle total (the groupBy(doc_id)
+    // partial-agg pair); the oracle replays the identical 8 data-dependent
+    // rounds as unrolled CTEs and joins back the same way.
+    QueryDef(
+      "doc_bpe_encode",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+          .persist() // train's 8 argmax rounds + encode both consume it
+        val merges = graft.operators.BPE.train(words, rounds = 8)
+        val wordToks = graft.operators.BPE.encode(words, merges)
+          .select(col("w"), col("n_toks"))
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .join(broadcast(wordToks), "w")
+          .groupBy("doc_id")
+          .agg(sum(col("n_toks")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.BPE.encodeOracleWith(
+        """SELECT w, count(*) AS wn FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 8) +
+        """, docw AS (
+             SELECT doc_id, w FROM (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+             WHERE regexp_full_match(w, '[a-z0-9]+'))
+           SELECT doc_id, sum(n_toks)::bigint AS n_tokens
+           FROM docw JOIN encoded USING (w)
+           GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "))),
+
     // Deterministic sampling: hash-gate instead of seeded RNG — the same
     // 10% sample on any engine, any partitioning, any run.
     QueryDef(

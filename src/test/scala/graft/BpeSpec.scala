@@ -73,4 +73,71 @@ class BpeSpec extends SparkSpec {
     // single-char words: zero pairs, zero merges, no crash
     law(Map("a" -> 3L, "b" -> 2L), rounds = 4)
   }
+
+  /** Single-node reference ENCODER: apply merges in rank order, each
+    * greedily non-overlapping left-to-right (the Sennrich apply_bpe
+    * order — identical greedy step as the trainer's merge). */
+  private def refEncode(w: String, merges: Seq[BPE.Merge]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    for (m <- merges.sortBy(_.rank)) {
+      val Array(a, b) = m.pair.split(" ", 2)
+      val merged = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+          merged += a + b; i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.result()
+    }
+    syms
+  }
+
+  private def encodeLaw(words: Map[String, Long], rounds: Int): Unit = {
+    val df = words.toSeq.toDF("w", "wn")
+    val merges = BPE.train(df, rounds)
+    val got = BPE.encode(df, merges)
+      .select("w", "toks").as[(String, Seq[String])].collect().toMap
+    for (w <- words.keys) {
+      withClue(s"word '$w': ") { got(w).toVector shouldBe refEncode(w, merges) }
+    }
+  }
+
+  test("encode matches reference apply-in-rank-order (natural corpus)") {
+    encodeLaw(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "lowest" -> 4L, "wider" -> 2L, "new" -> 7L), rounds = 10)
+  }
+
+  test("encode matches reference on repeated-symbol words") {
+    encodeLaw(Map("aaaa" -> 9L, "aaa" -> 5L, "aa" -> 3L, "abab" -> 4L,
+      "ababab" -> 2L, "bbbb" -> 6L), rounds = 6)
+  }
+
+  test("encode matches reference on a pseudo-random corpus") {
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 60).map { _ =>
+      val len = 2 + rnd.nextInt(7)
+      (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    encodeLaw(words, rounds = 12)
+  }
+
+  test("encode with zero merges is character segmentation") {
+    val df = Seq(("abc", 1L), ("a", 2L)).toDF("w", "wn")
+    val got = BPE.encode(df, Nil)
+      .select("w", "toks").as[(String, Seq[String])].collect().toMap
+    got("abc") shouldBe Seq("a", "b", "c")
+    got("a") shouldBe Seq("a")
+  }
+
+  test("encode on unseen words applies trained merges consistently") {
+    // train on one corpus, encode words NOT in it — the serving shape
+    val train = Map("newest" -> 6L, "lowest" -> 4L, "widest" -> 3L)
+    val merges = BPE.train(train.toSeq.toDF("w", "wn"), rounds = 6)
+    val unseen = Seq(("fastest", 1L), ("est", 1L), ("zzz", 1L))
+    val got = BPE.encode(unseen.toDF("w", "wn"), merges)
+      .select("w", "toks").as[(String, Seq[String])].collect().toMap
+    for ((w, _) <- unseen)
+      got(w).toVector shouldBe refEncode(w, merges)
+  }
 }

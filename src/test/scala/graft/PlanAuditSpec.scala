@@ -346,4 +346,29 @@ class PlanAuditSpec extends SparkSpec {
       explodeIdx should be < aggIdx // physical plans print top-down
     }
   }
+
+  test("doc_bpe_encode: merges apply over the distinct-word frame and " +
+    "join back as a broadcast — never per corpus token") {
+    val df = SparkEntry.queries("doc_bpe_encode")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the word→n_toks map joins back to doc word occurrences broadcast
+      plan should include("BroadcastHashJoin [w")
+      // the nested-replace encode projection sits ABOVE the w-keyed
+      // word-frequency aggregate (i.e. runs once per DISTINCT word);
+      // the corpus side of the join carries NO replace expressions
+      val repIdx = plan.indexOf("replace(replace(")
+      val aggIdx = plan.lastIndexOf("hashpartitioning(w")
+      repIdx should be >= 0
+      aggIdx should be >= 0
+      repIdx should be < aggIdx // top-down: encode above the word agg
+      // one replace chain (each chain bottoms out in ONE char-segmentation
+      // regexp_replace over w); AQE prints the broadcast subtree's
+      // projection a second time with the same plan_id, so ≤2 printed
+      // occurrences = a single physical chain — the corpus-token side
+      // never re-applies merges
+      "regexp_replace\\(w#".r.findAllIn(plan).size should be <= 2
+    }
+  }
 }
