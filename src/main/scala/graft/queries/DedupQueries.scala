@@ -344,12 +344,26 @@ object DedupQueries {
               shiftright(col("simhash"), 15 * b).bitwiseAND(0x7FFFL).as("bh"))
           }: _*)).as("e"))
           .select(col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
+        // FIRST-AGREEING-BAND emission (VERDICT r5 #2): a pair agreeing on
+        // k bands would surface k times from the bucket join; instead of
+        // a full `.distinct()` (a second shuffle of the whole candidate
+        // set), emit the pair only from the lowest agreeing band — an
+        // in-row predicate over the two signatures already present on the
+        // joined row. Each qualifying pair appears at most once per band
+        // (banded is one row per (signature, band)), so "lowest agreeing
+        // band" makes the candidate set unique by construction: ONE
+        // shuffle on (band, bh) is the only candidate-path exchange.
+        def bandOf(c: Column, b: Int): Column =
+          shiftright(c, 15 * b).bitwiseAND(0x7FFFL)
+        val noEarlierAgree = (0 until 3).map { bp =>
+          (col("a.band") <= bp) ||
+            (bandOf(col("a.simhash"), bp) =!= bandOf(col("b.simhash"), bp))
+        }.reduce(_ && _)
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.simhash") < col("b.simhash"))
+              col("a.simhash") < col("b.simhash") && noEarlierAgree)
           .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-          .distinct()
         cand
           // popcount BEFORE the rep joins: survivors only carry two longs
           .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))))
@@ -366,9 +380,12 @@ object DedupQueries {
                SELECT simhash, b AS band, (simhash >> (15 * b)) & 32767 AS bh
                FROM g, (VALUES (0), (1), (2), (3)) t(b)),
              cand AS (
-               SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+               SELECT a.simhash AS sa, b.simhash AS sb
                FROM banded a JOIN banded b
-                 ON a.band = b.band AND a.bh = b.bh AND a.simhash < b.simhash),
+                 ON a.band = b.band AND a.bh = b.bh AND a.simhash < b.simhash
+                AND (a.band <= 0 OR (a.simhash & 32767) != (b.simhash & 32767))
+                AND (a.band <= 1 OR ((a.simhash >> 15) & 32767) != ((b.simhash >> 15) & 32767))
+                AND (a.band <= 2 OR ((a.simhash >> 30) & 32767) != ((b.simhash >> 30) & 32767))),
              hdp AS (
                SELECT sa, sb, bit_count(xor(sa, sb)) AS hd
                FROM cand WHERE bit_count(xor(sa, sb)) <= 3)

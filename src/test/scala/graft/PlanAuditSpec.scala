@@ -371,4 +371,22 @@ class PlanAuditSpec extends SparkSpec {
       "regexp_replace\\(w#".r.findAllIn(plan).size should be <= 2
     }
   }
+
+  test("dedup_simhash_pairs: first-agreeing-band emission — ONE candidate " +
+    "shuffle, no post-join distinct") {
+    val df = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // pairs are unique by construction (lowest agreeing band), so the
+      // candidate set is never re-shuffled: no exchange or aggregate
+      // keyed on the pair columns
+      plan should not include "hashpartitioning(sa"
+      plan should not include "HashAggregate(keys=[sa"
+      // the band-bucket self-join is the one candidate-path join — keyed
+      // on (band, bh); at sf0.001 AQE broadcasts the tiny banded side,
+      // at scale it shuffles on the same keys
+      plan should include regex "(BroadcastHashJoin \\[band|SortMergeJoin \\[band|ShuffledHashJoin \\[band|hashpartitioning\\(band)"
+    }
+  }
 }
