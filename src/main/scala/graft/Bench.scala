@@ -133,13 +133,32 @@ object Bench {
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","full_catalog":$fullCatalog,"queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size}$pair,"sf":"$sfDir"}"""
-    if (args.isEmpty) Files.writeString(Paths.get("BENCH.json"), json)
+    if (args.isEmpty) {
+      Files.writeString(Paths.get("BENCH.json"), json)
+      // self-contained per-round snapshot (VERDICT r5 #3): the driver's
+      // BENCH_r{N} capture truncates to an unparseable tail, so Bench
+      // itself writes the full artifact under the round name. Round =
+      // newest driver correctness snapshot + 1 (the driver writes
+      // CORRECTNESS_r{N} at END of round N, so during round N the max on
+      // disk is N-1); re-runs within a round overwrite idempotently.
+      roundSnapshotName().foreach(p => Files.writeString(Paths.get(p), json))
+    }
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), json))
     // last stdout line, after Spark's own shutdown logging is done
     System.out.flush()
     println(json)
     System.out.flush()
+  }
+
+  /** `BENCH_r{N}.json` where N = max driver correctness-snapshot round on
+    * disk + 1, zero-padded to two digits (the r01..r05 convention;
+    * VERDICT r5 #8). None outside a round workspace (no snapshots). */
+  private def roundSnapshotName(): Option[String] = {
+    val re = "CORRECTNESS_r(\\d+)\\.json".r
+    val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    rounds.maxOption.map(n => f"BENCH_r${n + 1}%02d.json")
   }
 
   /** Run tools/duck_bench.py on the same sfDir over the named oracle
@@ -159,10 +178,18 @@ object Bench {
       p.waitFor()
       Files.deleteIfExists(oraclePath)
       if (p.exitValue() != 0) None
-      else for {
-        total <- """"total":\s*([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
-        line <- out.linesIterator.map(_.trim)
-          .find(l => l.startsWith("{") && l.endsWith("}"))
-      } yield (total, line)
+      else {
+        // take the LAST brace-wrapped line that carries "total" (ADVICE
+        // r5: an earlier brace-wrapped python/duckdb diagnostic must not
+        // be mistaken for the result), and read the total from THAT line
+        val line = out.linesIterator.map(_.trim).filter(l =>
+          l.startsWith("{") && l.endsWith("}") && l.contains("\"total\""))
+          .toSeq.lastOption
+        for {
+          l <- line
+          total <- """"total":\s*([0-9.]+)""".r.findFirstMatchIn(l)
+            .map(_.group(1).toDouble)
+        } yield (total, l)
+      }
     } catch { case _: Throwable => None }
 }
