@@ -102,11 +102,35 @@ object Preflight {
             s"(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)})")
       }
     }
-    if (problems.nonEmpty)
+    // ts-encoding magnitude canary (ADVICE r5): the LongType branch of
+    // Tables.tsUsExpr hard-assumes epoch-NANOS (`ts div 1000`). If a
+    // fixture regeneration ever writes `ts` as plain int64 epoch-MICROS,
+    // the schema contract still passes but every timestamp silently
+    // shrinks 1000x. One footer-stats min() on the events table (only
+    // when ts is a raw long) fails loudly at the canary instead.
+    val tsProblems =
+      if (problems.nonEmpty) Nil
+      else try {
+        val ev = spark.read.parquet(Tables.path(dir, "events"))
+        ev.schema.fields.find(_.name == "ts").map(_.dataType) match {
+          case Some(LongType) =>
+            val row = ev.agg(org.apache.spark.sql.functions.min("ts")).head()
+            // any plausible epoch-nanos (1973..2255) clears 1e17; micros,
+            // millis and seconds encodings all fall far below it
+            if (!row.isNullAt(0) && row.getLong(0) < 100000000000000000L)
+              Seq(s"events.ts: int64 min=${row.getLong(0)} is below the " +
+                "epoch-nanos range (>=1e17) — the encoding is NOT nanos; " +
+                "fix the LongType branch of Tables.tsUsExpr before running")
+            else Nil
+          case _ => Nil
+        }
+      } catch { case _: Throwable => Nil } // unreadable already reported
+    val allProblems = problems ++ tsProblems
+    if (allProblems.nonEmpty)
       throw new IllegalStateException(
         s"""FIXTURE SCHEMA DRIFT under $dir — the testdata contract changed; fix the
            |loaders (graft.core.Tables / Preflight.contract) ONCE rather than
            |debugging per-query failures:
-           |  ${problems.mkString("\n  ")}""".stripMargin)
+           |  ${allProblems.mkString("\n  ")}""".stripMargin)
   }
 }

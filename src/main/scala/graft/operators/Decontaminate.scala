@@ -36,13 +36,20 @@ object Decontaminate {
     */
   def hits(corpus: DataFrame, bench: DataFrame, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
-    val nBench = bench.count() // also sizes the filter
-    val bloom = bench.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
+    // one materialization feeds all three consumers (count, bloomFilter
+    // treeAggregate, exact join) — the index lineage is never replayed
+    val benchP = bench.persist()
+    val nBench = benchP.count() // also sizes the filter
+    val bloom = benchP.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
     corpus
       .filter(mightContain(col("h"))) // prune: pure map, no shuffle
-      .join(bench.hint("broadcast"), "h") // exact: survivors only
+      // exact pass: shuffle-hash on the 60-bit longs — the FULL index is
+      // exactly what must never be broadcast (the premise of this
+      // operator); the survivor stream is hit-sized, so the shuffle moves
+      // ~hits + the narrow index, not the corpus (ADVICE r5)
+      .join(benchP.hint("shuffle_hash"), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }

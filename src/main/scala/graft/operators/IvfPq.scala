@@ -85,8 +85,15 @@ object IvfPq {
     * bounded by the nprobe probed cells per query, never the corpus; ONE
     * partial-aggregated (q_id, vec_id) shuffle. The per-(query, cell)
     * residual constant q·c rides the probe list as a quantized long.
+    *
+    * @param excludeSelf drop the corpus vector whose vec_id equals the
+    *        query's q_id — ONLY correct when q_ids are corpus vec_ids
+    *        (the self-query shape, [[topK]]). For external query batches
+    *        keep the default `false`: an unrelated q_id colliding with a
+    *        vec_id must not silently lose that corpus vector (ADVICE r5).
     */
-  def serve(index: Index, queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+  def serve(index: Index, queries: DataFrame, nprobe: Int, topK: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = index.cents
@@ -107,9 +114,9 @@ object IvfPq {
     // constant. Each candidate lives in exactly one cell, so qc is
     // constant per (q_id, vec_id) group — min() just makes the aggregate
     // deterministic.
-    index.encoded.join(broadcast(probes), "cell")
+    val cands = index.encoded.join(broadcast(probes), "cell")
       .join(broadcast(PQ.lut(queries, index.cbs)), Seq("q_id", "m", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
+    (if (excludeSelf) cands.filter(col("vec_id") =!= col("q_id")) else cands)
       .groupBy("q_id", "vec_id")
       .agg((min(col("qc")) + sum(col("pdot"))).as("score_q"))
       .withColumn("rk", row_number().over(
@@ -146,6 +153,6 @@ object IvfPq {
     val index = build(embN, kCoarse, kmIters, m, k, pqIters)
     val queries = embN.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    serve(index, queries, nprobe, topK)
+    serve(index, queries, nprobe, topK, excludeSelf = true)
   }
 }
