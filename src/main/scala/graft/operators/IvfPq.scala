@@ -78,6 +78,39 @@ object IvfPq {
     Index(cents, cbs, encoded)
   }
 
+  /** Append a NORMALIZED vector batch `(vec_id, v)` to a built index
+    * WITHOUT retraining — the FAISS `add()` / daily-ingest shape
+    * (mirrors `dedup_incremental`'s registry pattern on the ANN side).
+    *
+    * The quantizer is FROZEN: each new vector routes to its nearest
+    * existing coarse cell (broadcast centroids, map-side argmax — the
+    * exact assignment map `build` used), its residual is PQ-encoded
+    * against the existing codebooks, and the encoded rows union in.
+    * Consequently append(build(A), B).encoded is BIT-IDENTICAL to
+    * encoding A∪B under A's quantizer — serving the appended index
+    * equals serving that full encode exactly (AnnRecallSpec pins both
+    * the equality and the recall gate). Cost: one pass over the NEW
+    * batch only; the existing corpus is untouched.
+    */
+  def append(index: Index, embN: DataFrame): Index = {
+    val spark = embN.sparkSession
+    import spark.implicits._
+    val assign = KMeans.assign(
+      embN.select(col("vec_id").as("id"), col("v").as("vn")),
+      index.cents, forceJoin = false)
+      .select(col("id").as("vec_id"), col("cell"))
+    val centDf = index.cents.map(c => (c.cell, c.v.toSeq)).toDF("cell", "cv")
+    val resid = embN
+      .join(assign, "vec_id")
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+      .localCheckpoint() // encode + cell tag both consume it
+    val encodedNew = PQ.encode(resid.select("vec_id", "v"), index.cbs)
+      .join(resid.select("vec_id", "cell"), "vec_id")
+    Index(index.cents, index.cbs, index.encoded.unionByName(encodedNew))
+  }
+
   /** Serve one query batch `(q_id: Long, qv: array&lt;double&gt;)` (unit
     * vectors, EXACT — asymmetric distance) against a built index.
     *

@@ -364,6 +364,113 @@ object SimilarityQueries {
                    FROM scored)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
 
+    // INCREMENTAL IVF APPEND — the daily-ingest shape (VERDICT r5 #7):
+    // the index (one-Lloyd-step trained cells, knn_ivf_trained's
+    // convention) is built from the BASE half of the corpus only
+    // (vec_id % 2 = 0); the other half arrives LATER and routes to the
+    // FROZEN cells via the same broadcast argmax map — no rebuild, no
+    // touch of the already-indexed corpus (cost is one pass over the new
+    // batch). Queries probe their own cell over the union.
+    // operators.IvfPq.append is the full-parameter twin (residual PQ
+    // codes under frozen codebooks), pinned bit-identical to a
+    // frozen-quantizer full encode and recall-gated in AnnRecallSpec.
+    QueryDef(
+      "knn_ivf_append",
+      (s, dir) => {
+        val K = 8
+        val w = org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir).persist() // seed + Lloyd + both assigns + queries
+        val base = e.filter(col("vec_id") % 2 === 0)     // day-0 corpus
+        val incoming = e.filter(col("vec_id") % 2 === 1) // appended batch
+        def assign(src: DataFrame, cents: DataFrame): DataFrame =
+          src.join(broadcast(cents), lit(true))
+            .withColumn("ccos",
+              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+            // map-side-combinable argmax (see knn_ivf_trained note)
+            .groupBy("vec_id")
+            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+              struct(col("ccos"), -col("c_id"))).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+              col("b.c_id").as("cell"))
+        // seed + one Lloyd step over the BASE half ONLY (the index build)
+        val cents0 = base.filter(col("vec_id") < 2 * K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val cents1 = assign(base, cents0)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .select(col("cell").as("c_id"), col("cv"),
+            call_function("dotd", col("cv"), col("cv")).as("cn2"))
+        val assignedBase = assign(base, cents1)     // build-time routing
+        val assignedNew = assign(incoming, cents1)  // append: frozen cells
+        val all = assignedBase.unionByName(assignedNew)
+        val q = all.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("cell").as("qcell"))
+        all.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $embSql,
+             base AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+             incoming AS (SELECT * FROM emb WHERE vec_id % 2 = 1),
+             cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+                        FROM base WHERE vec_id < 16),
+             a0 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT base.vec_id, base.v, base.n2, c.c_id,
+                   row_number() OVER (PARTITION BY base.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(base.n2)) DESC, c.c_id) AS rk
+                 FROM base, cents0 c)
+               WHERE rk = 1),
+             means AS (
+               SELECT cell, i AS dim,
+                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS m
+               FROM a0, range(1, 65) t(i)
+               GROUP BY cell, i),
+             cents1 AS (
+               SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+             cents1n AS (
+               SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
+             ab AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT base.vec_id, base.v, base.n2, c.c_id,
+                   row_number() OVER (PARTITION BY base.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(base.n2)) DESC, c.c_id) AS rk
+                 FROM base, cents1n c)
+               WHERE rk = 1),
+             an AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT incoming.vec_id, incoming.v, incoming.n2, c.c_id,
+                   row_number() OVER (PARTITION BY incoming.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(incoming.n2)) DESC, c.c_id) AS rk
+                 FROM incoming, cents1n c)
+               WHERE rk = 1),
+             a1 AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell AS qcell
+                   FROM a1 WHERE vec_id < 3),
+             scored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q JOIN a1 ON cell = qcell AND vec_id <> q_id)
+             SELECT q_id, rk, vec_id, cos
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM scored)
+             WHERE rk <= 5 ORDER BY q_id, rk""")),
+
     // Product quantization with asymmetric distance computation (ADC) —
     // the memory-side ANN technique that pairs with IVF at 100 TB
     // (IVF-PQ): vectors are stored as M=4 one-byte codes instead of 64

@@ -99,4 +99,43 @@ class AnnRecallSpec extends SparkSpec {
       r1 should be >= 0.6
     }
   }
+
+  test("IVF-PQ append: frozen-quantizer append equals a full encode of the " +
+    "union, and the appended index meets the recall gate") {
+    import org.apache.spark.sql.functions._
+    val n2 = aggregate(transform(col("v0"), x => x * x), lit(0.0), (a, b) => a + b)
+    val embN = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v0"))
+      .select(col("vec_id"), transform(col("v0"), x => x / sqrt(n2)).as("v"))
+      .localCheckpoint()
+    val half = embN.filter(col("vec_id") % 2 === 0)
+    val rest = embN.filter(col("vec_id") % 2 === 1)
+    // build on half the corpus, append the rest — the daily-ingest shape
+    val idx = graft.operators.IvfPq.build(half,
+      kCoarse = 8, kmIters = 5, m = 16, k = 256, pqIters = 2)
+    val appended = graft.operators.IvfPq.append(idx, rest)
+    // law: appended encoding is BIT-IDENTICAL to encoding the union under
+    // the same frozen quantizer (append is exactly "route + encode")
+    val fullEnc = graft.operators.IvfPq.append(
+      idx.copy(encoded = idx.encoded.limit(0)), embN).encoded
+    val a = appended.encoded.select("vec_id", "cell", "m", "code")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = fullEnc.select("vec_id", "cell", "m", "code")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+    // and serving the appended index meets the recall gate vs exact
+    val queries = embN.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = graft.operators.IvfPq
+      .serve(appended, queries, nprobe = 4, topK = 5, excludeSelf = true)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = topk("knn_brute")
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.6 }
+  }
 }
