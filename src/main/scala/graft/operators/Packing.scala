@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — fitting variable-length chunks into fixed-capacity
@@ -25,6 +26,7 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   final case class Item(id: Long, len: Int)
+  final case class ShardedItem(shard: Int, id: Long, len: Int)
   final case class Packed(shard: Int, bin: Long, id: Long, len: Int)
 
   /** Pack items (id, len) into bins of `capacity` tokens; items with
@@ -32,16 +34,30 @@ object Packing {
     * per item with its (shard, bin) assignment.
     */
   def nextFitDecreasing(items: DataFrame, capacity: Int, shards: Int): DataFrame = {
-    implicit val itemEnc = Encoders.product[Item]
-    implicit val packedEnc = Encoders.product[Packed]
-    implicit val keyEnc = Encoders.scalaInt
-    val ds = items.select(col("id").cast("long"), col("len").cast("int"))
-      .as[Item].filter(_.len <= capacity)
     // a REAL hash (not plain modulo): negative ids stay non-negative and
     // id-correlated length patterns (monotone ids with structured lengths)
     // can't skew shards
-    ds.groupByKey(i =>
-      Math.floorMod(scala.util.hashing.byteswap64(i.id), shards.toLong).toInt)
+    val hashShard = udf((id: Long) =>
+      Math.floorMod(scala.util.hashing.byteswap64(id), shards.toLong).toInt)
+    nextFitDecreasingSharded(
+      items.select(hashShard(col("id").cast("long")).as("shard"),
+        col("id"), col("len")),
+      capacity)
+  }
+
+  /** [[nextFitDecreasing]] with a CALLER-SUPPLIED shard column — for
+    * pipelines that need a cross-engine shard function (e.g. the md5
+    * hash the DuckDB oracle can replay). Input: (shard: int, id, len).
+    */
+  def nextFitDecreasingSharded(items: DataFrame, capacity: Int): DataFrame = {
+    implicit val itemEnc = Encoders.product[ShardedItem]
+    implicit val packedEnc = Encoders.product[Packed]
+    implicit val keyEnc = Encoders.scalaInt
+    val ds = items
+      .select(col("shard").cast("int"), col("id").cast("long"),
+        col("len").cast("int"))
+      .as[ShardedItem].filter(_.len <= capacity)
+    ds.groupByKey(_.shard)
       .flatMapSortedGroups(desc("len"), asc("id")) { (shard, it) =>
         var bin = 0L
         var fill = 0
@@ -52,6 +68,43 @@ object Packing {
         }
       }.toDF()
   }
+
+  /** Add each item's `start` offset inside its packed sequence — the doc
+    * boundary. The window partitions by (shard, bin) in the SAME total
+    * order the packer consumed items, so start = sum of earlier lens;
+    * partitions are bin-sized (≤ capacity tokens), never data-sized.
+    */
+  def withOffsets(packed: DataFrame): DataFrame =
+    packed.withColumn("start",
+      coalesce(
+        sum(col("len")).over(
+          Window.partitionBy("shard", "bin")
+            .orderBy(desc("len"), asc("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("int"))
+
+  /** Collapse a packing to ONE ROW PER BIN with the arrays a training
+    * dataloader consumes (every array is capacity-bounded, never
+    * data-sized):
+    *   - `doc_ids`        — packed docs in sequence order
+    *   - `doc_boundaries` — start offset of each doc (prefix sums of lens)
+    *   - `position_ids`   — per-token position, RESTARTING at each doc
+    *     (rotary/absolute positions must not leak across packed docs)
+    *   - `segment_ids`    — per-token doc ordinal (the block-diagonal
+    *     attention-mask key: tokens attend within equal segment only)
+    */
+  def binArrays(packed: DataFrame): DataFrame =
+    withOffsets(packed)
+      .groupBy("shard", "bin")
+      .agg(sort_array(collect_list(
+        struct(col("start"), col("id"), col("len")))).as("its"))
+      .select(col("shard"), col("bin"),
+        transform(col("its"), i => i.getField("id")).as("doc_ids"),
+        transform(col("its"), i => i.getField("start")).as("doc_boundaries"),
+        flatten(transform(col("its"),
+          i => sequence(lit(0), i.getField("len") - 1))).as("position_ids"),
+        flatten(transform(col("its"),
+          (i, idx) => array_repeat(idx, i.getField("len")))).as("segment_ids"))
 
   /** Per-bin utilization summary of a packing. */
   def utilization(packed: DataFrame, capacity: Int): DataFrame =

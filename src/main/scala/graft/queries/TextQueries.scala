@@ -1214,6 +1214,66 @@ object TextQueries {
                ${Q.hash60Sql("array_to_string(list_slice(toks, start+1, start+50), ' ')")} AS fp
              FROM st ORDER BY doc_id, chunk_idx""")),
 
+    // SEQUENCE PACKING with boundary/position columns (operators.Packing;
+    // VERDICT r5 #6) — the training-batch construction step: docs shard
+    // by a cross-engine md5 hash, pack next-fit-decreasing into 512-token
+    // bins inside each shard, and every bin reports doc count, token
+    // fill, the fingerprint of its DOC-BOUNDARY offsets (prefix sums of
+    // lens in pack order — what Packing.binArrays expands into
+    // position_ids/segment_ids for the dataloader, law-tested in
+    // PackingSpec), and the exact position-id sum. Scale shape: packing
+    // is a sorted-group ITERATOR per shard (no driver state, shard count
+    // scales with the corpus); the boundary window partitions by bin
+    // (≤ capacity tokens). The oracle replays the identical next-fit
+    // fold as a per-shard recursive CTE — every recursion level advances
+    // EVERY shard by one item, so depth = largest shard, not corpus.
+    QueryDef(
+      "doc_seq_pack",
+      (s, dir) => {
+        val cap = 512
+        val items = docs(s, dir).select(
+          pmod(Q.hash60(concat(lit("pack|"), col("doc_id"))), lit(32))
+            .cast("int").as("shard"),
+          col("doc_id").as("id"),
+          size(split(col("text"), " ")).as("len"))
+        val packed = graft.operators.Packing.nextFitDecreasingSharded(items, cap)
+        graft.operators.Packing.withOffsets(packed)
+          .groupBy("shard", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("long").as("n_tokens"),
+            Q.hash60(concat_ws(" ",
+              transform(sort_array(collect_list(struct(col("start"), col("id")))),
+                x => x.getField("start").cast("string")))).as("bounds_fp"),
+            sum(expr("CAST(len AS BIGINT) * (len - 1) DIV 2")).as("pos_sum"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH RECURSIVE it0 AS (
+               SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
+                      doc_id AS id, len(string_split(text, ' ')) AS len
+               FROM documents),
+             it AS (
+               SELECT shard, id, len,
+                 row_number() OVER (PARTITION BY shard ORDER BY len DESC, id) AS rn
+               FROM it0 WHERE len <= 512),
+             step(shard, rn, bin, fill) AS (
+               SELECT shard, 1::bigint, 0::bigint, len::bigint
+               FROM it WHERE rn = 1
+               UNION ALL
+               SELECT i.shard, i.rn::bigint,
+                 CASE WHEN s.fill + i.len > 512 THEN s.bin + 1 ELSE s.bin END,
+                 CASE WHEN s.fill + i.len > 512 THEN i.len::bigint
+                      ELSE s.fill + i.len END
+               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
+             placed AS (
+               SELECT st.shard, st.bin, i.id, i.len, st.fill - i.len AS start
+               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn)
+             SELECT shard, bin, count(*)::bigint AS n_docs,
+               sum(len)::bigint AS n_tokens,
+               ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
+               sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
+             FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // ---- Audio pipeline: the REAL WAV codec under the driver gate -----
     // Spark synthesizes deterministic PCM, encodes genuine WAV containers,
     // decodes them back through the real javax.sound path and fingerprints

@@ -47,4 +47,52 @@ class PackingSpec extends SparkSpec {
     packed.filter(col("id") === 9999L).count() shouldBe 0L
     packed.count() shouldBe 500L
   }
+
+  test("bin arrays: boundaries are prefix sums, position ids restart per " +
+    "doc, segment ids are doc ordinals — the dataloader contract") {
+    val cap = 512
+    val packed = Packing.nextFitDecreasing(items, cap, shards = 8)
+    val lens = items.as[(Long, Int)].collect().toMap
+    val rows = Packing.binArrays(packed).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      val bounds = r.getSeq[Int](3)
+      val pos = r.getSeq[Int](4)
+      val seg = r.getSeq[Int](5)
+      val binLens = ids.map(lens)
+      withClue(s"shard=${r.getInt(0)} bin=${r.getLong(1)}: ") {
+        // boundaries = prefix sums of the packed lens, starting at 0
+        bounds shouldBe binLens.scanLeft(0)(_ + _).init
+        val total = binLens.sum
+        total should be <= cap
+        pos.length shouldBe total
+        seg.length shouldBe total
+        // position ids: 0..len-1 per doc, concatenated
+        pos shouldBe binLens.flatMap(l => 0 until l)
+        // segment ids: the doc ordinal repeated len times (the
+        // block-diagonal attention-mask key)
+        seg shouldBe binLens.zipWithIndex.flatMap { case (l, i) => Seq.fill(l)(i) }
+      }
+    }
+  }
+
+  test("withOffsets starts are partitioning-independent and consistent " +
+    "with the packer's consumption order") {
+    val a = Packing.withOffsets(Packing.nextFitDecreasing(items, 512, 8))
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    val b = Packing.withOffsets(
+      Packing.nextFitDecreasing(items.repartition(11), 512, 8))
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    b shouldBe a
+    // each bin's starts begin at 0 and step by the previous len
+    a.groupBy(t => (t._1, t._2)).values.foreach { bin =>
+      val inOrder = bin.toSeq.sortBy(_._5)
+      inOrder.head._5 shouldBe 0
+      inOrder.sliding(2).foreach {
+        case Seq(p, n) => n._5 shouldBe p._5 + p._4
+        case _         =>
+      }
+    }
+  }
 }
