@@ -43,12 +43,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // tmpfs scratch for streaming checkpoints (offset/commit logs + state
+    // snapshots are many small fsync-ed files — on-disk /tmp charges each
+    // of the ~27 stream queries a fixed IO toll; a RAM-backed scratch is
+    // the standard local-bench setup and does not change any result)
+    Scratch.dir().foreach(d =>
+      builder.config("spark.sql.streaming.checkpointLocation", s"$d/ckpt"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // fixture-schema canary: fail once, loudly, on testdata drift
     graft.core.Preflight.check(spark, sfDir)
