@@ -133,6 +133,58 @@ object ScaleCurve {
         graft.operators.Packing
           .nextFitDecreasing(its, capacity = 2048, shards = 4096).count()
       }
+      // Repeated-span mining at n span rows (n/100 docs × 100 spans):
+      // every doc pair shares its first 10 span hashes (planted repeats).
+      // The measured claim (VERDICT r5 #5): the whole pipeline is narrow
+      // (doc_id, hash64) longs — one groupBy(h) partial agg for the
+      // shared set, one hash join back, two per-doc aggs — so wall-clock
+      // tracks the SPAN COUNT (linear), never doc pairs, and text never
+      // shuffles (here it never exists: hashing is a pure map upstream).
+      time("repeated_spans", n) {
+        val nd = math.max(100L, n / 100)
+        val spans = spark.range(nd).select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(99L))).as("i"))
+          .select(col("doc_id"),
+            when(col("i") < 10, xxhash64(expr("doc_id div 2"), col("i")))
+              .otherwise(xxhash64(col("doc_id"), col("i") + 1000)).as("h"))
+          .persist()
+        val shared = spans.groupBy("h")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+        val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val sharedPerDoc = spans.join(shared, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        val out = perDoc.join(sharedPerDoc, Seq("doc_id"), "left").count()
+        spans.unpersist()
+        out
+      }
+      // Sparse tf-idf document similarity at n token rows (n/50 docs ×
+      // 50 tokens, vocabulary 10 docs/token ⇒ mean df 5, all under the
+      // df ≤ 100 cap). The measured claim (VERDICT r5 #5): candidate
+      // volume is Σ_{df≤100} df² NARROW rows (two ids + two int64s) —
+      // linear in the corpus for a fixed df distribution — and the
+      // inverted-index self-join + one partial-agg pair shuffle is the
+      // whole cost; rows_out is the pair count actually sharing a token.
+      time("sparse_knn", n) {
+        val ndk = math.max(100L, n / 50)
+        val vocab = 10L * ndk
+        val tf = spark.range(ndk).select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(49L))).as("i"))
+          .select(col("doc_id"),
+            pmod(xxhash64(col("doc_id"), col("i")), lit(vocab)).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val comp = tf.join(dfc.filter(col("df") <= 100), "tok")
+          .select(col("doc_id"), col("tok"), (col("tf") * 1000L).as("x"))
+          .persist()
+        val dots = comp.as("a").join(comp.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.x") * col("b.x")).as("dot"))
+        val out = dots.count()
+        tf.unpersist(); comp.unpersist()
+        out
+      }
       // SemDeDup core at n/10 vectors: cells sized for ~256 occupancy
       // (the k-tracks-corpus rule), every 100th vector a planted near-dup
       // of its predecessor routed to the SAME cell. The measured claim:

@@ -148,4 +148,58 @@ class ScaleSpec extends SparkSpec {
     nCand should be >= 5L
     nCand should be < (allPairs / 20)
   }
+
+  test("repeated-span mining: candidate volume is the span-occurrence " +
+    "count of shared hashes — exactly linear, never doc-pairs " +
+    "(doc_repeated_spans shape)") {
+    // 100 docs x 50 spans; doc pairs (2k, 2k+1) share their first 10
+    // hashes, the rest are unique
+    val nd = 100L
+    val spans = spark.range(nd).select(col("id").as("doc_id"),
+      explode(sequence(lit(0L), lit(49L))).as("i"))
+      .select(col("doc_id"),
+        when(col("i") < 10, xxhash64(expr("doc_id div 2"), col("i")))
+          .otherwise(xxhash64(col("doc_id"), col("i") + 1000)).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+    // the shared-hash set is 10 hashes per doc pair — nothing else collides
+    shared.count() shouldBe (nd / 2) * 10
+    // the join-back volume is one row per SHARED SPAN OCCURRENCE (2 per
+    // shared hash here) — the quantity that scales the pipeline; a
+    // pair-based formulation would be quadratic in group size instead
+    spans.join(shared, "h").count() shouldBe nd * 10
+    // per-doc output: every doc has 50 spans, 10 shared
+    val out = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(spans.join(shared, "h").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared")), "doc_id")
+    out.filter(col("n_spans") =!= 50 || col("n_shared") =!= 10)
+      .count() shouldBe 0L
+  }
+
+  test("sparse tf-idf knn: candidate rows = sum df*(df-1)/2 over capped " +
+    "tokens, and the df cap zeroes stopword contributions " +
+    "(doc_sparse_knn shape)") {
+    val nd = 120L
+    // each doc: 20 hash-spread tokens (mean df ~2.4) + 1 stopword in
+    // EVERY doc (df = 120 > cap)
+    val tf = spark.range(nd).select(col("id").as("doc_id"),
+      explode(sequence(lit(0L), lit(19L))).as("i"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id"), col("i")), lit(1000L)).as("tok"))
+      .union(spark.range(nd).select(col("id").as("doc_id"), lit(-1L).as("tok")))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val comp = tf.join(dfc.filter(col("df") <= 100), "tok")
+    // candidate volume (pre-aggregation self-join rows) is EXACTLY
+    // sum over capped tokens of df*(df-1)/2 — the Σdf² bound
+    val expected = dfc.filter(col("df") <= 100)
+      .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+    val cands = comp.as("a").join(comp.as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+    cands.count() shouldBe expected
+    // the stopword (df = nd) is excluded — it alone would have added
+    // nd*(nd-1)/2 = 7140 all-pairs rows, dwarfing the real signal
+    comp.filter(col("tok") === -1L).count() shouldBe 0L
+    expected should be < nd * (nd - 1) / 2
+  }
 }
