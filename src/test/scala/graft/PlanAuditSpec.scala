@@ -295,12 +295,16 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     withClue(plan) {
       // the mightContain UDF filter sits in the scan-side pipeline; the
-      // exact phase is a broadcast join of the survivors
+      // exact phase joins the hit-sized SURVIVOR stream against the index
+      // WITHOUT broadcasting the full index (ADVICE r5: the operator
+      // exists because the raw index may exceed the broadcast budget) —
+      // shuffle-hash on the 60-bit longs
       val filterIdx = plan.indexOf("UDF(")
-      val joinIdx = plan.indexOf("BroadcastHashJoin")
+      val joinIdx = plan.indexOf("ShuffledHashJoin")
       filterIdx should be >= 0
       joinIdx should be >= 0
       joinIdx should be < filterIdx // top-down print: join consumes filter
+      plan should not include "BroadcastHashJoin [h"
     }
   }
 
