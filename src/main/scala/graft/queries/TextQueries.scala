@@ -869,6 +869,67 @@ object TextQueries {
            FROM per_doc p LEFT JOIN shared_per_doc s USING (doc_id)
            ORDER BY p.doc_id""")),
 
+    // Repeated-span CUT — the other half of the Lee et al. exact-substring
+    // dedup (doc_repeated_spans finds the signal, this computes the CUT):
+    // for every doc, the exact number of tokens covered by the union of
+    // its cross-doc repeated 8-token spans — the amount a span-level
+    // dedup pass removes. Positions ride the narrow frame as one extra
+    // int (doc_id, start, hash64); the interval union needs no interval
+    // tree: spans have EQUAL length 8, so ends are sorted with starts and
+    // the union is one lag() window per doc (partitions bounded by doc
+    // length, never corpus) — contribution = min(8, start − prev_start).
+    QueryDef(
+      "doc_span_cut",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        // (doc_id, start, h) — NOT per-doc distinct: every occurrence of
+        // a shared span gets cut, including repeats within one doc
+        val pos = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), greatest(size(col("t")) - 7, lit(0))),
+            i => struct(i.as("i"), Q.hash60(concat_ws(" ",
+              (0 until 8).map(o => element_at(col("t"), i + o)): _*)).as("h"))))
+            .as("p"))
+          .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+          .persist() // shared-set agg + the hit join both consume it
+        // shared across >= 2 DISTINCT docs (a span repeated only within
+        // one doc is self-repetition, doc_repetition's territory)
+        val shared = pos.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        pos.join(shared, "h")
+          .withColumn("c",
+            when(lag(col("i"), 1).over(w).isNull, lit(8))
+              .otherwise(least(lit(8), col("i") - lag(col("i"), 1).over(w))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            sum(col("c")).cast("long").as("n_tokens_cut"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pos AS (
+             SELECT doc_id,
+               unnest(range(1, greatest(len(t) - 6, 1))) AS i,
+               unnest([${Q.hash60Sql("array_to_string(t[i:i+7], ' ')")}
+                 for i in range(1, greatest(len(t) - 6, 1))]) AS h
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 8),
+           shared AS (
+             SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h)
+             WHERE nd >= 2),
+           hits AS (SELECT doc_id, i FROM pos JOIN shared USING (h)),
+           cov AS (
+             SELECT doc_id,
+               CASE WHEN lag(i) OVER w IS NULL THEN 8
+                    ELSE least(8, i - lag(i) OVER w) END AS c
+             FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+           SELECT doc_id, count(*) AS n_hits,
+             sum(c)::bigint AS n_tokens_cut
+           FROM cov GROUP BY doc_id ORDER BY doc_id""")),
+
     // Sparse weighted-cosine document similarity — the SPARSE counterpart
     // to the dense ANN suite (`knn_*`): documents as tf·idf-weighted token
     // vectors, scored pairwise through an inverted index instead of
