@@ -1335,6 +1335,76 @@ object TextQueries {
                sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
              FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // STREAMING sequence packing — the same training-batch construction
+    // at INGEST time (streaming.StreamPacking): a stream cannot sort the
+    // future, so the live form packs in ARRIVAL order with O(1) state per
+    // shard forever (the open bin's id + fill — bins close implicitly, no
+    // contents buffered). Two id-ordered halves prove open bins continue
+    // across the micro-batch boundary. The oracle replays the identical
+    // arrival-order next-fit fold (the doc_seq_pack recursive CTE with
+    // the within-shard order swapped from len-desc to id).
+    QueryDef(
+      "stream_seq_pack",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.docsHalves(s, dir)
+        val schema = StreamFixtures.docsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_spk_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .select(
+            pmod(Q.hash60(concat(lit("pack|"), col("doc_id"))), lit(32))
+              .cast("int").as("shard"),
+            col("doc_id").as("id"),
+            size(split(col("text"), " ")).as("len"))
+          .as[graft.streaming.PackItem]
+        val packed = graft.streaming.StreamPacking.nextFit(src, 512).toDF()
+        val agg = packed.groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("long").as("n_tokens"),
+            Q.hash60(concat_ws(" ",
+              transform(sort_array(collect_list(struct(col("start"), col("id")))),
+                x => x.getField("start").cast("string")))).as("bounds_fp"),
+            sum(expr("CAST(len AS BIGINT) * (len - 1) DIV 2")).as("pos_sum"))
+        val name = "stream_spk_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable() // batch 1: low-id half
+          StreamFixtures.feed(fx, "hi", srcDir)
+          q.processAllAvailable() // batch 2: open bins keep filling
+        } finally q.stop()
+        val res = s.table(name).orderBy("shard", "bin").localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(s"""WITH RECURSIVE it0 AS (
+               SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
+                      doc_id AS id, len(string_split(text, ' ')) AS len
+               FROM documents),
+             it AS (
+               SELECT shard, id, len,
+                 row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+               FROM it0 WHERE len <= 512),
+             step(shard, rn, bin, fill) AS (
+               SELECT shard, 1::bigint, 0::bigint, len::bigint
+               FROM it WHERE rn = 1
+               UNION ALL
+               SELECT i.shard, i.rn::bigint,
+                 CASE WHEN s.fill + i.len > 512 THEN s.bin + 1 ELSE s.bin END,
+                 CASE WHEN s.fill + i.len > 512 THEN i.len::bigint
+                      ELSE s.fill + i.len END
+               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
+             placed AS (
+               SELECT st.shard, st.bin, i.id, i.len, st.fill - i.len AS start
+               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn)
+             SELECT shard, bin, count(*)::bigint AS n_docs,
+               sum(len)::bigint AS n_tokens,
+               ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
+               sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
+             FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // ---- Audio pipeline: the REAL WAV codec under the driver gate -----
     // Spark synthesizes deterministic PCM, encodes genuine WAV containers,
     // decodes them back through the real javax.sound path and fingerprints

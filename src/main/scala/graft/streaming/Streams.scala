@@ -718,3 +718,47 @@ object StreamSemDedup {
       }
   }
 }
+
+/** One packable item on the wire: pre-sharded (the shard function is the
+  * pipeline's choice — the catalog uses the cross-engine md5 hash). */
+final case class PackItem(shard: Int, id: Long, len: Int)
+
+/** An item's bin assignment with its start offset inside the bin. */
+final case class PackAssigned(shard: Int, bin: Long, id: Long, len: Int, start: Int)
+
+private final case class PackFillState(bin: Long, fill: Int)
+
+/** ARRIVAL-ORDER next-fit sequence packing on a live stream — the
+  * training-batch construction step running at ingest time (the batch
+  * twin is `operators.Packing`, which additionally sorts len-desc inside
+  * each shard; a stream cannot sort the future, so the streaming form
+  * packs in arrival order). Per-shard state is O(1) FOREVER: the open
+  * bin's id and fill — bins close implicitly when the next item does not
+  * fit, so no bin contents are ever buffered.
+  *
+  * Ordering contract (the CountSlices convention): within a micro-batch
+  * the shard's items are sorted by id; across batches arrival order must
+  * respect id order per shard (per-key-ordered source).
+  */
+object StreamPacking {
+
+  def nextFit(items: Dataset[PackItem], capacity: Int): Dataset[PackAssigned] = {
+    import items.sparkSession.implicits._
+    items
+      .filter(_.len <= capacity) // oversize items drop (count upstream)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackFillState, PackAssigned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[PackItem], state: GroupState[PackFillState]) =>
+          var s = state.getOption.getOrElse(PackFillState(0L, 0))
+          val out = Seq.newBuilder[PackAssigned]
+          it.toSeq.sortBy(_.id).foreach { i =>
+            if (s.fill + i.len > capacity) s = PackFillState(s.bin + 1, 0)
+            out += PackAssigned(shard, s.bin, i.id, i.len, s.fill)
+            s = PackFillState(s.bin, s.fill + i.len)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+}

@@ -548,4 +548,41 @@ class StreamingSpec extends SparkSpec {
 
     streamed shouldBe batch
   }
+
+  test("streaming next-fit packing: arrival-order reference parity and " +
+    "open bins continuing across micro-batches with O(1) state") {
+    // 3 shards x 60 items, hash-derived lengths; batch split mid-shard so
+    // open bins MUST carry fill across the boundary
+    val items = (0 until 60).map { i =>
+      PackItem(i % 3, i.toLong, 10 + (i * 37) % 91)
+    }
+    val mem = MemoryStream[PackItem](spark)
+    mem.addData(items.take(25): _*)
+    mem.addData(items.slice(25, 40): _*)
+    mem.addData(items.drop(40): _*)
+    runToCompletion(
+      StreamPacking.nextFit(mem.toDS(), capacity = 128)
+        .writeStream.outputMode("append"), "streampack")
+    val streamed = spark.table("streampack")
+      .orderBy("shard", "id").as[PackAssigned].collect().toSeq
+
+    // single-node arrival-order next-fit reference per shard
+    val ref = items.groupBy(_.shard).toSeq.flatMap { case (shard, its) =>
+      var bin = 0L; var fill = 0
+      its.sortBy(_.id).map { i =>
+        if (fill + i.len > 128) { bin += 1; fill = 0 }
+        val a = PackAssigned(shard, bin, i.id, i.len, fill)
+        fill += i.len
+        a
+      }
+    }.sortBy(a => (a.shard, a.id))
+    streamed shouldBe ref
+
+    // the split landed mid-bin: at least one bin holds items from two
+    // different micro-batches (ids straddling the 25/40 boundaries)
+    val straddling = streamed.groupBy(a => (a.shard, a.bin)).values.count {
+      bin => bin.exists(_.id < 25) && bin.exists(_.id >= 25)
+    }
+    straddling should be >= 1
+  }
 }
