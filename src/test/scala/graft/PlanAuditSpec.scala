@@ -393,4 +393,48 @@ class PlanAuditSpec extends SparkSpec {
       plan should include regex "(BroadcastHashJoin \\[band|SortMergeJoin \\[band|ShuffledHashJoin \\[band|hashpartitioning\\(band)"
     }
   }
+
+  test("doc_seq_pack: items shuffle ONCE on the shard key into the " +
+    "sorted-group packer; the boundary window partitions per bin") {
+    val df = SparkEntry.queries("doc_seq_pack")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the packer consumes a shard-keyed exchange + within-partition
+      // sort (flatMapSortedGroups) — no driver collect anywhere
+      plan should include regex "hashpartitioning\\(shard"
+      // offsets window partitions by (shard, bin) — bounded by capacity,
+      // never a global single-partition window
+      plan should include regex "windowspecdefinition\\(shard"
+      plan should not include "windowspecdefinition() "
+    }
+  }
+
+  test("doc_span_cut: position frame joins on the span hash; the interval " +
+    "union window partitions per doc, never globally") {
+    val df = SparkEntry.queries("doc_span_cut")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include regex "windowspecdefinition\\(doc_id"
+      // the shared-set join keys on the int64 hash — text never shuffles
+      plan should include regex "(BroadcastHashJoin \\[h|SortMergeJoin \\[h|ShuffledHashJoin \\[h|hashpartitioning\\(h#)"
+      plan should not include "windowspecdefinition() "
+    }
+  }
+
+  test("knn_ivf_append: all three assignment passes broadcast the " +
+    "centroids; base and appended routes union without re-shuffle") {
+    val df = SparkEntry.queries("knn_ivf_append")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // seed assign (a0) + build assign (base) + append assign (incoming):
+      // each scores against a broadcast centroid table (the frozen-cell
+      // routing map), never a shuffled join
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 3
+      plan should include("Union")
+      plan should not include "SortMergeJoin [vec_id"
+    }
+  }
 }
