@@ -107,4 +107,33 @@ class TsEncodingSpec extends SparkSpec {
     e.getMessage should include("events.value")
     e.getMessage should include("expected double")
   }
+
+  test("Preflight fails loudly when int64 ts is epoch-MICROS, not nanos " +
+    "(the silent-1000x-shrink canary, ADVICE r5)") {
+    import spark.implicits._
+    // schema-legal (ts: int64) but magnitude-wrong: epoch-µs values are
+    // ~1.7e15, far below the >= 1e17 nanos floor — Tables.tsUsExpr's
+    // `div 1000` would silently shrink every timestamp 1000x
+    val root = Files.createTempDirectory("graft_preflight_us").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")) {
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(5).write.parquet(s"$root/$t.parquet")
+    }
+    logical.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$root/events.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.core.Preflight.check(spark, root)
+    }
+    e.getMessage should include("epoch-nanos")
+    // and the genuine ns-long encoding still passes the magnitude canary
+    val okRoot = writeFixture("ns_long")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")) {
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(5).write.parquet(s"$okRoot/$t.parquet")
+    }
+    graft.core.Preflight.check(spark, okRoot)
+  }
 }
