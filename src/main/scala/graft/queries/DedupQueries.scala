@@ -93,23 +93,34 @@ object DedupQueries {
       .select(col("doc_id"), shingleHashes.as("hs"))
       .select(
         col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
-    // Narrow band rows: (doc_id, band, bh) only — candidate generation
-    // and its distinct() never shuffle the shingle arrays.
-    val banded = sigs.select(
+    // Narrow band rows: (doc_id, band, bh) plus the FIRST three band
+    // hashes carried for the first-agreeing-band predicate — candidate
+    // generation never shuffles the shingle arrays, and (same move as
+    // dedup_simhash_pairs, VERDICT r5 #2) a pair is emitted only from its
+    // LOWEST agreeing band, so the candidate set is unique by
+    // construction: no post-join distinct, ONE candidate-path shuffle.
+    val bsig = sigs.select(
+      col("doc_id") +: (0 until BANDS).map { b =>
+        Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+          .as(s"bh$b")
+      }: _*)
+    val banded = bsig.select(
       col("doc_id"),
       explode(array((0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          Q.hash60(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
-            .as("bh"))
-      }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        struct(lit(b).as("band"), col(s"bh$b").as("bh"))
+      }: _*)).as("e"),
+      col("bh0"), col("bh1"), col("bh2"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"),
+        col("bh0"), col("bh1"), col("bh2"))
       .persist()
+    val noEarlierAgree = (0 until BANDS - 1).map { k =>
+      (col("a.band") <= k) || (col(s"a.bh$k") =!= col(s"b.bh$k"))
+    }.reduce(_ && _)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && noEarlierAgree)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
     // Exact verification only for the (few) LSH survivors.
     val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
     cand
@@ -127,20 +138,27 @@ object DedupQueries {
     */
   private def minhashPairsCtes: String = {
     val mhs = (0 until H).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
+    val bhs = (0 until BANDS).map(b =>
+      s"${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh$b").mkString(", ")
     val bandRows = (0 until BANDS).map { b =>
-      s"SELECT doc_id, $b AS band, ${Q.hash60Sql(s"mh${2 * b} || ',' || mh${2 * b + 1}")} AS bh FROM sigs"
+      s"SELECT doc_id, $b AS band, bh$b AS bh, bh0, bh1, bh2 FROM bsig"
     }.mkString(" UNION ALL ")
+    val noEarlier = (0 until BANDS - 1).map { k =>
+      s"AND (a.band <= $k OR a.bh$k != b.bh$k)"
+    }.mkString(" ")
     s"""base AS (
          SELECT doc_id, $shinglesSql AS shingles
          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          WHERE len(toks) >= 3),
        hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM base),
        sigs AS (SELECT doc_id, $mhs FROM hashed),
+       bsig AS (SELECT doc_id, $bhs FROM sigs),
        banded AS ($bandRows),
        cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           $noEarlier),
        j AS (
          SELECT id_a, id_b,
            len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,

@@ -98,18 +98,26 @@ object ScaleCurve {
             h => (h * (1000003L * (j + 1) % M) + 998244353L * (j + 7) % M) % M))
             .as(s"mh$j")
         }: _*)
-        val banded = sigs.select(
+        // first-agreeing-band emission (the shipped dedup_minhash_lsh
+        // shape): pairs unique by construction, no post-join distinct
+        val bsig = sigs.select(
+          col("doc_id") +: (0 until 4).map(b =>
+            xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b))
+              .as(s"bh$b")): _*)
+        val banded = bsig.select(
           col("doc_id"),
           explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b))
-                .as("bh"))): _*)).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+            struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("e"),
+          col("bh0"), col("bh1"), col("bh2"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"),
+            col("bh0"), col("bh1"), col("bh2"))
+        val noEarlier = (0 until 3).map { k =>
+          (col("a.band") <= k) || (col(s"a.bh$k") =!= col(s"b.bh$k"))
+        }.reduce(_ && _)
         val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") && noEarlier)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
         val pairs = cand
           .join(d.select(col("doc_id").as("id_a"), col("hs").as("sa")), "id_a")
           .join(d.select(col("doc_id").as("id_b"), col("hs").as("sb")), "id_b")

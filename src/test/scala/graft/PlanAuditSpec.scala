@@ -394,6 +394,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_lsh: first-agreeing-band emission — no pair-keyed " +
+    "exchange after the band-bucket join") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "hashpartitioning(id_a"
+      plan should not include "HashAggregate(keys=[id_a"
+    }
+  }
+
   test("doc_seq_pack: items shuffle ONCE on the shard key into the " +
     "sorted-group packer; the boundary window partitions per bin") {
     val df = SparkEntry.queries("doc_seq_pack")(spark, dir)
