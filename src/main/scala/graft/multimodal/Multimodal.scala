@@ -262,12 +262,20 @@ object Codecs {
         struct(lit(b).as("band"),
           shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("e"))
       .select(col("id"), col("h"), col("e.band"), col("e.bv"))
+    // first-agreeing-band emission (the dedup_simhash_pairs move): both
+    // full signatures already ride the joined row, so requiring every
+    // earlier band to DISAGREE makes each pair unique by construction —
+    // no post-join distinct, one candidate-path shuffle
+    def bandOf(c: org.apache.spark.sql.Column, b: Int) =
+      shiftright(c, b * 16).bitwiseAND(lit(0xffffL))
+    val noEarlierAgree = (0 until 3).map { k =>
+      (col("a.band") <= k) || (bandOf(col("a.h"), k) =!= bandOf(col("b.h"), k))
+    }.reduce(_ && _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && noEarlierAgree)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
       .select(col("id_a"), col("id_b"))
   }

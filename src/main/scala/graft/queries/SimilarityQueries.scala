@@ -1030,19 +1030,29 @@ object SimilarityQueries {
         val e = emb(s, dir).persist() // consumed by banding + both verify sides
         // persist: the 64 per-row signature dot products feed BOTH sides
         // of the band self-join — without it the codegen pass runs twice
-        val banded = e.select(
+        // first-agreeing-band emission (the dedup_simhash_pairs move):
+        // banded rows carry the first NB−1 band signatures so a pair
+        // emits only from its lowest agreeing band — unique by
+        // construction, no post-join distinct, one candidate shuffle
+        val bsig = e.select(
+          col("vec_id") +: (0 until NB).map(b => bandSig(b).as(s"bh$b")): _*)
+        val banded = bsig.select(
           col("vec_id"),
           explode(array((0 until NB).map { b =>
-            struct(lit(b).as("band"), bandSig(b).as("bh"))
-          }: _*)).as("x"))
-          .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+            struct(lit(b).as("band"), col(s"bh$b").as("bh"))
+          }: _*)).as("x"),
+          col("bh0"), col("bh1"), col("bh2"))
+          .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"),
+            col("bh0"), col("bh1"), col("bh2"))
           .persist()
+        val noEarlierAgree = (0 until NB - 1).map { k =>
+          (col("a.band") <= k) || (col(s"a.bh$k") =!= col(s"b.bh$k"))
+        }.reduce(_ && _)
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.vec_id") < col("b.vec_id"))
+              col("a.vec_id") < col("b.vec_id") && noEarlierAgree)
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .distinct()
         cand
           .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
             col("n2").as("na2")), "id_a")
@@ -1055,15 +1065,22 @@ object SimilarityQueries {
           .orderBy("id_a", "id_b")
       },
       Some {
+        val bhs = (0 until NB).map(b =>
+          s"(${bandSigSql(b)})::bigint AS bh$b").mkString(", ")
         val bandRows = (0 until NB).map { b =>
-          s"SELECT vec_id, $b AS band, (${bandSigSql(b)})::bigint AS bh FROM emb"
+          s"SELECT vec_id, $b AS band, bh$b AS bh, bh0, bh1, bh2 FROM bsig"
         }.mkString(" UNION ALL ")
+        val noEarlier = (0 until NB - 1).map { k =>
+          s"AND (a.band <= $k OR a.bh$k != b.bh$k)"
+        }.mkString(" ")
         s"""WITH $embSql,
+             bsig AS (SELECT vec_id, $bhs FROM emb),
              banded AS ($bandRows),
              cand AS (
-               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b
                FROM banded a JOIN banded b
-                 ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+                 ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+                 $noEarlier),
              p AS (
                SELECT id_a, id_b,
                  ${dotSql("ea.v", "eb.v")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
