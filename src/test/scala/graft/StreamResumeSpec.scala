@@ -126,4 +126,65 @@ class StreamResumeSpec extends SparkSpec {
     Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
   }
+
+  test("streaming packer bin state survives a restart; the straddling bin " +
+    "continues from restored fill") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{PackItem, PackAssigned, StreamPacking}
+
+    // one shard, lens chosen so the cut at id 5 lands MID-BIN: capacity
+    // 100, lens 30 each -> bin holds 3 items; ids 0..4 = bin0(0,1,2) +
+    // bin1(3,4 open, fill 60); ids 5..8 continue bin1(5) then bin2(6,7,8)
+    val all = (0 until 9).map(i => PackItem(0, i.toLong, 30))
+    val root = Files.createTempDirectory("graft_pack_resume_").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(Paths.get(srcDir))
+    all.filter(_.id < 5).toDS().coalesce(1).write.parquet(s"$root/h1")
+    all.filter(_.id >= 5).toDS().coalesce(1).write.parquet(s"$root/h2")
+    def feed(half: String): Unit =
+      Files.list(Paths.get(s"$root/$half")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p,
+          Paths.get(srcDir, half + "_" + p.getFileName.toString)))
+
+    def incarnation(): Unit = {
+      val in = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[PackItem]].schema)
+        .parquet(srcDir).as[PackItem]
+      val q = StreamPacking.nextFit(in, capacity = 100)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    feed("h1"); incarnation()
+    feed("h2"); incarnation()
+    val rows = s.read.parquet(s"$root/out")
+      .as[PackAssigned].collect().sortBy(_.id)
+    // exactly-once: every item assigned once
+    rows.map(_.id).toSeq shouldBe (0L until 9L)
+    // the straddling bin: item 5 (first post-restart) must land in bin 1
+    // at start 60 - only possible if (bin=1, fill=60) was RESTORED, not
+    // reset (a reset would open bin 1 at fill 0 or restart bin ids)
+    val item5 = rows.find(_.id == 5L).get
+    item5.bin shouldBe 1L
+    item5.start shouldBe 60
+    // and the full assignment equals the single-fold reference
+    val ref = {
+      var bin = 0L; var fill = 0
+      all.map { i =>
+        if (fill + i.len > 100) { bin += 1; fill = 0 }
+        val a = PackAssigned(0, bin, i.id, i.len, fill)
+        fill += i.len
+        a
+      }
+    }
+    rows.toSeq shouldBe ref
+
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
 }
