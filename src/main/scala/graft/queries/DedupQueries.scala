@@ -328,6 +328,50 @@ object DedupQueries {
            SELECT id AS doc_id, min(comp) AS cluster_id
            FROM lbl GROUP BY id ORDER BY doc_id""")),
 
+    // Canonical-representative selection — the step AFTER clustering in a
+    // real dedup pipeline: each near-dup cluster keeps ONE document by
+    // SOURCE PRIORITY (curated sources beat crawls; the total order here
+    // is (source asc, doc_id asc), deterministic at any partitioning).
+    // The argmin is a map-side-combinable min_by over a struct — one
+    // partial-agg shuffle of narrow (cluster_id, source, doc_id) rows,
+    // never a ranking window over the corpus.
+    QueryDef(
+      "dedup_canonical_keep",
+      (s, dir) => {
+        val edges = minhashPairs(s, dir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val clusters = graft.operators.ConnectedComponents.run(edges)
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        clusters
+          .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("cluster_id")
+          .agg(
+            min_by(col("doc_id"), struct(col("source"), col("doc_id")))
+              .as("keep_doc_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+           lbl(id, comp) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s.b, l.comp FROM lbl l JOIN sym s ON s.a = l.id),
+           clusters AS (
+             SELECT id AS doc_id, min(comp) AS cluster_id
+             FROM lbl GROUP BY id),
+           m AS (
+             SELECT cluster_id, c.doc_id, d.source
+             FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+           SELECT cluster_id, keep_doc_id, n_members FROM (
+             SELECT cluster_id, doc_id AS keep_doc_id,
+               row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY source, doc_id) AS rk,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+             FROM m)
+           WHERE rk = 1 ORDER BY cluster_id""")),
+
     // SimHash: 60-BIT signature from per-token votes (round-1's 16-bit
     // space was a scale defect: 2^16 buckets ⇒ collision groups go
     // intra-bucket-quadratic at corpus scale, VERDICT r1). The token hash
