@@ -2,45 +2,79 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed PageRank by quantized-integer power iteration — the
   * link-analysis twin of [[ConnectedComponents]]' label propagation
   * (beyond-reference pipeline surface; the one-step form is driver-verified
-  * as `pr_step_partsupp`).
+  * as `pr_step_partsupp`, the full loop as `graph_pagerank`).
   *
-  * Ranks are exact int64 quantities (1e12 units split uniformly at start);
-  * each scatter contributes `rank div outdeg` and damping is
-  * `(85·inflow + 15·base) div 100` — no floating accumulation, so results
-  * are independent of partitioning, scheduling, and engine. Each iteration
-  * is one join + one groupBy with `localCheckpoint` lineage truncation
-  * (same loop discipline as ConnectedComponents — without it the plan
-  * doubles per round).
+  * Determinism contract (the reason for quantization): ranks are exact
+  * int64 quantities (`totalQ` units split uniformly at start); each
+  * scatter contributes `rank div outdeg` and damping is
+  * `(d·inflow + (100−d)·base) div 100` — no floating accumulation
+  * anywhere, so results are independent of partitioning, scheduling, and
+  * engine. The tiny mass leak from truncating divisions is deterministic
+  * too.
+  *
+  * Scale shape (the 100-TB story):
+  *   - the deduped edge set is hash-partitioned on `src` ONCE and
+  *     persisted; each of the K iterations joins the (node-sized)
+  *     contribution frame against it on that same key, so the fact-sized
+  *     edge set never re-shuffles after setup — only the node-sized rank
+  *     frame moves per sweep (contrib join + inflow partial-agg groupBy,
+  *     both narrow).
+  *   - per-node out-degree is computed once and joined into the rank
+  *     frame (node-sized ⨝ node-sized).
+  *   - rank lineage is truncated per iteration with `localCheckpoint`
+  *     (same loop discipline as [[KMeans]] / ConnectedComponents —
+  *     without it the plan doubles per round).
+  *
+  * Dangling nodes (no out-edges) keep teleport-only rank and their mass
+  * leaks — a modeling choice, not a scale concern; callers that need
+  * strict conservation can bidirect their edges (as `graph_pagerank`
+  * does).
   */
 object PageRank {
 
-  /** @param edges directed edges, columns `src`, `dst` (any orderable type).
-    * @param iterations fixed power-iteration count.
-    * @return (node, rank_q) for every node appearing as src or dst.
+  /** @param edges      directed edges, columns `src`, `dst` (any
+    *                    orderable type; deduped internally)
+    * @param iterations  fixed power-iteration count (K >= 0)
+    * @param totalQ      total quantized mass distributed over the nodes
+    * @param dampPct     damping factor in percent (classic 85)
+    * @return (node, rank_q) for every node appearing as src or dst
     */
-  def run(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct().persist()
+  def run(edges: DataFrame, iterations: Int,
+          totalQ: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    val base = 1000000000000L / n
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    var ranks = nodes.withColumn("rank_q", lit(base)).localCheckpoint()
+    require(n > 0, "PageRank.run: empty graph")
+    val base = totalQ / n
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), lit(base).as("rank_q"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val inflow = e.join(outdeg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .withColumn("contrib", expr("rank_q div deg"))
+      // node-sized: what each node pushes along EACH of its out-edges
+      val contribs = ranks.join(outdeg, "node")
+        .select(col("node").as("src"), expr("rank_q div deg").as("contrib"))
+      // fact-sized join lands on the src partitioning e already has;
+      // partial-agg groupBy collapses to node-sized before the shuffle
+      val inflow = e.join(contribs, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+      // `div`, not `/`: Column `/` on longs is DOUBLE division, whose
+      // truncation can be off-by-one vs exact integer division
+      ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
-          expr(s"(85 * inflow + 15 * ${base}L) div 100").as("rank_q"))
+          expr(s"(${dampPct}L * coalesce(inflow, 0L) + " +
+            s"${100 - dampPct}L * ${base}L) div 100").as("rank_q"))
         .localCheckpoint()
     }
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()

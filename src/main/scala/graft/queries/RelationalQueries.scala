@@ -703,6 +703,78 @@ object RelationalQueries {
            SELECT node, rank_q FROM ranked
            ORDER BY rank_q DESC, node LIMIT 20""")),
 
+    // FULL PageRank loop (K=4 synchronous sweeps) over the BIDIRECTED
+    // part↔supplier purchase graph — pr_step_partsupp is one scatter;
+    // this is the iterated operator (operators/PageRank.run) with the
+    // per-iteration shape a 1000-executor centrality job needs: edges
+    // hash-partitioned on src ONCE and reused by every sweep (only the
+    // node-sized rank frame moves per iteration), integer-quantized mass
+    // so K chained divisions stay bit-identical cross-engine, lineage
+    // truncated per sweep. Node ids stay LONG through the whole loop
+    // (p→2k, s→2k+1); strings appear only in the final top-25 select.
+    // Bidirecting gives every node out-degree ≥ 1, so no dangling leak
+    // and rank genuinely oscillates between the two sides — iteration
+    // actually changes the answer (r4 ≠ r1), which the oracle's unrolled
+    // 4-stage CTE reproduces exactly.
+    QueryDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val e0 = li(s, dir)
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.run(edges, iterations = 4)
+          .select(
+            when(col("node") % 2 === 0, concat(lit("p:"), expr("node div 2")))
+              .otherwise(concat(lit("s:"), expr("node div 2"))).as("node"),
+            col("rank_q"))
+          .orderBy(col("rank_q").desc, col("node"))
+          .limit(25)
+      },
+      Some("""WITH e0 AS (
+               SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               FROM lineitem),
+             edges AS (
+               SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             nodes AS (SELECT DISTINCT src AS node FROM edges),
+             nn AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+             outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+             r0 AS (SELECT node, base AS rank_q FROM nodes CROSS JOIN nn),
+             c1 AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
+                    FROM r0 r JOIN outdeg d USING (node)),
+             i1 AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
+                    FROM edges e JOIN c1 c ON e.src = c.src GROUP BY e.dst),
+             r1 AS (SELECT n.node,
+                      (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
+                    FROM nodes n LEFT JOIN i1 i USING (node) CROSS JOIN nn),
+             c2 AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
+                    FROM r1 r JOIN outdeg d USING (node)),
+             i2 AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
+                    FROM edges e JOIN c2 c ON e.src = c.src GROUP BY e.dst),
+             r2 AS (SELECT n.node,
+                      (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
+                    FROM nodes n LEFT JOIN i2 i USING (node) CROSS JOIN nn),
+             c3 AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
+                    FROM r2 r JOIN outdeg d USING (node)),
+             i3 AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
+                    FROM edges e JOIN c3 c ON e.src = c.src GROUP BY e.dst),
+             r3 AS (SELECT n.node,
+                      (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
+                    FROM nodes n LEFT JOIN i3 i USING (node) CROSS JOIN nn),
+             c4 AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
+                    FROM r3 r JOIN outdeg d USING (node)),
+             i4 AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
+                    FROM edges e JOIN c4 c ON e.src = c.src GROUP BY e.dst),
+             r4 AS (SELECT n.node,
+                      (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
+                    FROM nodes n LEFT JOIN i4 i USING (node) CROSS JOIN nn)
+           SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+                       ELSE 's:' || (node // 2) END AS node,
+                  rank_q::bigint AS rank_q
+           FROM r4 ORDER BY rank_q DESC, node LIMIT 25""")),
+
     // Triangle counting over the part co-purchase graph (parts sharing an
     // order), with the degree-orientation optimization every distributed
     // triangle counter uses (node-iterator on the LOWEST-degree corner):
