@@ -1131,6 +1131,105 @@ object TextQueries {
              SELECT doc_id, w AS token, tf, score_q, rk
              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // Unigram-LM document scoring — the CCNet/perplexity-filter family:
+    // train a unigram LM on the corpus (token counts), score every doc by
+    // its negative log-likelihood under it. Two determinism regimes in one
+    // query: `code_bits` is the EXACT Shannon code length Σ⌈log2(t/c)⌉ —
+    // pure integer arithmetic via ceil(log2(ceil-ratio)) = length(bin((t-1)
+    // div c)), bit-stable by construction; `nll_q` is ln-based surprisal
+    // quantized at 1e-4 nats — libm ln differs across engines by ≤1 ulp on
+    // ~1e-4 of inputs (measured: 2/28572 at 1 ulp), so a 1e-4 grid puts
+    // the flip probability per VOCAB entry at ~1e-11: the quantization IS
+    // the cross-engine contract. Scale shape: surprisal is computed once
+    // per vocab entry (not per occurrence), the vocab broadcasts, the
+    // per-doc agg is one map-side-combinable groupBy on doc_id.
+    QueryDef(
+      "doc_unigram_nll",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), explode(toks).as("w"))
+        val cnt = d.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = d.agg(count(lit(1)).as("t"))
+        val vocab = cnt.crossJoin(broadcast(tot))
+          .select(col("w"),
+            expr("case when c = t then 0L " +
+              "else cast(length(bin((t - 1) div c)) as bigint) end").as("bits"),
+            floor(log(col("t").cast("double") / col("c").cast("double"))
+              * 10000).as("s_q"))
+        d.join(broadcast(vocab), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum("bits").as("code_bits"),
+            sum("s_q").as("nll_q"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             cnt AS (SELECT w, count(*) AS c FROM d GROUP BY w),
+             tot AS (SELECT count(*) AS t FROM d),
+             v AS (SELECT w,
+                     CASE WHEN c = t THEN 0
+                          ELSE length(bin((t - 1) // c)) END AS bits,
+                     floor(ln(t::double / c::double) * 10000)::bigint AS s_q
+                   FROM cnt CROSS JOIN tot)
+             SELECT doc_id, count(*) AS n_tok,
+               sum(bits)::bigint AS code_bits, sum(s_q)::bigint AS nll_q
+             FROM d JOIN v USING (w)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Bigram-LM scoring — the next rung of the perplexity-filter ladder:
+    // conditional surprisal −ln p(w2|w1) with p = c(w1,w2)/c1(w1), summed
+    // per doc (c1 counts w1 as a bigram FIRST, so probabilities are a
+    // proper conditional distribution and every scored bigram has
+    // c12 ≥ 1 — no smoothing needed when scoring the training corpus).
+    // Same two determinism regimes as doc_unigram_nll. The bigram model
+    // table is vocab²-bounded but df-like in practice (observed bigrams
+    // only); it broadcasts here and would shuffle-join on (w1,w2) at
+    // larger vocabularies — either way the per-doc agg stays one
+    // map-side-combinable groupBy.
+    QueryDef(
+      "doc_bigram_nll",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2).persist()
+        val bg = d
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+          .select(col("doc_id"), element_at(col("t"), col("i")).as("w1"),
+            element_at(col("t"), col("i") + 1).as("w2"))
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val model = c12.join(c1, "w1")
+          .select(col("w1"), col("w2"),
+            expr("case when c12 = c1 then 0L " +
+              "else cast(length(bin((c1 - 1) div c12)) as bigint) end").as("bits"),
+            floor(log(col("c1").cast("double") / col("c12").cast("double"))
+              * 10000).as("s_q"))
+        bg.join(broadcast(model), Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_big"),
+            sum("bits").as("code_bits"),
+            sum("s_q").as("nll_q"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+             bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                    FROM (SELECT doc_id, t,
+                            unnest(generate_series(1, len(t) - 1)) AS i FROM d)),
+             c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+             c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+             m AS (SELECT w1, w2,
+                     CASE WHEN c12 = c1 THEN 0
+                          ELSE length(bin((c1 - 1) // c12)) END AS bits,
+                     floor(ln(c1::double / c12::double) * 10000)::bigint AS s_q
+                   FROM c12 JOIN c1 USING (w1))
+             SELECT doc_id, count(*) AS n_big,
+               sum(bits)::bigint AS code_bits, sum(s_q)::bigint AS nll_q
+             FROM bg JOIN m USING (w1, w2)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // Stratified (per-language capped) sampling: deterministic hash order
     // within each stratum, row_number cap — the balanced-mix primitive for
     // domain/language reweighting. One shuffle on the stratum key; the
