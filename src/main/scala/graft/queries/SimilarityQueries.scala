@@ -1138,6 +1138,41 @@ object SimilarityQueries {
              FROM assigned, range(1, 65) t(i)
              GROUP BY cell, i ORDER BY cell, dim""")),
 
+    // Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    // sign matrix, 64 → 8 dims) — the front half of every cheap-ANN /
+    // sketching pipeline. Determinism: inputs quantize to exact integer
+    // milli-units (one float→double widen, one multiply, one floor —
+    // identical IEEE ops both engines), signs come from an integer LCG on
+    // (i, j) — no libm, no float accumulation order: the projection is an
+    // INTEGER sum, bit-stable across engines and partitionings by
+    // construction. Scale shape: pure in-row fold (whole-stage codegen,
+    // zero shuffle); the 8 output components explode to narrow rows only
+    // at the output boundary.
+    QueryDef(
+      "emb_rp_project",
+      (s, dir) => {
+        val v = col("embedding")
+        val sgn = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+          when((((i - 1) * 1103515245L + j * 12345L) % 65537L) % 2 === 0, 1L)
+            .otherwise(-1L)
+        val proj = transform(sequence(lit(0), lit(7)), j =>
+          aggregate(sequence(lit(1), size(v)), lit(0L), (acc, i) =>
+            acc + floor(element_at(v, i).cast("double") * 1000) * sgn(i, j)))
+        Q.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(proj).as(Seq("j", "p_q")))
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH p AS (
+               SELECT vec_id,
+                 unnest(list_transform(range(0, 8), j -> {'j': j,
+                   'v': list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> floor(embedding[i]::double * 1000)::bigint *
+                       (CASE WHEN (((i - 1) * 1103515245 + j * 12345)
+                          % 65537) % 2 = 0 THEN 1 ELSE -1 END)))})) AS s
+               FROM embeddings)
+             SELECT vec_id, s.j AS j, (s.v)::bigint AS p_q
+             FROM p ORDER BY vec_id, j""")),
+
     // The SQL text surface for similarity: the same exact cosine top-5 as
     // knn_brute, written as plain SQL over a registered view with the
     // native `dotd` function — a reference user can run vector search

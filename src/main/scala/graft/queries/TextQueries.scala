@@ -1230,6 +1230,43 @@ object TextQueries {
              FROM bg JOIN m USING (w1, w2)
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // EXACT quantiles of a discrete distribution at scale — the
+    // dataset-profiling primitive (length cutoffs for filtering, packing
+    // bin sizing). The 100-TB plan: never sort the corpus — build the
+    // VALUE HISTOGRAM (shuffle is distinct-value-sized, map-side
+    // combinable), cumulative-sum the tiny histogram frame (the only
+    // unpartitioned window, over |distinct lengths| rows), and pick each
+    // percentile as the smallest value whose cumulative count reaches
+    // ceil(pct·n/100) — percentile_disc semantics built from the same
+    // integer rank formula on both engines (no reliance on either
+    // engine's quantile built-in agreeing about interpolation).
+    QueryDef(
+      "doc_len_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val lens = docs(s, dir).select(size(toks).as("len"))
+        val h = lens.groupBy("len").agg(count(lit(1)).as("c"))
+        val cum = h.withColumn("cum", sum("c").over(
+          org.apache.spark.sql.expressions.Window.orderBy("len")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val n = lens.agg(count(lit(1)).as("n"))
+        Seq(25, 50, 75, 90, 99).toDF("pct")
+          .crossJoin(broadcast(n))
+          .join(cum, expr("cum >= (pct * n + 99) div 100"))
+          .groupBy("pct").agg(min("len").as("len"))
+          .orderBy("pct")
+      },
+      Some("""WITH lens AS (
+               SELECT len(string_split(text, ' ')) AS len FROM documents),
+             h AS (SELECT len, count(*) AS c FROM lens GROUP BY len),
+             cum AS (SELECT len, sum(c) OVER (ORDER BY len
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+             n AS (SELECT count(*) AS n FROM lens),
+             p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+             SELECT pct, min(len) AS len
+             FROM p CROSS JOIN n JOIN cum ON cum >= (pct * n + 99) // 100
+             GROUP BY pct ORDER BY pct""")),
+
     // Stratified (per-language capped) sampling: deterministic hash order
     // within each stratum, row_number cap — the balanced-mix primitive for
     // domain/language reweighting. One shuffle on the stratum key; the
