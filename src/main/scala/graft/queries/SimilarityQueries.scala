@@ -59,6 +59,41 @@ object SimilarityQueries {
     */
   private def dot(a: Column, b: Column): Column = call_function("dotd", a, b)
 
+  /** Nearest-cell routing against a small centroid frame: broadcast +
+    * map-side-combinable `max_by` argmax with the (ccos desc, c_id asc)
+    * tie-break every oracle row_number mirror uses. Shared by the batch
+    * append query and its streaming ingest twin so both route IDENTICALLY.
+    */
+  private def ivfAssign(src: DataFrame, cents: DataFrame): DataFrame =
+    src.join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
+        struct(col("ccos"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
+        col("b.c_id").as("cell"))
+
+  /** Seed (2K lowest even ids) + ONE exact-quantized Lloyd step over
+    * `base` — the frozen-quantizer build both append flavors share
+    * (floor-1e9 means, bit-identical across engines and partitionings).
+    */
+  private def lloyd1Cents(base: DataFrame, k: Int): DataFrame = {
+    val cents0 = base.filter(col("vec_id") < 2 * k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+    ivfAssign(base, cents0)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+        (count(lit(1)) * 1000000000L).cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cv"))
+      .select(col("cell").as("c_id"), col("cv"),
+        call_function("dotd", col("cv"), col("cv")).as("cn2"))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::double,
         list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
@@ -382,32 +417,12 @@ object SimilarityQueries {
         val e = emb(s, dir).persist() // seed + Lloyd + both assigns + queries
         val base = e.filter(col("vec_id") % 2 === 0)     // day-0 corpus
         val incoming = e.filter(col("vec_id") % 2 === 1) // appended batch
-        def assign(src: DataFrame, cents: DataFrame): DataFrame =
-          src.join(broadcast(cents), lit(true))
-            .withColumn("ccos",
-              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            // map-side-combinable argmax (see knn_ivf_trained note)
-            .groupBy("vec_id")
-            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
-              struct(col("ccos"), -col("c_id"))).as("b"))
-            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
-              col("b.c_id").as("cell"))
-        // seed + one Lloyd step over the BASE half ONLY (the index build)
-        val cents0 = base.filter(col("vec_id") < 2 * K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
-        val cents1 = assign(base, cents0)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .select(col("cell").as("c_id"), col("cv"),
-            call_function("dotd", col("cv"), col("cv")).as("cn2"))
-        val assignedBase = assign(base, cents1)     // build-time routing
-        val assignedNew = assign(incoming, cents1)  // append: frozen cells
+        // seed + one Lloyd step over the BASE half ONLY (the index build);
+        // routing/build logic shared with stream_ivf_append via
+        // ivfAssign/lloyd1Cents
+        val cents1 = lloyd1Cents(base, K)
+        val assignedBase = ivfAssign(base, cents1)     // build-time routing
+        val assignedNew = ivfAssign(incoming, cents1)  // append: frozen cells
         val all = assignedBase.unionByName(assignedNew)
         val q = all.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -470,6 +485,83 @@ object SimilarityQueries {
                      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
                    FROM scored)
              WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // Streaming twin of the IVF append: the daily-ingest shape run at
+    // INGEST TIME. The quantizer is built batch-side on the historical
+    // (even-id) half — the same lloyd1Cents build knn_ivf_append uses —
+    // then FROZEN as k×dim driver constants; arriving (odd-id) vectors
+    // route statelessly to their nearest frozen cell inside the
+    // micro-batch map (literal centroids, no shuffle per vector), and the
+    // only streaming state is the k-bounded per-cell occupancy aggregate
+    // (complete mode) — the index directory a serving tier reads. Oracle:
+    // the identical build + routing as one static SQL, grouped to
+    // occupancy. id_sum is the exact-integer membership checksum.
+    QueryDef(
+      "stream_ivf_append",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        val K = 8
+        val e = emb(s, dir).persist()
+        val cents = lloyd1Cents(e.filter(col("vec_id") % 2 === 0), K)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+          .sortBy(_._1)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .withColumn("n2", call_function("dotd", col("v"), col("v")))
+        val withScores = cents.foldLeft(src) { case (df, (cid, cv, cn2)) =>
+          df.withColumn(s"c$cid",
+            call_function("dotd", typedLit(cv), col("v")) /
+              (sqrt(lit(cn2)) * sqrt(col("n2"))))
+        }
+        val mx = greatest(cents.map { case (cid, _, _) => col(s"c$cid") }: _*)
+        // first max in ascending c_id order == row_number(ccos desc, c_id)
+        val cell = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
+          when(col(s"c$cid") === mx, lit(cid)).otherwise(acc)
+        }
+        val counts = withScores.withColumn("cell", cell)
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_routed"), sum("vec_id").as("id_sum"))
+        val name = "stream_ivfapp_" + System.nanoTime()
+        val sq = counts.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).select("cell", "n_routed", "id_sum").orderBy("cell")
+      },
+      Some(s"""WITH $embSql,
+             base AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+             incoming AS (SELECT * FROM emb WHERE vec_id % 2 = 1),
+             cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+                        FROM base WHERE vec_id < 16),
+             a0 AS (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT base.vec_id, base.v, base.n2, c.c_id,
+                   row_number() OVER (PARTITION BY base.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(base.n2)) DESC, c.c_id) AS rk
+                 FROM base, cents0 c)
+               WHERE rk = 1),
+             means AS (
+               SELECT cell, i AS dim,
+                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 (count(*) * 1000000000)::double AS m
+               FROM a0, range(1, 65) t(i)
+               GROUP BY cell, i),
+             cents1 AS (
+               SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM means GROUP BY cell),
+             cents1n AS (
+               SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
+             an AS (
+               SELECT vec_id, c_id AS cell FROM (
+                 SELECT incoming.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY incoming.vec_id ORDER BY
+                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(incoming.n2)) DESC, c.c_id) AS rk
+                 FROM incoming, cents1n c)
+               WHERE rk = 1)
+             SELECT cell, count(*) AS n_routed, sum(vec_id)::bigint AS id_sum
+             FROM an GROUP BY cell ORDER BY cell""")),
 
     // Product quantization with asymmetric distance computation (ADC) —
     // the memory-side ANN technique that pairs with IVF at 100 TB
