@@ -1267,6 +1267,56 @@ object TextQueries {
              FROM p CROSS JOIN n JOIN cum ON cum >= (pct * n + 99) // 100
              GROUP BY pct ORDER BY pct""")),
 
+    // Token-budget apportionment across domains — the mixture-planning
+    // step before sampling a training corpus: split a B=1e6-token budget
+    // over languages (a) proportionally with LARGEST-REMAINDER (Hamilton)
+    // rounding, so allocations are integers that sum to exactly B, and
+    // (b) sqrt-TEMPERATURE reweighted (the standard low-resource-upweight
+    // policy), as floor(B·√t_l / Σ√t). Exact cross-engine: shares are
+    // integer div/mod of exact token counts; √ is IEEE-correctly-rounded
+    // (the one libm-stable function), quantized to integer micro-units
+    // BEFORE the cross-domain sum. Scale: one map-side-combinable groupBy
+    // on lang; everything after runs on the domain-sized frame.
+    QueryDef(
+      "doc_token_budget",
+      (s, dir) => {
+        val B = 1000000L
+        val per = docs(s, dir).select(col("lang"), size(toks).as("n"))
+          .groupBy("lang").agg(sum(col("n").cast("long")).as("t"))
+          .withColumn("sq", floor(sqrt(col("t").cast("double")) * 1000000))
+        val tots = per.agg(sum("t").as("tt"), sum("sq").as("stot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(expr(s"(${B}L * t) % tt").desc, col("lang"))
+        per.crossJoin(broadcast(tots))
+          .withColumn("f", expr(s"${B}L * t div tt"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("ftot", sum("f").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("lang"), col("t"),
+            (col("f") + when(col("rn") <= lit(B) - col("ftot"), 1L)
+              .otherwise(0L)).as("alloc"),
+            expr(s"${B}L * sq div stot").as("alloc_t"))
+          .orderBy("lang")
+      },
+      Some("""WITH per AS (
+               SELECT lang, sum(len(string_split(text, ' ')))::bigint AS t
+               FROM documents GROUP BY lang),
+             pq AS (SELECT lang, t,
+                      floor(sqrt(t::double) * 1000000)::bigint AS sq FROM per),
+             tots AS (SELECT sum(t)::bigint AS tt, sum(sq)::bigint AS stot FROM pq),
+             ranked AS (
+               SELECT lang, t, sq, tt, stot,
+                 (1000000 * t) // tt AS f,
+                 row_number() OVER (
+                   ORDER BY (1000000 * t) % tt DESC, lang) AS rn,
+                 sum((1000000 * t) // tt) OVER () AS ftot
+               FROM pq CROSS JOIN tots)
+             SELECT lang, t,
+               (f + CASE WHEN rn <= 1000000 - ftot THEN 1 ELSE 0 END)::bigint
+                 AS alloc,
+               ((1000000 * sq) // stot)::bigint AS alloc_t
+             FROM ranked ORDER BY lang""")),
+
     // Stratified (per-language capped) sampling: deterministic hash order
     // within each stratum, row_number cap — the balanced-mix primitive for
     // domain/language reweighting. One shuffle on the stratum key; the
