@@ -448,4 +448,46 @@ class PlanAuditSpec extends SparkSpec {
       plan should not include "SortMergeJoin [vec_id"
     }
   }
+
+  test("graph_pagerank: loop lineage is checkpoint-truncated (plan does " +
+    "not grow with K) and nothing degenerates to a cartesian") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the final select reads the LAST checkpointed rank frame — K-1
+      // sweeps of join/agg lineage are gone from the plan
+      plan should include("ExistingRDD")
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  test("emb_rp_project: the projection is a pure in-row codegen fold — " +
+    "no hash exchange anywhere") {
+    val plan = finalPlan("emb_rp_project")
+    withClue(plan) {
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 0
+      plan should include("Generate posexplode")
+    }
+  }
+
+  test("doc_unigram_nll: the LM joins broadcast (surprisal per vocab " +
+    "entry, not per occurrence); no sort-merge on the token key") {
+    val plan = finalPlan("doc_unigram_nll")
+    withClue(plan) {
+      plan should include regex "BroadcastHashJoin \\[w"
+      plan should not include "SortMergeJoin [w"
+    }
+  }
+
+  test("doc_len_quantiles: quantiles come from the VALUE HISTOGRAM — " +
+    "the corpus is aggregated, never globally sorted") {
+    val plan = finalPlan("doc_len_quantiles")
+    withClue(plan) {
+      // histogram aggregate on the value key feeds the tiny cumsum window
+      plan should include regex "HashAggregate\\(keys=\\[len"
+      // no range-exchange of the raw per-document length rows
+      plan should not include "Exchange rangepartitioning(len"
+    }
+  }
 }
