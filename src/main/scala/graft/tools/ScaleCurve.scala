@@ -287,6 +287,21 @@ object ScaleCurve {
         graft.operators.Triangles.stats(pairs)
           .first().getAs[Long]("n_triangles")
       }
+      // PageRank: K=4 sweeps over a synthetic power-law-ish directed graph
+      // of m = n/4 edges on m/16 vertices. The claim under measurement:
+      // per-sweep cost is edge-join + node-agg on the ONE persisted src
+      // partitioning, so wall-clock grows ~linearly in edges and the
+      // iteration count multiplies, never compounds (lineage truncation).
+      time("pagerank", n / 4) {
+        val m = n / 4
+        val vtx = math.max(16L, m / 16L)
+        val edges = spark.range(m).select(
+          pmod(hash(col("id")), lit(vtx)).cast("long").as("src"),
+          pmod(hash(col("id") * 5 + 3), lit(vtx)).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.PageRank.run(edges, iterations = 4)
+          .agg(sum(col("rank_q"))).first().getLong(0)
+      }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
           when(pmod(hash(col("id")), lit(4)) === 0,
