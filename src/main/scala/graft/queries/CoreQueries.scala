@@ -1250,6 +1250,53 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, sid ORDER BY user_id, wstart""")),
 
+    // ---- Z-order layout (the OPTIMIZE ZORDER primitive) ----------------
+    // Multi-dimensional data layout: bit-interleave a 16-bit user-hash
+    // with a 16-bit hour-bucket into a 32-bit Morton key, shard by its
+    // high bits. Data written in z-order keeps BOTH dimensions locally
+    // clustered, so parquet min/max stats prune scans for user-predicates
+    // AND time-predicates at once — the layout story behind Delta/Iceberg
+    // OPTIMIZE ZORDER, here as a first-class deterministic operator (the
+    // interleave is 32 exact integer shift/mask terms, identical text on
+    // both engines). The query emits the layout's quality metrics: rows,
+    // distinct users, distinct hours and the z-range per shard. Plan:
+    // the Morton key is a pure map; the only shuffle is the 16-group agg.
+    QueryDef(
+      "ev_zorder_layout",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val aC = Q.hash60(concat(lit("z|"), col("user_id"))) % 65536
+        val hC = expr("ts div 3600000000")
+        val bC = hC % 65536
+        val z = (0 until 16).map { k =>
+          shiftleft(shiftright(aC, k).bitwiseAND(lit(1L)), 2 * k) +
+            shiftleft(shiftright(bC, k).bitwiseAND(lit(1L)), 2 * k + 1)
+        }.reduce(_ + _)
+        e.select(col("user_id"), hC.as("hr"), z.as("z"))
+          .withColumn("shard", expr("z div 268435456"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("hr")).as("n_hours"),
+            min("z").as("min_z"), max("z").as("max_z"))
+          .orderBy("shard")
+      },
+      Some {
+        val aE = s"(${Q.hash60Sql("'z|' || user_id")} % 65536)"
+        val bE = "(hr % 65536)"
+        val zTerms = (0 until 16).map(k =>
+          s"((($aE >> $k) & 1) << ${2 * k}) + ((($bE >> $k) & 1) << ${2 * k + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+            zt AS (SELECT user_id, hr, ($zTerms) AS z FROM b)
+            SELECT z // 268435456 AS shard, count(*) AS n,
+              count(DISTINCT user_id) AS n_users,
+              count(DISTINCT hr) AS n_hours,
+              min(z)::bigint AS min_z, max(z)::bigint AS max_z
+            FROM zt GROUP BY shard ORDER BY shard"""
+      }),
+
     // ---- skew-safe aggregation UNDER THE GATE (operators.Skew) ---------
     // event_type has 5 values over the whole table — the textbook mega-key
     // shape. Two-phase salted aggregation spreads each hot key over 8
