@@ -1250,6 +1250,48 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, sid ORDER BY user_id, wstart""")),
 
+    // ---- distribution drift monitoring (data-quality gate) -------------
+    // Per-day KL divergence of the event-type mix against the global
+    // reference distribution — the pipeline-monitoring primitive that
+    // catches upstream schema/mix breaks before they poison a training
+    // corpus. Emitted as n_d·KL in MICRO-NATS: each (day, type) cell
+    // contributes c_dt · floor(1e6 · ln(c_dt·N / (n_d·c_t))) — exact
+    // integer products, ONE double division, quantized ln (the
+    // doc_unigram_nll contract: ≤1-ulp libm drift vs a 1e-6 grid), then
+    // an exact integer sum. Scale shape: three map-side-combinable
+    // groupBys (day×type, day, type); the type table broadcasts; the
+    // per-cell math runs on the days×types frame, not the fact rows.
+    QueryDef(
+      "ev_drift_kl",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(expr("ts div 86400000000").as("day"),
+            col("event_type").as("t"))
+        val cdt = e.groupBy("day", "t").agg(count(lit(1)).as("c_dt"))
+        val nd = e.groupBy("day").agg(count(lit(1)).as("n_d"))
+        val ct = e.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val n = e.agg(count(lit(1)).as("nn"))
+        cdt.join(nd, "day").join(broadcast(ct), "t").crossJoin(broadcast(n))
+          .withColumn("term", col("c_dt") *
+            floor(log((col("c_dt") * col("nn")).cast("double") /
+              (col("n_d") * col("c_t")).cast("double")) * 1000000))
+          .groupBy("day")
+          .agg(max("n_d").as("n"), sum("term").as("kl_q"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (
+               SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t
+               FROM events),
+             cdt AS (SELECT day, t, count(*) AS c_dt FROM e GROUP BY day, t),
+             nd AS (SELECT day, count(*) AS n_d FROM e GROUP BY day),
+             ct AS (SELECT t, count(*) AS c_t FROM e GROUP BY t),
+             n AS (SELECT count(*) AS nn FROM e)
+             SELECT day, max(n_d) AS n,
+               sum(c_dt * floor(ln((c_dt * nn)::double /
+                 (n_d * c_t)::double) * 1000000)::bigint)::bigint AS kl_q
+             FROM cdt JOIN nd USING (day) JOIN ct USING (t) CROSS JOIN n
+             GROUP BY day ORDER BY day""")),
+
     // ---- Z-order layout (the OPTIMIZE ZORDER primitive) ----------------
     // Multi-dimensional data layout: bit-interleave a 16-bit user-hash
     // with a 16-bit hour-bucket into a 32-bit Morton key, shard by its

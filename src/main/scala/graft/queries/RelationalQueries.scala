@@ -703,6 +703,58 @@ object RelationalQueries {
            SELECT node, rank_q FROM ranked
            ORDER BY rank_q DESC, node LIMIT 20""")),
 
+    // MERGE INTO (upsert) semantics — the lakehouse CDC-apply primitive
+    // (Delta/Iceberg MERGE): a base snapshot receives a change batch of
+    // inserts, updates and deletes, applied declaratively as ONE
+    // full-outer join on the key + per-row case resolution. Base and
+    // changes are carved deterministically from orders by key residue so
+    // inserts are guaranteed-absent and updates/deletes guaranteed-
+    // present. Scale shape: the single fact-fact shuffle join on the long
+    // key IS the merge (AQE handles skew); the verification rollup is a
+    // tiny-group agg of decimal-exact sums.
+    QueryDef(
+      "ord_merge_upsert",
+      (s, dir) => {
+        val o = ord(s, dir)
+        val base = o.filter(col("o_orderkey") % 4 =!= 0)
+        val changes = o.select(col("o_orderkey"),
+            col("o_totalprice").as("c_price"),
+            col("o_orderpriority").as("c_pri"),
+            when(col("o_orderkey") % 4 === 0, "I")
+              .when(col("o_orderkey") % 4 === 1, "U")
+              .when(col("o_orderkey") % 4 === 2, "D").as("op"))
+          .filter(col("op").isNotNull)
+        val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
+          .filter(coalesce(col("op"), lit("")) =!= "D")
+          .select(
+            coalesce(col("o_orderpriority"), col("c_pri")).as("pri"),
+            when(col("op") === "U", col("o_totalprice") + 10.0)
+              .when(col("op") === "I", col("c_price"))
+              .otherwise(col("o_totalprice")).as("price"))
+        merged.groupBy("pri")
+          .agg(count(lit(1)).as("n"), Q.dsumD(col("price")).as("sum_price"))
+          .orderBy("pri")
+      },
+      Some("""WITH base AS (
+               SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+             changes AS (
+               SELECT o_orderkey, o_totalprice, o_orderpriority,
+                 CASE WHEN o_orderkey % 4 = 0 THEN 'I'
+                      WHEN o_orderkey % 4 = 1 THEN 'U'
+                      WHEN o_orderkey % 4 = 2 THEN 'D' END AS op
+               FROM orders
+               WHERE o_orderkey % 4 IN (0, 1, 2)),
+             merged AS (
+               SELECT coalesce(b.o_orderpriority, c.o_orderpriority) AS pri,
+                 CASE WHEN c.op = 'U' THEN b.o_totalprice + 10.0
+                      WHEN c.op = 'I' THEN c.o_totalprice
+                      ELSE b.o_totalprice END AS price
+               FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+               WHERE coalesce(c.op, '') <> 'D')
+             SELECT pri, count(*) AS n,
+               sum(price::decimal(38,6))::double AS sum_price
+             FROM merged GROUP BY pri ORDER BY pri""")),
+
     // FULL PageRank loop (K=4 synchronous sweeps) over the BIDIRECTED
     // part↔supplier purchase graph — pr_step_partsupp is one scatter;
     // this is the iterated operator (operators/PageRank.run) with the
