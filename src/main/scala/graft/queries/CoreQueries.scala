@@ -1250,6 +1250,96 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, sid ORDER BY user_id, wstart""")),
 
+    // ---- Markov transition matrix (sequence analytics) -----------------
+    // First-order event-type transition model per user timeline — the
+    // behavioral-model primitive next to the CEP/funnel queries: P(next
+    // type | type) as exact ppm. Scale shape: ONE user-keyed exchange +
+    // in-partition sort feeds the lead() window (the sessionization
+    // pattern); the transition aggregation collapses to |types|² cells
+    // map-side before its tiny shuffle.
+    QueryDef(
+      "ev_markov_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("seq"))
+        val tr = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("seq"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead("src", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
+        tr.join(broadcast(tot), "src")
+          .select(col("src"), col("dst"), col("n"),
+            expr("n * 1000000 div n_src").as("p_ppm"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH tr AS (
+               SELECT src, dst, count(*) AS n FROM (
+                 SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS dst
+                 FROM events)
+               WHERE dst IS NOT NULL GROUP BY src, dst),
+             tot AS (SELECT src, sum(n)::bigint AS n_src FROM tr GROUP BY src)
+             SELECT src, dst, n, (n * 1000000) // n_src AS p_ppm
+             FROM tr JOIN tot USING (src) ORDER BY src, dst""")),
+
+    // ---- A/B experiment readout (Welch t-statistic) --------------------
+    // The experimentation primitive: two deterministic arms (user parity),
+    // Welch's unequal-variance t on `value`. Determinism is the
+    // li_ols_brand contract hardened one notch: inputs quantize to exact
+    // integer CENTI-units (floor(x·1e2 + 0.5)), chosen so every decimal
+    // sum — including Σvc² — stays BELOW 2^53 and its double cast is
+    // exactly representable (measured: micro-units pushed Σvc² to ~2.5e19,
+    // where DuckDB's hugeint→double two-part conversion rounds differently
+    // from the JVM's correctly-rounded BigDecimal path by 1 ulp and the
+    // t chain amplified it to 3 ulps). With exactly-agreed operands the t
+    // formula is one identical chain of correctly-rounded double ops. One
+    // pass, conditional partial-agg sums, no shuffle beyond the 1-row agg.
+    QueryDef(
+      "ev_ab_ttest",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          (col("user_id") % 2).as("arm"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("double")
+        val g = e.agg(
+          count(when(col("arm") === 0, 1)).as("n_a"),
+          count(when(col("arm") === 1, 1)).as("n_b"),
+          dsum(when(col("arm") === 0, col("vc"))).as("s1a"),
+          dsum(when(col("arm") === 1, col("vc"))).as("s1b"),
+          dsum(when(col("arm") === 0, col("vc") * col("vc"))).as("s2a"),
+          dsum(when(col("arm") === 1, col("vc") * col("vc"))).as("s2b"))
+        g.select(col("n_a"), col("n_b"),
+          expr("s1a / n_a").as("mean_a_centi"),
+          expr("s1b / n_b").as("mean_b_centi"),
+          expr("""(s1a / n_a - s1b / n_b) /
+                  sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                       ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)""")
+            .as("t_stat"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id % 2 AS arm,
+                 floor(value * 100 + 0.5)::bigint AS vc FROM events),
+             g AS (
+               SELECT
+                 count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+                 count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+                 sum((CASE WHEN arm = 0 THEN vc END)::decimal(38,0))::double AS s1a,
+                 sum((CASE WHEN arm = 1 THEN vc END)::decimal(38,0))::double AS s1b,
+                 sum((CASE WHEN arm = 0 THEN vc * vc END)::decimal(38,0))::double AS s2a,
+                 sum((CASE WHEN arm = 1 THEN vc * vc END)::decimal(38,0))::double AS s2b
+               FROM e)
+             SELECT n_a, n_b,
+               s1a / n_a AS mean_a_centi,
+               s1b / n_b AS mean_b_centi,
+               (s1a / n_a - s1b / n_b) /
+                 sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                      ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b) AS t_stat
+             FROM g""")),
+
     // ---- distribution drift monitoring (data-quality gate) -------------
     // Per-day KL divergence of the event-type mix against the global
     // reference distribution — the pipeline-monitoring primitive that

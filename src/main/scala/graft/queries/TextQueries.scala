@@ -406,6 +406,55 @@ object TextQueries {
            FROM docw JOIN encoded USING (w)
            GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "))),
 
+    // Tokenize AT INGEST — the streaming completion of the BPE story:
+    // the merge table is trained batch-side on the historical corpus
+    // (the same 8-round loop as doc_bpe_train) and FROZEN as `rounds`
+    // driver-resident rules; arriving documents are then tokenized
+    // STATELESSLY inside the micro-batch map — segExpr folds the whole
+    // merge chain into one nested-replace expression applied per word
+    // in-row (no distinct-word frame exists at ingest time; that is the
+    // deliberate batch-vs-ingest trade this pair documents). Zero
+    // streaming state; docs with no tokenizable word are dropped exactly
+    // like the batch join does. Oracle: identical to doc_bpe_encode —
+    // the stream sees the same corpus the batch pass encodes.
+    QueryDef(
+      "stream_bpe_encode",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+        val merges = graft.operators.BPE.train(words, rounds = 8)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val wordsC = filter(split(lower(col("text")), " "),
+          w => w.rlike("^[a-z0-9]+$"))
+        val nToks = aggregate(wordsC, lit(0L), (acc, w) =>
+          acc + size(regexp_extract_all(
+            graft.operators.BPE.segExpr(w, merges), lit("[^|]+"), lit(0)))
+            .cast("long"))
+        val out = src.select(col("doc_id"), nToks.as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val name = "stream_bpe_" + System.nanoTime()
+        val sq = out.writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.BPE.encodeOracleWith(
+        """SELECT w, count(*) AS wn FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 8) +
+        """, docw AS (
+             SELECT doc_id, w FROM (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+             WHERE regexp_full_match(w, '[a-z0-9]+'))
+           SELECT doc_id, sum(n_toks)::bigint AS n_tokens
+           FROM docw JOIN encoded USING (w)
+           GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "))),
+
     // Deterministic sampling: hash-gate instead of seeded RNG — the same
     // 10% sample on any engine, any partitioning, any run.
     QueryDef(
