@@ -302,6 +302,23 @@ object ScaleCurve {
         graft.operators.PageRank.run(edges, iterations = 4)
           .agg(sum(col("rank_q"))).first().getLong(0)
       }
+      // CDC MERGE apply: base (3/4 of keys) full-outer-joined with a
+      // change batch (insert/update/delete split by residue) — claim:
+      // one fact-fact long-key shuffle join, linear in |base|+|changes|.
+      time("merge_upsert", n) {
+        val base = spark.range(n).filter(col("id") % 4 =!= 0)
+          .select(col("id"), (pmod(hash(col("id")), lit(100000)) / 100.0).as("price"))
+        val changes = spark.range(n).filter(col("id") % 4 < 3)
+          .select(col("id"), lit(1.0).as("c_price"),
+            when(col("id") % 4 === 0, "I").when(col("id") % 4 === 1, "U")
+              .otherwise("D").as("op"))
+        base.join(changes, Seq("id"), "full_outer")
+          .filter(coalesce(col("op"), lit("")) =!= "D")
+          .select(when(col("op") === "U", col("price") + 10.0)
+            .when(col("op") === "I", col("c_price"))
+            .otherwise(col("price")).as("p"))
+          .agg(count(col("p"))).first().getLong(0)
+      }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
           when(pmod(hash(col("id")), lit(4)) === 0,
