@@ -1382,6 +1382,62 @@ object CoreQueries {
              FROM cdt JOIN nd USING (day) JOIN ct USING (t) CROSS JOIN n
              GROUP BY day ORDER BY day""")),
 
+    // Ingest-time twin of ev_drift_kl: the reference mix (per-type counts
+    // + total) is computed batch-side from history and FROZEN as literals;
+    // the stream maintains only the (day × type) count state (complete
+    // mode — day-count-bounded, the monitoring dashboard's own size) and
+    // the KL readout runs on the tiny post-sink frame. Same micro-nat
+    // integer contract as the batch query; the oracle is identical
+    // because the stream replays the same corpus the reference was
+    // computed from.
+    QueryDef(
+      "stream_drift_kl",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val batch = Tables.events(s, dir)
+          .select(col("event_type").as("t"))
+        val ctRows = batch.groupBy("t").agg(count(lit(1)).as("c_t")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val nn = ctRows.map(_._2).sum
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val counts = src
+          .select(graft.core.Tables.tsUsExpr(schema).as("tsu"),
+            col("event_type").as("t"))
+          .select(expr("tsu div 86400000000").as("day"), col("t"))
+          .groupBy("day", "t").agg(count(lit(1)).as("c_dt"))
+        val name = "stream_kl_" + System.nanoTime()
+        val sq = counts.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try sq.processAllAvailable() finally sq.stop()
+        import s.implicits._
+        // localCheckpoint: the memory-sink MemoryPlan does not support
+        // self-join attribute dedup — snapshot it into an ExistingRDD
+        val cdt = s.table(name).localCheckpoint()
+        val nd = cdt.groupBy("day").agg(sum("c_dt").as("n_d"))
+        val ctDf = ctRows.toSeq.toDF("t", "c_t")
+        cdt.join(nd, "day").join(broadcast(ctDf), "t")
+          .withColumn("term", col("c_dt") *
+            floor(log((col("c_dt") * lit(nn)).cast("double") /
+              (col("n_d") * col("c_t")).cast("double")) * 1000000))
+          .groupBy("day")
+          .agg(max("n_d").as("n"), sum("term").as("kl_q"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (
+               SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t
+               FROM events),
+             cdt AS (SELECT day, t, count(*) AS c_dt FROM e GROUP BY day, t),
+             nd AS (SELECT day, count(*) AS n_d FROM e GROUP BY day),
+             ct AS (SELECT t, count(*) AS c_t FROM e GROUP BY t),
+             n AS (SELECT count(*) AS nn FROM e)
+             SELECT day, max(n_d) AS n,
+               sum(c_dt * floor(ln((c_dt * nn)::double /
+                 (n_d * c_t)::double) * 1000000)::bigint)::bigint AS kl_q
+             FROM cdt JOIN nd USING (day) JOIN ct USING (t) CROSS JOIN n
+             GROUP BY day ORDER BY day""")),
+
     // ---- Z-order layout (the OPTIMIZE ZORDER primitive) ----------------
     // Multi-dimensional data layout: bit-interleave a 16-bit user-hash
     // with a 16-bit hour-bucket into a 32-bit Morton key, shard by its
