@@ -1250,6 +1250,33 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, sid ORDER BY user_id, wstart""")),
 
+    // ---- user growth curve (first-seen histogram) ----------------------
+    // Cumulative distinct users per day WITHOUT a running count-distinct:
+    // per-user min(first day) — one map-side-combinable groupBy on the
+    // user key — then a new-users histogram and a cumsum over the tiny
+    // day frame. The classic growth-accounting decomposition that scales
+    // where `count(DISTINCT) OVER (ORDER BY day)` cannot.
+    QueryDef(
+      "ev_cumulative_users",
+      (s, dir) => {
+        val first = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+          .groupBy("user_id").agg(min("day").as("day"))
+        first.groupBy("day").agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(
+            org.apache.spark.sql.expressions.Window.orderBy("day")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .orderBy("day")
+      },
+      Some("""WITH first AS (
+               SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+               FROM events GROUP BY user_id),
+             nd AS (SELECT day, count(*) AS new_users FROM first GROUP BY day)
+             SELECT day, new_users,
+               sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 ::bigint AS cum_users
+             FROM nd ORDER BY day""")),
+
     // ---- Markov transition matrix (sequence analytics) -----------------
     // First-order event-type transition model per user timeline — the
     // behavioral-model primitive next to the CEP/funnel queries: P(next

@@ -1366,6 +1366,91 @@ object TextQueries {
                ((1000000 * sq) // stot)::bigint AS alloc_t
              FROM ranked ORDER BY lang""")),
 
+    // HELD-OUT perplexity — the real CCNet deployment shape: the LM is
+    // trained on the train split (doc_split's hash-range assignment,
+    // leak-free by construction) and scores the TEST split, where unseen
+    // words exist, so smoothing matters: add-one over (T + V) gives OOV
+    // tokens the 1/(T+V) floor. Same quantized-ln contract as
+    // doc_unigram_nll (the surprisal here is evaluated per test-token
+    // occurrence after the broadcast vocab left-join — OOV rows have no
+    // vocab entry to precompute on). n_oov per doc is the standard
+    // secondary quality gate.
+    QueryDef(
+      "doc_heldout_ppl",
+      (s, dir) => {
+        val withSplit = docs(s, dir).withColumn("h",
+          Q.hash60(concat(lit("split|"), col("doc_id"))) % 100)
+        val cnt = withSplit.filter(col("h") < 80)
+          .select(explode(toks).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val stats = cnt.agg(sum("c").as("tt"), count(lit(1)).as("vv"))
+        withSplit.filter(col("h") >= 90)
+          .select(col("doc_id"), explode(toks).as("w"))
+          .join(broadcast(cnt), Seq("w"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("cw", coalesce(col("c"), lit(0L)))
+          .withColumn("s_q", floor(log(
+            (col("tt") + col("vv")).cast("double") /
+              (col("cw") + 1).cast("double")) * 10000))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("cw") === 0, 1).otherwise(0)).as("n_oov"),
+            sum("s_q").as("nll_q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+               SELECT doc_id, text,
+                 ${Q.hash60Sql("'split|' || doc_id")} % 100 AS h
+               FROM documents),
+             tr AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM d WHERE h < 80),
+             cnt AS (SELECT w, count(*) AS c FROM tr GROUP BY w),
+             st AS (SELECT sum(c)::bigint AS tt, count(*) AS vv FROM cnt),
+             te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM d WHERE h >= 90)
+             SELECT doc_id, count(*) AS n_tok,
+               sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::bigint AS n_oov,
+               sum(floor(ln((tt + vv)::double /
+                 (coalesce(c, 0) + 1)::double) * 10000)::bigint)::bigint
+                 AS nll_q
+             FROM te LEFT JOIN cnt USING (w) CROSS JOIN st
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-group exact quantiles: the doc_len_quantiles histogram plan
+    // with the group key carried through — the cumsum window partitions
+    // BY LANG (parallel across groups, each over its own tiny value
+    // histogram), so the profile of every domain comes out of one pass.
+    QueryDef(
+      "doc_len_quantiles_by_lang",
+      (s, dir) => {
+        import s.implicits._
+        val lens = docs(s, dir)
+          .select(col("lang"), size(toks).as("len"))
+        val cum = lens.groupBy("lang", "len").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")
+              .orderBy("len")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val tgt = lens.groupBy("lang").agg(count(lit(1)).as("n"))
+          .crossJoin(Seq(25, 50, 75, 90, 99).toDF("pct"))
+          .withColumn("rk", expr("(pct * n + 99) div 100"))
+        tgt.join(cum, Seq("lang")).filter(col("cum") >= col("rk"))
+          .groupBy("lang", "pct").agg(min("len").as("len"))
+          .orderBy("lang", "pct")
+      },
+      Some("""WITH lens AS (
+               SELECT lang, len(string_split(text, ' ')) AS len FROM documents),
+             cum AS (SELECT lang, len, sum(count(*)) OVER (PARTITION BY lang
+                       ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM lens GROUP BY lang, len),
+             tgt AS (SELECT lang, pct, (pct * n + 99) // 100 AS rk
+                     FROM (SELECT lang, count(*) AS n FROM lens GROUP BY lang)
+                     CROSS JOIN (SELECT unnest([25, 50, 75, 90, 99]) AS pct))
+             SELECT lang, pct, min(len) AS len
+             FROM tgt JOIN cum USING (lang)
+             WHERE cum >= rk
+             GROUP BY lang, pct ORDER BY lang, pct""")),
+
     // Stratified (per-language capped) sampling: deterministic hash order
     // within each stratum, row_number cap — the balanced-mix primitive for
     // domain/language reweighting. One shuffle on the stratum key; the
