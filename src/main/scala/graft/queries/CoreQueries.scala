@@ -1250,6 +1250,45 @@ object CoreQueries {
                          FROM events))
              GROUP BY user_id, sid ORDER BY user_id, wstart""")),
 
+    // ---- volume anomaly detection (z-score gate) -----------------------
+    // Daily event-volume z-scores against the corpus-wide mean/std — the
+    // ops-alerting primitive next to ev_drift_kl's mix monitor. Exact
+    // integer day counts feed one deterministic IEEE chain (mean, Welch-
+    // style variance, sqrt, ratio), quantized to z·1e4 with the +0.5
+    // round-half-up both engines share; the flag is an integer compare on
+    // the quantized value, so no float boundary can disagree. Scale: one
+    // map-side day histogram; everything after runs on the day frame.
+    QueryDef(
+      "ev_anomaly_zscore",
+      (s, dir) => {
+        val nd = Tables.events(s, dir)
+          .select(expr("ts div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val st = nd.agg(count(lit(1)).as("d"),
+          sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+        nd.crossJoin(broadcast(st))
+          .withColumn("z_q", floor(
+            ((col("n") - col("s1").cast("double") / col("d")) /
+              sqrt(((col("s2") - col("s1").cast("double") * col("s1") / col("d")) /
+                (col("d") - 1)).cast("double"))) * 10000 + 0.5).cast("long"))
+          .select(col("day"), col("n"), col("z_q"),
+            (abs(col("z_q")) >= 15000).cast("int").as("flag"))
+          .orderBy("day")
+      },
+      Some("""WITH nd AS (
+               SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+               FROM events GROUP BY day),
+             st AS (SELECT count(*) AS d, sum(n)::bigint AS s1,
+                      sum(n * n)::bigint AS s2 FROM nd)
+             SELECT day, n,
+               floor(((n - s1::double / d) /
+                 sqrt((s2 - s1::double * s1 / d) / (d - 1))) * 10000 + 0.5)
+                 ::bigint AS z_q,
+               (abs(floor(((n - s1::double / d) /
+                 sqrt((s2 - s1::double * s1 / d) / (d - 1))) * 10000 + 0.5))
+                 >= 15000)::int AS flag
+             FROM nd CROSS JOIN st ORDER BY day""")),
+
     // ---- user growth curve (first-seen histogram) ----------------------
     // Cumulative distinct users per day WITHOUT a running count-distinct:
     // per-user min(first day) — one map-side-combinable groupBy on the
