@@ -1328,12 +1328,15 @@ object CoreQueries {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts"), col("seq"))
+        // persisted: the row-normalizer reads the same |types|² frame —
+        // without it the user-keyed window pass runs twice
         val tr = Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("seq"),
             col("event_type").as("src"))
           .withColumn("dst", lead("src", 1).over(w))
           .filter(col("dst").isNotNull)
           .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .persist()
         val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
         tr.join(broadcast(tot), "src")
           .select(col("src"), col("dst"), col("n"),

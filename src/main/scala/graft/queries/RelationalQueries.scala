@@ -703,6 +703,51 @@ object RelationalQueries {
            SELECT node, rank_q FROM ranked
            ORDER BY rank_q DESC, node LIMIT 20""")),
 
+    // Revenue concentration (Pareto front): how many top parts cover
+    // 50/80/90% of revenue. The scale plan is the profiling pattern in
+    // reverse: exact per-part cent revenues, then a GLOBAL cumulative sum
+    // over the revenue-descending order via the two-pass DistributedScan
+    // prefix technique (parallel within range partitions + P-row offset
+    // broadcast) — never a single-partition window over the part universe
+    // — and threshold pick by integer rank formula. rk is a running
+    // count(1) through the same scan, so rank and cumsum ride ONE
+    // exchange.
+    QueryDef(
+      "li_pareto_share",
+      (s, dir) => {
+        import s.implicits._
+        val rev = li(s, dir)
+          .select(col("l_partkey").as("p"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+              + 0.5).cast("long").as("rc"))
+          .groupBy("p").agg(sum("rc").as("r"))
+        val scanned = graft.operators.DistributedScan.runningAggs(
+          rev.select((-col("r")).as("ts"), col("p").as("seq"), col("r")),
+          "ts", "seq",
+          Seq(("cum", col("r"), "sum"), ("rk", lit(1L), "sum")))
+        val tot = rev.agg(sum("r").as("tr"))
+        Seq(50, 80, 90).toDF("pct").crossJoin(broadcast(tot))
+          .join(scanned, expr("cum >= (pct * tr + 99) div 100"))
+          .groupBy("pct").agg(min("rk").as("n_parts"))
+          .orderBy("pct")
+      },
+      Some("""WITH rev AS (
+               SELECT l_partkey AS p,
+                 sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                   ::bigint)::bigint AS r
+               FROM lineitem GROUP BY l_partkey),
+             ranked AS (
+               SELECT r, row_number() OVER (ORDER BY r DESC, p) AS rk,
+                 sum(r) OVER (ORDER BY r DESC, p ROWS UNBOUNDED PRECEDING)
+                   AS cum
+               FROM rev),
+             tot AS (SELECT sum(r)::bigint AS tr FROM rev),
+             pcts AS (SELECT unnest([50, 80, 90]) AS pct)
+             SELECT pct, min(rk)::bigint AS n_parts
+             FROM pcts CROSS JOIN tot
+               JOIN ranked ON cum >= (pct * tr + 99) // 100
+             GROUP BY pct ORDER BY pct""")),
+
     // MERGE INTO (upsert) semantics — the lakehouse CDC-apply primitive
     // (Delta/Iceberg MERGE): a base snapshot receives a change batch of
     // inserts, updates and deletes, applied declaratively as ONE

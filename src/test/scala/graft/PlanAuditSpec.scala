@@ -480,6 +480,67 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("doc_heldout_ppl: train vocab broadcasts into the test-token " +
+    "left join — no sort-merge on the token key") {
+    val plan = finalPlan("doc_heldout_ppl")
+    withClue(plan) {
+      plan should include regex "BroadcastHashJoin \\[w"
+      plan should not include "SortMergeJoin [w"
+    }
+  }
+
+  test("ev_markov_transitions: the lead window partitions by user; the " +
+    "persisted transition frame is REUSED by the row normalizer (the " +
+    "user-keyed exchange executes once)") {
+    val plan = finalPlan("ev_markov_transitions")
+    withClue(plan) {
+      plan should include regex "windowspecdefinition\\(user_id"
+      // both consumers read the cached |types|² frame — the fact-sized
+      // window pass is not recomputed per branch
+      plan should include("InMemoryTableScan")
+    }
+  }
+
+  test("emb_pca_power: the Gram matrix comes from an in-row outer-product " +
+    "explosion — no join anywhere in the accumulation") {
+    val df = SparkEntry.queries("emb_pca_power")(spark, dir)
+    df.collect()
+    // the RESULT frame is a driver-side literal (bounded d×d state); the
+    // audit target is the accumulation plan itself
+    import org.apache.spark.sql.functions.{col, element_at, explode,
+      flatten, floor, lit, sequence, struct, sum, transform}
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val terms = emb.select(
+      explode(flatten(transform(sequence(lit(0), lit(63)), i =>
+        transform(sequence(lit(0), lit(63)), j =>
+          struct(i.as("i"), j.as("j"),
+            (floor(element_at(col("v"), i + 1) * 1000) *
+              floor(element_at(col("v"), j + 1) * 1000)).as("p")))))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("c"))
+    terms.collect()
+    val plan = terms.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "Join"
+      plan should include("Generate explode")
+      // partial agg before the dim²-group exchange
+      plan should include regex "HashAggregate\\(keys=\\[i"
+    }
+  }
+
+  test("li_pareto_share: the global revenue cumsum is the two-pass " +
+    "DistributedScan — no single-partition window over the part universe") {
+    val df = SparkEntry.queries("li_pareto_share")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // pass 1 windows partition by the scan pid, never empty-partition
+      plan should include regex "windowspecdefinition\\(__scan_pid"
+      plan should include("rangepartitioning")
+    }
+  }
+
   test("doc_len_quantiles: quantiles come from the VALUE HISTOGRAM — " +
     "the corpus is aggregated, never globally sorted") {
     val plan = finalPlan("doc_len_quantiles")
