@@ -50,6 +50,74 @@ object TextQueries {
   private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
     MediaFixtures.cached(s, dir, "audio")(audioClipsBuild(s, dir))
 
+  /** Deterministic synthetic 16×16 GRAYSCALE PNG per doc (real
+    * `javax.imageio` encode): group-dependent integer pattern
+    * (group = doc_id % 32) plus one doc-dependent single-pixel bump of
+    * ≤3 luma — same-group images land within a few aHash Hamming bits.
+    * Grayscale makes Rec.601 luma the pixel value EXACTLY
+    * ((299v+587v+114v)/1000 = v), and PNG is lossless, so the oracle
+    * recomputes the hash straight from the pixel formula.
+    */
+  private def imageClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
+    MediaFixtures.cached(s, dir, "image")(imageClipsBuild(s, dir))
+
+  private def imageClipsBuild(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+    implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
+    docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val nx = (id * 31 % 16).toInt
+          val ny = (id * 17 % 16).toInt
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val v = (((x * 7 + y * 13 + (id % 32) * 29) % 17) * 15 +
+                (if (x == nx && y == ny) (id % 4).toInt else 0)).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id, bos.toByteArray,
+            Multimodal.MediaMeta("image", 16, 16, 0, 1))
+        }
+      }
+  }
+
+  /** Oracle CTE recomputing [[Codecs.aHash]] in DuckDB straight from the
+    * pixel formula (PNG round trip is lossless; grayscale ⇒ luma = v).
+    * 16×16 into the 8×8 aHash grid gives 2×2-pixel cells (4 px each,
+    * n = 256), so the exact bit decision sums(c)·n > total·cnts(c)
+    * reduces to sv·64 > t. The 64-bit hash assembles as two 32-bit
+    * halves folded to the signed Long Spark produces (the audioFpCte
+    * convention).
+    */
+  private val imageFpCte: String = """WITH px AS (
+      SELECT doc_id AS id, x, y,
+        ((x*7 + y*13 + (doc_id % 32) * 29) % 17) * 15
+          + CASE WHEN x = (doc_id * 31) % 16 AND y = (doc_id * 17) % 16
+                 THEN doc_id % 4 ELSE 0 END AS v
+      FROM documents, range(16) tx(x), range(16) ty(y)),
+    cells AS (SELECT id, (y // 2) * 8 + (x // 2) AS c, sum(v)::bigint AS sv
+              FROM px GROUP BY id, (y // 2) * 8 + (x // 2)),
+    ct AS (SELECT id, list(sv ORDER BY c) AS cs, sum(sv)::bigint AS t
+           FROM cells GROUP BY id),
+    ph AS (
+      SELECT id,
+        (CASE WHEN hi >= 2147483648 THEN (hi - 4294967296)*4294967296 + lo
+              ELSE hi*4294967296 + lo END)::bigint AS phash
+      FROM (SELECT id,
+        list_sum([CASE WHEN cs[b+1] * 64 > t THEN (1::bigint << b) ELSE 0 END
+                  for b in range(32)])::bigint AS lo,
+        list_sum([CASE WHEN cs[b+33] * 64 > t THEN (1::bigint << b) ELSE 0 END
+                  for b in range(32)])::bigint AS hi
+        FROM ct))"""
+
   private def audioClipsBuild(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
     implicit val enc: Encoder[Multimodal.MediaRow] = Encoders.product[Multimodal.MediaRow]
     docs(s, dir).select(col("doc_id").cast("long")).as(Encoders.scalaLong)
@@ -1732,6 +1800,30 @@ object TextQueries {
     // identical fingerprint from the same integer formula, so this verifies
     // the whole encode -> decode -> fingerprint chain bit-exactly. Blobs
     // never shuffle; 16 bytes leave each clip.
+    // Image perceptual hash (aHash) over REAL PNG decode — the image
+    // column's 64-bit signature, computed partition-local (blobs never
+    // shuffle, 16 bytes out per image). The oracle recomputes the hash
+    // from the shared pixel formula — the PNG round trip is lossless.
+    QueryDef(
+      "mm_image_phash",
+      (s, dir) =>
+        Codecs.imageHashes(imageClips(s, dir)).toDF("id", "phash")
+          .orderBy("id"),
+      Some(s"""$imageFpCte SELECT id, phash FROM ph ORDER BY id""")),
+
+    // Image near-dup pairs through the shared 4×16-bit Hamming-banded
+    // core (pigeonhole-exact at distance ≤ 3) — same-group fixtures
+    // differ by one ≤3-luma pixel, so re-encodes land within a few bits.
+    QueryDef(
+      "mm_image_neardup",
+      (s, dir) =>
+        Codecs.imageNearDups(imageClips(s, dir), 3).orderBy("id_a", "id_b"),
+      Some(s"""$imageFpCte
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM ph a JOIN ph b
+               ON a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 3
+             ORDER BY id_a, id_b""")),
+
     QueryDef(
       "mm_audio_fp",
       (s, dir) =>
