@@ -1280,9 +1280,12 @@ object SimilarityQueries {
       "emb_pca_power",
       (s, dir) => {
         import s.implicits._
+        // UPPER TRIANGLE only (2080 terms/row instead of 4096): the Gram
+        // is symmetric and xq_i·xq_j commutes, so mirroring the collected
+        // triangle is bit-identical to accumulating both halves
         val terms = emb(s, dir).select(
           explode(flatten(transform(sequence(lit(0), lit(63)), i =>
-            transform(sequence(lit(0), lit(63)), j =>
+            transform(sequence(i, lit(63)), j =>
               struct(i.as("i"), j.as("j"),
                 (floor(element_at(col("v"), i + 1) * 1000) *
                   floor(element_at(col("v"), j + 1) * 1000)).as("p"))))))
@@ -1290,7 +1293,10 @@ object SimilarityQueries {
           .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
         val g = Array.ofDim[Long](64, 64)
         terms.groupBy("i", "j").agg(sum("p").as("c")).collect()
-          .foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+          .foreach { r =>
+            g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+            g(r.getInt(1))(r.getInt(0)) = r.getLong(2)
+          }
         val v = graft.operators.Pca.powerIteration(g, rounds = 8)
         v.zipWithIndex.map { case (x, d) => (d, x) }.toSeq
           .toDF("dim", "v_ppm").orderBy("dim")
