@@ -36,6 +36,22 @@ class PageRankSpec extends SparkSpec {
     r1 shouldBe r8
   }
 
+  test("dangling nodes keep teleport-only rank and their mass leaks " +
+    "(documented semantics, not conservation)") {
+    // a -> b, b has no out-edges: b's inflow never recirculates
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val base = 1000000000000L / 2
+    val got = PageRank.run(e, 2).orderBy("node")
+      .as[(String, Long)].collect().toSeq
+    // iter1: a gets teleport only; b gets 85%*a0 + teleport
+    // iter2: a teleport only again; b gets 85%*a1 + teleport
+    val a1 = (15L * base) / 100
+    val b2 = (85L * a1 + 15L * base) / 100
+    got shouldBe Seq(("a", a1), ("b", b2))
+    // leaked: b's iter-1 mass vanished — total is below the start mass
+    (got.map(_._2).sum) should be < 2 * base
+  }
+
   test("contraction: rank movement shrinks per iteration on a ring+chords graph") {
     val edges = (0 until 12).map(i => (s"n$i", s"n${(i + 1) % 12}")) ++
       Seq(("n0", "n6"), ("n3", "n9"), ("n6", "n0"))
