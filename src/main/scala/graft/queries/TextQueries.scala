@@ -36,6 +36,11 @@ object TextQueries {
       })
       s.read.parquet(p).as[Multimodal.MediaRow]
     }
+
+    /** Fixture parquet root for a kind already built via [[cached]] —
+      * the file-stream source path for the ingest-time twins.
+      */
+    def rootOf(dir: String, kind: String): String = cache(kind + "|" + dir)
   }
 
   /** Deterministic synthetic PCM16 clip per doc, encoded as a genuine WAV
@@ -1823,6 +1828,32 @@ object TextQueries {
              FROM ph a JOIN ph b
                ON a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 3
              ORDER BY id_a, id_b""")),
+
+    // Ingest-time image fingerprinting: the aHash computed INSIDE the
+    // arriving micro-batch (partition-local mapPartitions on the
+    // streaming Dataset — blobs never shuffle, zero streaming state),
+    // completing the at-ingest story across modalities (text:
+    // stream_bpe_encode, vectors: stream_ivf_append, monitoring:
+    // stream_drift_kl). Oracle identical to mm_image_phash — the stream
+    // replays the same fixture corpus.
+    QueryDef(
+      "stream_image_phash",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        implicit val enc: Encoder[Multimodal.MediaRow] =
+          Encoders.product[Multimodal.MediaRow]
+        imageClips(s, dir) // ensure the fixture parquet exists
+        val root = MediaFixtures.rootOf(dir, "image")
+        val schema = s.read.parquet(root).schema
+        val src = s.readStream.schema(schema).parquet(root)
+          .as[Multimodal.MediaRow]
+        val hashed = Codecs.imageHashes(src).toDF("id", "phash")
+        val name = "stream_imgfp_" + System.nanoTime()
+        val sq = hashed.writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("id")
+      },
+      Some(s"""$imageFpCte SELECT id, phash FROM ph ORDER BY id""")),
 
     QueryDef(
       "mm_audio_fp",
