@@ -157,14 +157,32 @@ object Bench {
     System.out.flush()
   }
 
-  /** `BENCH_r{N}.json` where N = max driver correctness-snapshot round on
-    * disk + 1, zero-padded to two digits (the r01..r05 convention;
-    * VERDICT r5 #8). None outside a round workspace (no snapshots). */
+  /** `BENCH_r{N}.json` zero-padded to two digits (the r01..r05
+    * convention; VERDICT r5 #8). The current round N is anchored on
+    * VERDICT.md's "round M" header (written by the judge at the END of
+    * round M, so it reads M for the whole of round M+1) — NOT on
+    * max(CORRECTNESS_r*)+1, which flips mid-round the moment the driver
+    * writes CORRECTNESS_r{N} and mislabeled round-6's final bench as
+    * BENCH_r07 (VERDICT r6 #2). Fallback when VERDICT.md is absent
+    * (round 1) or unparseable: max correctness round + 1 as before.
+    * None outside a round workspace (no snapshots, no verdict). */
   private def roundSnapshotName(): Option[String] = {
-    val re = "CORRECTNESS_r(\\d+)\\.json".r
-    val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-    rounds.maxOption.map(n => f"BENCH_r${n + 1}%02d.json")
+    val verdictRound =
+      try {
+        val p = Paths.get("VERDICT.md")
+        if (Files.exists(p))
+          "round\\s+(\\d+)".r
+            .findFirstMatchIn(Files.readString(p).linesIterator.take(3).mkString(" "))
+            .map(_.group(1).toInt + 1)
+        else None
+      } catch { case _: Throwable => None }
+    val correctnessRound = {
+      val re = "CORRECTNESS_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .maxOption.map(_ + 1)
+    }
+    verdictRound.orElse(correctnessRound).map(n => f"BENCH_r$n%02d.json")
   }
 
   /** Run tools/duck_bench.py on the same sfDir over the named oracle

@@ -21,6 +21,23 @@ object Slice {
     */
   final case class Tumbling(widthTs: Long) extends Slice
 
+  /** Hopping (sliding) time slices: width `widthTs`, advancing every
+    * `stepTs` (both in `ts` units, step ≤ width). NOT in the reference
+    * (SURVEY §2.6 lists sliding as absent) — added as the batch twin of
+    * Structured Streaming's `window(col, width, slide)` so the two paths
+    * share one vocabulary. Each row lands in ceil(width/step) windows
+    * (the overlap factor), so the kernel EXPANDS rows: `window_id` = the
+    * hop index w covering the row, window w spanning
+    * [w·step, w·step + width) — identical to Spark's native slide
+    * bucketing (negative ids near t=0 included). Embarrassingly
+    * parallel: a per-row integer `sequence` + `explode`, no ordering, no
+    * shuffle; the ×(width/step) row expansion is the operator's own
+    * output cost, same as the streaming engine's multi-window insert.
+    */
+  final case class Hopping(widthTs: Long, stepTs: Long) extends Slice {
+    require(stepTs > 0 && widthTs >= stepTs, "need 0 < step <= width")
+  }
+
   /** Every-N-events slices — scespet `Events(n)` / `3.events`
     * (SliceTriggerSpec.scala:53-56, NthEvent BucketBuilderImpl.scala:7-21).
     * Count-based, so inherently order-dependent: needs a sort per key.
@@ -87,6 +104,20 @@ object WindowKernel {
       // Contract: ts >= 0 (epoch time) — `div` truncates toward zero, so a
       // negative ts would disagree with DuckDB's flooring `//`.
       df.withColumn(WindowId, expr(s"CAST(`$tsCol` AS BIGINT) div ${width}L"))
+
+    case Slice.Hopping(width, step) =>
+      // covering hop ids: w_max = ts div step (exact for ts >= 0);
+      // w_min = floorDiv(ts - width, step) + 1 — (ts - width) can be
+      // negative near t=0 where Spark `div` truncates toward zero, so
+      // floor is restored with the (a % step < 0) correction (step > 0).
+      // Exact int64 arithmetic throughout: double floor(a/b) would lose
+      // precision past 2^53 for epoch-nano axes.
+      val t = s"CAST(`$tsCol` AS BIGINT)"
+      val a = s"($t - ${width}L)"
+      // floorDiv(a, step) + 1 == truncDiv(a, step) + (a % step < 0 ? 0 : 1)
+      df.withColumn(WindowId, explode(expr(
+        s"sequence(($a div ${step}L) + (CASE WHEN $a % ${step}L < 0 THEN 0L ELSE 1L END), " +
+          s"$t div ${step}L)")))
 
     case Slice.Count(n) =>
       val w = part(keys).orderBy(col(tsCol), col(seqCol))

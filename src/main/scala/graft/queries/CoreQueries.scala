@@ -168,6 +168,29 @@ object CoreQueries {
              sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
              FROM events GROUP BY 1, 2 ORDER BY user_id, window_id""")),
 
+    // Hopping (sliding) slices as a first-class batch Slice (VERDICT r6
+    // #3): width 2 h, step 1 h — each event lands in exactly width/step=2
+    // windows, the same bucketing Spark's streaming `window(col, '2
+    // hours', '1 hour')` uses (stream_sliding is the live twin; this
+    // batch path has no watermark, so ALL windows emit, including the
+    // unfinalized tail the streaming twin withholds). The ×2 row
+    // expansion is the operator's own output cost; no ordering, no
+    // window function — explode + one keyed groupBy.
+    QueryDef(
+      "ev_slice_hopping",
+      (s, dir) =>
+        evKeyed(s, dir)
+          .group(Slice.Hopping(7200000000L, 3600000000L))
+          .reduce("sum_value" -> Q.dsumD(col("value")), "n" -> count(lit(1)))
+          .orderBy("user_id", "window_id"),
+      Some("""SELECT user_id, window_id,
+             sum(value::decimal(38,6))::double AS sum_value, count(*) AS n
+             FROM (SELECT user_id, value,
+                     unnest([epoch_us(ts) // 3600000000,
+                             epoch_us(ts) // 3600000000 - 1]) AS window_id
+                   FROM events)
+             GROUP BY user_id, window_id ORDER BY user_id, window_id""")),
+
     QueryDef(
       "ev_slice_trigger_after",
       (s, dir) =>
@@ -1266,11 +1289,20 @@ object CoreQueries {
           .groupBy("day").agg(count(lit(1)).as("n"))
         val st = nd.agg(count(lit(1)).as("d"),
           sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+        // degenerate-input guard (ADVICE r6): on a single-day corpus the
+        // (d - 1) variance denominator is 0 and double÷0 diverges cross-
+        // engine (Spark IEEE Inf/NaN vs DuckDB NULL-or-error); zero
+        // variance has the same hazard one step later. Both engines gate
+        // the division behind the SAME CASE, emitting NULL z_q/flag —
+        // the ssq > 0 compare is on an identically-computed double chain,
+        // so the gate itself cannot disagree.
         nd.crossJoin(broadcast(st))
-          .withColumn("z_q", floor(
+          .withColumn("ssq",
+            col("s2") - col("s1").cast("double") * col("s1") / col("d"))
+          .withColumn("z_q", when(col("d") >= 2 && col("ssq") > 0, floor(
             ((col("n") - col("s1").cast("double") / col("d")) /
-              sqrt(((col("s2") - col("s1").cast("double") * col("s1") / col("d")) /
-                (col("d") - 1)).cast("double"))) * 10000 + 0.5).cast("long"))
+              sqrt((col("ssq") / (col("d") - 1)).cast("double")))
+              * 10000 + 0.5).cast("long")))
           .select(col("day"), col("n"), col("z_q"),
             (abs(col("z_q")) >= 15000).cast("int").as("flag"))
           .orderBy("day")
@@ -1279,15 +1311,17 @@ object CoreQueries {
                SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
                FROM events GROUP BY day),
              st AS (SELECT count(*) AS d, sum(n)::bigint AS s1,
-                      sum(n * n)::bigint AS s2 FROM nd)
-             SELECT day, n,
-               floor(((n - s1::double / d) /
-                 sqrt((s2 - s1::double * s1 / d) / (d - 1))) * 10000 + 0.5)
-                 ::bigint AS z_q,
-               (abs(floor(((n - s1::double / d) /
-                 sqrt((s2 - s1::double * s1 / d) / (d - 1))) * 10000 + 0.5))
-                 >= 15000)::int AS flag
-             FROM nd CROSS JOIN st ORDER BY day""")),
+                      sum(n * n)::bigint AS s2 FROM nd),
+             z AS (
+               SELECT day, n,
+                 CASE WHEN d >= 2 AND (s2 - s1::double * s1 / d) > 0 THEN
+                   floor(((n - s1::double / d) /
+                     sqrt((s2 - s1::double * s1 / d) / (d - 1))) * 10000
+                     + 0.5)::bigint
+                 END AS z_q
+               FROM nd CROSS JOIN st)
+             SELECT day, n, z_q, (abs(z_q) >= 15000)::int AS flag
+             FROM z ORDER BY day""")),
 
     // ---- user growth curve (first-seen histogram) ----------------------
     // Cumulative distinct users per day WITHOUT a running count-distinct:
@@ -1329,7 +1363,12 @@ object CoreQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts"), col("seq"))
         // persisted: the row-normalizer reads the same |types|² frame —
-        // without it the user-keyed window pass runs twice
+        // without it the user-keyed window pass runs twice. Lifecycle
+        // (ADVICE r6): QueryDefs return lazy frames, so the query can't
+        // unpersist before its own action; both catalog runners release
+        // it — Verify's per-query `finally clearCache()` and Bench's
+        // cleanup() after every timed run — so nothing accumulates
+        // across the 218-query suite. Embedding users own the release.
         val tr = Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("seq"),
             col("event_type").as("src"))
@@ -1381,12 +1420,22 @@ object CoreQueries {
           dsum(when(col("arm") === 1, col("vc"))).as("s1b"),
           dsum(when(col("arm") === 0, col("vc") * col("vc"))).as("s2a"),
           dsum(when(col("arm") === 1, col("vc") * col("vc"))).as("s2b"))
+        // degenerate-arm guard (ADVICE r6): an arm with n <= 1 zeroes the
+        // (n - 1) denominator and double÷0 diverges cross-engine. The
+        // nested CASE gates the variance math so neither engine touches
+        // the division in the degenerate branch; the inner variance > 0
+        // compare is the same double chain on both sides.
         g.select(col("n_a"), col("n_b"),
           expr("s1a / n_a").as("mean_a_centi"),
           expr("s1b / n_b").as("mean_b_centi"),
-          expr("""(s1a / n_a - s1b / n_b) /
-                  sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
-                       ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)""")
+          expr("""CASE WHEN n_a > 1 AND n_b > 1 THEN
+                    CASE WHEN ((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                              ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b > 0
+                    THEN (s1a / n_a - s1b / n_b) /
+                         sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                              ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)
+                    END
+                  END""")
             .as("t_stat"))
       },
       Some("""WITH e AS (
@@ -1404,9 +1453,14 @@ object CoreQueries {
              SELECT n_a, n_b,
                s1a / n_a AS mean_a_centi,
                s1b / n_b AS mean_b_centi,
-               (s1a / n_a - s1b / n_b) /
-                 sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
-                      ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b) AS t_stat
+               CASE WHEN n_a > 1 AND n_b > 1 THEN
+                 CASE WHEN ((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                           ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b > 0
+                 THEN (s1a / n_a - s1b / n_b) /
+                      sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a +
+                           ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)
+                 END
+               END AS t_stat
              FROM g""")),
 
     // ---- distribution drift monitoring (data-quality gate) -------------
@@ -1430,10 +1484,21 @@ object CoreQueries {
         val nd = e.groupBy("day").agg(count(lit(1)).as("n_d"))
         val ct = e.groupBy("t").agg(count(lit(1)).as("c_t"))
         val n = e.agg(count(lit(1)).as("nn"))
+        // overflow headroom (ADVICE r6): the ln argument multiplies each
+        // factor AFTER an individual double cast — an int64 product
+        // c_dt·nn would wrap silently on Spark (non-ANSI) while DuckDB
+        // promotes to hugeint once c_dt·nn ≥ 2^63 (nn ~ 1e12 at 100 TB).
+        // Double multiply is correctly rounded identically on both
+        // engines (same op order), and below 2^53 per product it is
+        // bit-exact with the old integer path. Remaining int64 bound:
+        // the OUTER c_dt·ln_q term — |ln_q| ≤ ~3.2e7 (e^±32 ratio), so
+        // the per-day sum holds while n_d < ~2.8e11 rows/day; documented,
+        // not guarded (a single day of 280 G events is past the point
+        // where micro-nat quantization is the right readout anyway).
         cdt.join(nd, "day").join(broadcast(ct), "t").crossJoin(broadcast(n))
           .withColumn("term", col("c_dt") *
-            floor(log((col("c_dt") * col("nn")).cast("double") /
-              (col("n_d") * col("c_t")).cast("double")) * 1000000))
+            floor(log((col("c_dt").cast("double") * col("nn").cast("double")) /
+              (col("n_d").cast("double") * col("c_t").cast("double"))) * 1000000))
           .groupBy("day")
           .agg(max("n_d").as("n"), sum("term").as("kl_q"))
           .orderBy("day")
@@ -1446,8 +1511,8 @@ object CoreQueries {
              ct AS (SELECT t, count(*) AS c_t FROM e GROUP BY t),
              n AS (SELECT count(*) AS nn FROM e)
              SELECT day, max(n_d) AS n,
-               sum(c_dt * floor(ln((c_dt * nn)::double /
-                 (n_d * c_t)::double) * 1000000)::bigint)::bigint AS kl_q
+               sum(c_dt * floor(ln((c_dt::double * nn::double) /
+                 (n_d::double * c_t::double)) * 1000000)::bigint)::bigint AS kl_q
              FROM cdt JOIN nd USING (day) JOIN ct USING (t) CROSS JOIN n
              GROUP BY day ORDER BY day""")),
 
@@ -1488,8 +1553,8 @@ object CoreQueries {
         val ctDf = ctRows.toSeq.toDF("t", "c_t")
         cdt.join(nd, "day").join(broadcast(ctDf), "t")
           .withColumn("term", col("c_dt") *
-            floor(log((col("c_dt") * lit(nn)).cast("double") /
-              (col("n_d") * col("c_t")).cast("double")) * 1000000))
+            floor(log((col("c_dt").cast("double") * lit(nn).cast("double")) /
+              (col("n_d").cast("double") * col("c_t").cast("double"))) * 1000000))
           .groupBy("day")
           .agg(max("n_d").as("n"), sum("term").as("kl_q"))
           .orderBy("day")
@@ -1502,8 +1567,8 @@ object CoreQueries {
              ct AS (SELECT t, count(*) AS c_t FROM e GROUP BY t),
              n AS (SELECT count(*) AS nn FROM e)
              SELECT day, max(n_d) AS n,
-               sum(c_dt * floor(ln((c_dt * nn)::double /
-                 (n_d * c_t)::double) * 1000000)::bigint)::bigint AS kl_q
+               sum(c_dt * floor(ln((c_dt::double * nn::double) /
+                 (n_d::double * c_t::double)) * 1000000)::bigint)::bigint AS kl_q
              FROM cdt JOIN nd USING (day) JOIN ct USING (t) CROSS JOIN n
              GROUP BY day ORDER BY day""")),
 

@@ -726,8 +726,15 @@ object RelationalQueries {
           "ts", "seq",
           Seq(("cum", col("r"), "sum"), ("rk", lit(1L), "sum")))
         val tot = rev.agg(sum("r").as("tr"))
+        // ceil(pct·tr/100) via the split identity pct·(tr div 100) +
+        // ceil(pct·(tr mod 100)/100) — exactly equal to (pct·tr+99) div
+        // 100 for nonnegative operands, but the largest product is now
+        // 90·(tr div 100) ≈ 0.9·tr, so the threshold holds for any tr
+        // that itself fits int64 (ADVICE r6: the naive 90·tr wrapped on
+        // Spark past tr ≈ 1e17 cents ≈ sf 4e4 while DuckDB promoted).
         Seq(50, 80, 90).toDF("pct").crossJoin(broadcast(tot))
-          .join(scanned, expr("cum >= (pct * tr + 99) div 100"))
+          .join(scanned, expr(
+            "cum >= pct * (tr div 100) + (pct * (tr % 100) + 99) div 100"))
           .groupBy("pct").agg(min("rk").as("n_parts"))
           .orderBy("pct")
       },
@@ -745,7 +752,8 @@ object RelationalQueries {
              pcts AS (SELECT unnest([50, 80, 90]) AS pct)
              SELECT pct, min(rk)::bigint AS n_parts
              FROM pcts CROSS JOIN tot
-               JOIN ranked ON cum >= (pct * tr + 99) // 100
+               JOIN ranked
+                 ON cum >= pct * (tr // 100) + (pct * (tr % 100) + 99) // 100
              GROUP BY pct ORDER BY pct""")),
 
     // MERGE INTO (upsert) semantics — the lakehouse CDC-apply primitive

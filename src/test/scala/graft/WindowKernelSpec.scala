@@ -79,6 +79,40 @@ class WindowKernelSpec extends SparkSpec {
     got shouldBe Seq((0L, 3L), (1L, 7L), (2L, 5L))
   }
 
+  test("hopping slices: width/step overlap, ids match [w·step, w·step+width) coverage") {
+    // width 10, step 5 — overlap factor 2: every row lands in exactly two
+    // windows, including the negative-id window near t=0 (the same
+    // bucketing Spark's streaming window('10','5') uses).
+    val rows = Seq((0L, 0L, 1), (5L, 1L, 2), (10L, 2L, 3), (14L, 3L, 4), (20L, 4L, 5))
+    val got = EStream(rows.toDF("ts", "seq", "v"))
+      .group(Slice.Hopping(10L, 5L))
+      .reduce("s" -> sum(col("v")))
+      .orderBy("window_id")
+      .select("window_id", "s").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((-1L, 1L), (0L, 3L), (1L, 9L), (2L, 7L), (3L, 5L), (4L, 5L))
+  }
+
+  test("hopping slices: non-divisible width/step matches the brute-force coverage oracle") {
+    // width 7, step 3 — coverage count varies 2..3 per row; expected is
+    // computed by direct interval membership over Scala collections.
+    val ts = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 11L, 12L, 20L, 21L)
+    val rows = ts.zipWithIndex.map { case (t, i) => (t, i.toLong, 1) }
+    val (width, step) = (7L, 3L)
+    val expected = rows
+      .flatMap { case (t, _, v) =>
+        val wMin = Math.floorDiv(t - width, step) + 1
+        val wMax = Math.floorDiv(t, step)
+        (wMin to wMax).map(w => w -> v.toLong)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val got = EStream(rows.toDF("ts", "seq", "v"))
+      .group(Slice.Hopping(width, step))
+      .reduce("s" -> sum(col("v")))
+      .orderBy("window_id")
+      .select("window_id", "s").as[(Long, Long)].collect().toSeq
+    got shouldBe expected
+  }
+
   test("boolean window: open/close bracketed sums; close edge excludes its datum (WindowedReduce:55-58)") {
     // gate:   F  T  T  F  F  T  T  T  F
     // value:  1  2  3  4  5  6  7  8  9
