@@ -28,6 +28,7 @@ object Packing {
   final case class Item(id: Long, len: Int)
   final case class ShardedItem(shard: Int, id: Long, len: Int)
   final case class Packed(shard: Int, bin: Long, id: Long, len: Int)
+  final case class PackedAt(shard: Int, bin: Long, id: Long, len: Int, start: Int)
 
   /** Pack items (id, len) into bins of `capacity` tokens; items with
     * len > capacity are dropped (count them upstream). Returns one row
@@ -65,6 +66,57 @@ object Packing {
           if (fill + i.len > capacity) { bin += 1; fill = 0 }
           fill += i.len
           Packed(shard, bin, i.id, i.len)
+        }
+      }.toDF()
+  }
+
+  /** First-fit-decreasing with a BOUNDED open-bin ring (VERDICT r6 #7) —
+    * strictly better utilization than [[nextFitDecreasingSharded]] (NFD
+    * closes its single open bin on the first miss; FFD keeps `openBins`
+    * candidates live) while keeping O(openBins) state per shard, never
+    * O(items): the ring holds only (bin id, fill) pairs, no contents.
+    *
+    * Placement rule (deterministic, mirrored by the recursive-CTE
+    * oracle): scan open bins OLDEST-FIRST, place into the first that
+    * fits; on no fit, open a fresh bin and evict the oldest ring slot —
+    * with decreasing lengths the oldest bins are the fullest, so FIFO
+    * eviction approximates evict-fullest with O(1) bookkeeping. Unopened
+    * slots carry the sentinel fill `capacity + 1` (nothing fits them),
+    * so they are evicted before any real bin.
+    *
+    * Emits `start` directly (the fill at placement time) — the same
+    * offset [[withOffsets]] computes for NFD, but without assuming a
+    * reconstructible within-bin order.
+    */
+  def firstFitDecreasingSharded(items: DataFrame, capacity: Int,
+                                openBins: Int = 4): DataFrame = {
+    implicit val itemEnc = Encoders.product[ShardedItem]
+    implicit val packedEnc = Encoders.product[PackedAt]
+    implicit val keyEnc = Encoders.scalaInt
+    val ds = items
+      .select(col("shard").cast("int"), col("id").cast("long"),
+        col("len").cast("int"))
+      .as[ShardedItem].filter(_.len <= capacity)
+    ds.groupByKey(_.shard)
+      .flatMapSortedGroups(desc("len"), asc("id")) { (shard, it) =>
+        val binIds = Array.fill(openBins)(-1L)
+        val fills = Array.fill(openBins)(capacity + 1)
+        var nxt = 0L
+        it.map { i =>
+          var j = 0
+          while (j < openBins && fills(j) + i.len > capacity) j += 1
+          if (j < openBins) {
+            val start = fills(j)
+            fills(j) += i.len
+            PackedAt(shard, binIds(j), i.id, i.len, start)
+          } else {
+            System.arraycopy(binIds, 1, binIds, 0, openBins - 1)
+            System.arraycopy(fills, 1, fills, 0, openBins - 1)
+            binIds(openBins - 1) = nxt
+            fills(openBins - 1) = i.len
+            nxt += 1
+            PackedAt(shard, nxt - 1, i.id, i.len, 0)
+          }
         }
       }.toDF()
   }

@@ -19,6 +19,60 @@ import graft.functions.Reducers
 object RelationalQueries {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
+
+  /** graph_pagerank_conv parameters, shared by the Spark loop and the
+    * generated oracle so the two cannot drift.
+    */
+  private val PrConvKMax = 8
+  private val PrConvEpsCenti = 800L
+
+  /** Unrolled DuckDB replay of [[graft.operators.PageRank.runUntilRel]]:
+    * kMax sweep stages (c/i/r CTEs, the graph_pagerank pattern) each
+    * followed by a 1-row max-|Δ| scalar; a CASE picks the first stage
+    * whose delta fell below eps = base·epsCenti//100 — exactly the Scala
+    * while-loop's stopping rule, round count included.
+    */
+  private def pagerankConvSql(kMax: Int, epsCenti: Long): String = {
+    val stages = (1 to kMax).map { k =>
+      s"""c$k AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
+                    FROM r${k - 1} r JOIN outdeg d USING (node)),
+             i$k AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
+                    FROM edges e JOIN c$k c ON e.src = c.src GROUP BY e.dst),
+             r$k AS (SELECT n.node,
+                      (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
+                    FROM nodes n LEFT JOIN i$k i USING (node) CROSS JOIN nn),
+             d$k AS (SELECT max(abs(a.rank_q - b.rank_q)) AS d
+                    FROM r$k a JOIN r${k - 1} b USING (node))"""
+    }.mkString(",\n             ")
+    val tagged = (1 to kMax)
+      .map(k => s"SELECT $k AS k, node, rank_q FROM r$k")
+      .mkString("\n               UNION ALL ")
+    val cases = (1 until kMax)
+      .map(k => s"WHEN d$k.d < eps.e THEN $k")
+      .mkString(" ")
+    val dFrom = (1 until kMax).map(k => s"d$k").mkString(", ")
+    s"""WITH e0 AS (
+               SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               FROM lineitem),
+             edges AS (
+               SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             nodes AS (SELECT DISTINCT src AS node FROM edges),
+             nn AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+             outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+             r0 AS (SELECT node, base AS rank_q FROM nodes CROSS JOIN nn),
+             $stages,
+             eps AS (SELECT (base * $epsCenti) // 100 AS e FROM nn),
+             ks AS (SELECT CASE $cases ELSE $kMax END AS k
+                    FROM $dFrom, eps),
+             tagged AS (
+               $tagged)
+           SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+                       ELSE 's:' || (node // 2) END AS node,
+                  rank_q::bigint AS rank_q, ks.k::bigint AS iters
+           FROM tagged JOIN ks USING (k)
+           ORDER BY rank_q DESC, node LIMIT 25"""
+  }
   private def ord(s: SparkSession, dir: String): DataFrame = Tables.orders(s, dir)
   private def cust(s: SparkSession, dir: String): DataFrame = Tables.customer(s, dir)
   private def nat(s: SparkSession, dir: String): DataFrame = Tables.nation(s, dir)
@@ -879,6 +933,35 @@ object RelationalQueries {
                        ELSE 's:' || (node // 2) END AS node,
                   rank_q::bigint AS rank_q
            FROM r4 ORDER BY rank_q DESC, node LIMIT 25""")),
+
+    // Convergence-mode PageRank (VERDICT r6 #5): same graph, but the
+    // round count is DATA-DEPENDENT — PageRank.runUntilRel stops once no
+    // node moved more than 8·base in a sweep (exact int64 max-delta, so
+    // the count is partition/engine-independent; deltas shrink by exactly
+    // dampPct/100 per sweep). The oracle replays the stopping rule
+    // itself: an unrolled chain of kMax sweep stages each with its
+    // max-delta scalar, then a CASE picks the FIRST converged stage —
+    // the SQL is generated from the same parameters the Scala loop uses,
+    // so a divergence in either the sweeps or the stopping rule fails
+    // the hash. `iters` is emitted so the round count is itself gated.
+    QueryDef(
+      "graph_pagerank_conv",
+      (s, dir) => {
+        val e0 = li(s, dir)
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val (ranks, iters) = graft.operators.PageRank.runUntilRel(
+          edges, epsCentiBase = PrConvEpsCenti, maxIterations = PrConvKMax)
+        ranks.select(
+            when(col("node") % 2 === 0, concat(lit("p:"), expr("node div 2")))
+              .otherwise(concat(lit("s:"), expr("node div 2"))).as("node"),
+            col("rank_q"), lit(iters).cast("long").as("iters"))
+          .orderBy(col("rank_q").desc, col("node"))
+          .limit(25)
+      },
+      Some(pagerankConvSql(PrConvKMax, PrConvEpsCenti))),
 
     // Triangle counting over the part co-purchase graph (parts sharing an
     // order), with the degree-orientation optimization every distributed

@@ -32,6 +32,56 @@ class PackingSpec extends SparkSpec {
     totalFill * 100 / (bins.length * cap) should be >= 80L
   }
 
+  private def shardCol = pmod(hash(col("id")), lit(8)).cast("int").as("shard")
+
+  test("FFD: complete, capacity-respecting, >=90% utilization, beats NFD") {
+    val cap = 512
+    val sharded = items.select(shardCol, col("id"), col("len"))
+    val ffd = Packing.firstFitDecreasingSharded(sharded, cap, openBins = 8)
+    ffd.count() shouldBe 500L
+    val bins = Packing.utilization(ffd, cap)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    bins.foreach { case (s, b, _, fill, _) =>
+      withClue(s"shard=$s bin=$b") { fill should be <= cap.toLong }
+    }
+    val nfdBins = Packing.utilization(
+      Packing.nextFitDecreasingSharded(sharded, cap), cap).count()
+    bins.length.toLong should be <= nfdBins
+    val totalFill = bins.map(_._4).sum
+    totalFill * 100 / (bins.length * cap) should be >= 90L
+  }
+
+  test("FFD: starts are exact in-bin prefix sums and the packing is " +
+    "partition-independent") {
+    val cap = 512
+    val sharded = items.select(shardCol, col("id"), col("len"))
+    val a = Packing.firstFitDecreasingSharded(sharded, cap, 4)
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    val b = Packing.firstFitDecreasingSharded(sharded.repartition(7), cap, 4)
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    b shouldBe a
+    // per bin: sorted starts tile the fill exactly (start_i = Σ earlier lens)
+    a.groupBy(r => (r._1, r._2)).values.foreach { bin =>
+      val inOrder = bin.toSeq.sortBy(_._5)
+      inOrder.foldLeft(0) { case (expectStart, (_, _, _, len, start)) =>
+        start shouldBe expectStart
+        expectStart + len
+      }
+    }
+  }
+
+  test("FFD with ring=1 degenerates to exactly NFD (shared placement law)") {
+    val cap = 512
+    val sharded = items.select(shardCol, col("id"), col("len"))
+    val ffd1 = Packing.firstFitDecreasingSharded(sharded, cap, openBins = 1)
+      .select("shard", "bin", "id", "len", "start")
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    val nfd = Packing.withOffsets(Packing.nextFitDecreasingSharded(sharded, cap))
+      .select("shard", "bin", "id", "len", "start")
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    ffd1 shouldBe nfd
+  }
+
   test("packing is independent of input partitioning") {
     val cap = 512
     val a = Packing.nextFitDecreasing(items, cap, shards = 8)

@@ -52,6 +52,31 @@ class PageRankSpec extends SparkSpec {
     (got.map(_._2).sum) should be < 2 * base
   }
 
+  test("runUntil: iteration count and ranks are partition-independent, " +
+    "and the stopping rule replays runs of run()") {
+    // the star is asymmetric: deltas start ~1.7·base and contract by
+    // 0.85 per sweep (a plain ring is symmetric and converges in one)
+    val e = star
+    val (ra, ka) = PageRank.runUntilRel(e.repartition(1), epsCentiBase = 50)
+    val (rb, kb) = PageRank.runUntilRel(e.repartition(8), epsCentiBase = 50)
+    ka shouldBe kb // exact int64 delta => data-dependent K, not plan-dependent
+    ka should be > 1
+    ra.orderBy("node").as[(String, Long)].collect().toSeq shouldBe
+      rb.orderBy("node").as[(String, Long)].collect().toSeq
+    // the converged frame IS run(e, K) — runUntil adds a stopping rule,
+    // never a different sweep
+    ra.orderBy("node").as[(String, Long)].collect().toSeq shouldBe
+      PageRank.run(e, ka).orderBy("node").as[(String, Long)].collect().toSeq
+  }
+
+  test("runUntil: tighter epsilon takes strictly more sweeps (caps respected)") {
+    val (_, loose) = PageRank.runUntilRel(star, epsCentiBase = 2000, maxIterations = 30)
+    val (_, tight) = PageRank.runUntilRel(star, epsCentiBase = 20, maxIterations = 30)
+    loose should be < tight
+    val (_, capped) = PageRank.runUntilRel(star, epsCentiBase = 1, maxIterations = 3)
+    capped shouldBe 3
+  }
+
   test("contraction: rank movement shrinks per iteration on a ring+chords graph") {
     val edges = (0 until 12).map(i => (s"n$i", s"n${(i + 1) % 12}")) ++
       Seq(("n0", "n6"), ("n3", "n9"), ("n6", "n0"))
