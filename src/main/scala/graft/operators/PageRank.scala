@@ -46,7 +46,7 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int,
           totalQ: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
-    loop(edges, totalQ, dampPct) { (sweep, ranks0) =>
+    loop(edges, totalQ, dampPct) { (sweep, ranks0, _) =>
       var ranks = ranks0
       for (_ <- 1 to iterations) ranks = sweep(ranks)
       (ranks, iterations)
@@ -66,7 +66,27 @@ object PageRank {
   def runUntil(edges: DataFrame, epsQ: Long, maxIterations: Int = 20,
                totalQ: Long = 1000000000000L, dampPct: Int = 85,
                trace: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) =
-    loop(edges, totalQ, dampPct) { (sweep, ranks0) =>
+    runUntilEps(edges, _ => epsQ, maxIterations, totalQ, dampPct, trace)
+
+  /** [[runUntil]] with the threshold expressed in CENTI-multiples of the
+    * uniform start rank `base = totalQ div n` (the natural unit: every
+    * delta in the power iteration is base-scaled, shrinking by exactly
+    * dampPct/100 per sweep, so an absolute epsQ would encode the node
+    * count). `epsCentiBase = 800` stops once no node moved by more than
+    * 8·base in a sweep.
+    */
+  def runUntilRel(edges: DataFrame, epsCentiBase: Long = 800,
+                  maxIterations: Int = 20,
+                  totalQ: Long = 1000000000000L, dampPct: Int = 85,
+                  trace: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) =
+    runUntilEps(edges, base => base * epsCentiBase / 100,
+      maxIterations, totalQ, dampPct, trace)
+
+  private def runUntilEps(edges: DataFrame, epsOfBase: Long => Long,
+                          maxIterations: Int, totalQ: Long, dampPct: Int,
+                          trace: (Int, Long) => Unit): (DataFrame, Int) =
+    loop(edges, totalQ, dampPct) { (sweep, ranks0, base) =>
+      val epsQ = epsOfBase(base)
       var ranks = ranks0
       var iters = 0
       var delta = Long.MaxValue
@@ -87,7 +107,7 @@ object PageRank {
     * driver-side `body` decides how many sweeps to take.
     */
   private def loop(edges: DataFrame, totalQ: Long, dampPct: Int)(
-      body: (DataFrame => DataFrame, DataFrame) => (DataFrame, Int)): (DataFrame, Int) = {
+      body: (DataFrame => DataFrame, DataFrame, Long) => (DataFrame, Int)): (DataFrame, Int) = {
     val e = edges.select("src", "dst").distinct()
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -119,7 +139,7 @@ object PageRank {
     }
 
     val r0 = nodes.select(col("node"), lit(base).as("rank_q")).localCheckpoint()
-    val out = body(sweep, r0)
+    val out = body(sweep, r0, base)
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     out
   }
