@@ -164,8 +164,18 @@ final case class KStream(
     val opened = df.withColumn("__new",
       when(lag(col(tsCol), 1).over(w).isNull ||
         col(tsCol) - lag(col(tsCol), 1).over(w) > maxGap, 1L).otherwise(0L))
+    // the session id rides inside a GapSessionTag marker: identity at
+    // runtime (stripped by ReplaceExpressions), but it carries (gap, ts,
+    // seq, keys) so plans.RewriteGapSessions can swap an aggregate over
+    // this pattern onto Spark's native session_window operator — one
+    // exchange+sort with MergingSessionsExec instead of two fact-sized
+    // window passes plus a second exchange.
+    graft.plans.GapSessionTag.register(df.sparkSession)
+    val sid = call_function("graft_session_tag",
+      (sum(col("__new")).over(cum) +: lit(maxGap) +: col(tsCol) +:
+        col(seqCol) +: keyCols): _*)
     KStream(
-      opened.withColumn(as, sum(col("__new")).over(cum)).drop("__new"),
+      opened.withColumn(as, sid).drop("__new"),
       keys :+ as, tsCol, seqCol)
   }
 

@@ -27,7 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 2, "dotd takes exactly two arguments")
           DotD(children.head, children(1))
         }))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_session_tag"),
+        new ExpressionInfo(classOf[GapSessionTag].getName, "graft_session_tag"),
+        (children: Seq[Expression]) => {
+          require(children.size >= 4,
+            "graft_session_tag(sessionId, gapUs, ts, seq, keys...)")
+          GapSessionTag(children)
+        }))
     // auto-rewrite the portable higher-order dot-product fold into DotD
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // swap sessionize-pattern aggregates onto native session_window
+    // (resolution phase: the builtin SessionWindowing rule must still see
+    // and expand the SessionWindow expression this rule introduces)
+    ext.injectResolutionRule(_ => RewriteGapSessions)
   }
 }

@@ -133,6 +133,79 @@ class MultimodalSpec extends SparkSpec {
       Seq((7L, 0, 64L * 10), (7L, 2, 64L * 30))
   }
 
+  test("Codecs MP4: ISO-BMFF mux/demux round trip, container sniff, " +
+    "stride sampling through the same seam, junk tolerance") {
+    import graft.multimodal.Codecs
+    val frames = (1 to 4).map(k => png(8, 8, (_, _) => {
+      val v = k * 10; (v << 16) | (v << 8) | v
+    }))
+    val blob = Codecs.packMp4(frames)
+    // a real BMFF layout: starts with an ftyp box
+    new String(blob.slice(4, 8), "ISO-8859-1") shouldBe "ftyp"
+    Codecs.demuxMp4(blob).get.map(_.toSeq) shouldBe frames.map(_.toSeq)
+    // demuxAny sniffs the container: same result for MP4 and GVID blobs
+    Codecs.demuxAny(blob).get.map(_.toSeq) shouldBe frames.map(_.toSeq)
+    Codecs.demuxAny(Codecs.packVideo(frames)).get.map(_.toSeq) shouldBe
+      frames.map(_.toSeq)
+    // junk tolerance: garbage, truncation (moov lost), corrupt stco
+    Codecs.demuxMp4("utter garbage, definitely not a movie".getBytes) shouldBe None
+    Codecs.demuxMp4(blob.dropRight(12)) shouldBe None
+    Codecs.demuxMp4(blob.take(40)) shouldBe None
+    val corrupted = blob.clone()
+    // point every stco chunk offset past EOF: find 'stco', bump offset field
+    val idx = corrupted.indexOfSlice("stco".getBytes("ISO-8859-1"))
+    idx should be > 0
+    java.nio.ByteBuffer.wrap(corrupted)
+      .putInt(idx + 4 + 8, corrupted.length + 100)
+    Codecs.demuxMp4(corrupted) shouldBe None
+    // and the frame-sampling path accepts MP4 via the sniff
+    val ds = spark.createDataset(Seq(
+      MediaRow(7L, blob, MediaMeta("video", 8, 8, 0, 4)),
+      MediaRow(8L, Array[Byte](1, 2, 3), MediaMeta("video", 0, 0, 0, 0))))
+    val out = Codecs.videoFrameLuma(ds, 2).collect().sortBy(_.frameIdx)
+    out.map(f => (f.id, f.frameIdx, f.lumaSum)).toSeq shouldBe
+      Seq((7L, 0, 64L * 10), (7L, 2, 64L * 30))
+  }
+
+  test("Codecs.demuxMp4: general stbl walk handles multi-chunk, " +
+    "multi-run sample layouts (not just packMp4's single chunk)") {
+    import graft.multimodal.Codecs
+    // hand-mux 5 samples into 3 chunks: stsc runs (chunk1: 2 spc),
+    // (chunk2..3: varying tail) — layout [s0 s1][s2 s3][s4]
+    val samples = (1 to 5).map(k => Array.tabulate[Byte](k + 2)(i => (k * 16 + i).toByte))
+    def box(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(8 + payload.length); out.writeBytes(kind); out.write(payload)
+      bos.toByteArray
+    }
+    def be32(vs: Int*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      vs.foreach(out.writeInt); bos.toByteArray
+    }
+    val ftyp = box("ftyp", be32(0x69736f6d, 0, 0x69736f6d))
+    val mdatPayload = samples.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    val base = ftyp.length + 8
+    val chunkStarts = Seq(
+      base, // s0 s1
+      base + samples(0).length + samples(1).length, // s2 s3
+      base + samples.take(4).map(_.length).sum) // s4
+    val stsz = box("stsz", be32(0 +: 0 +: 5 +: samples.map(_.length): _*))
+    val stco = box("stco", be32(0 +: 3 +: chunkStarts.map(_.toInt): _*))
+    val stsc = box("stsc", be32(0, 2, /*run1*/ 1, 2, 1, /*run2*/ 3, 1, 1))
+    val stts = box("stts", be32(0, 1, 5, 1))
+    val stsd = box("stsd", be32(0, 1) ++ box("gvid", be32(0, 0)))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    val blob = ftyp ++ mdat ++ moov
+    Codecs.demuxMp4(blob).get.map(_.toSeq) shouldBe samples.map(_.toSeq)
+  }
+
   test("Codecs.decodeAudio: REAL WAV decode through the extraction " +
     "pipeline (javax.sound, no stub)") {
     import graft.multimodal.Codecs

@@ -551,4 +551,46 @@ class PlanAuditSpec extends SparkSpec {
       plan should not include "Exchange rangepartitioning(len"
     }
   }
+
+  test("ev_sessions_gap: RewriteGapSessions fires — native session " +
+    "aggregation, one fact exchange, no fact-sized window pass; values " +
+    "identical to the untagged lag/cumsum formulation") {
+    import org.apache.spark.sql.functions.{col, count, lag, lit, max, min, sum, when}
+    val df = SparkEntry.queries("ev_sessions_gap")(spark, dir)
+    val got = df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // the rewritten plan session-aggregates natively (partial agg →
+      // one user_id exchange → sort → MergingSessions → final agg)...
+      plan should include("MergingSessions")
+      // ...with exactly ONE hash exchange of fact rows; the old plan's
+      // SECOND exchange keyed by (user_id, session_id) must be gone
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      // the recovered ordinal rides a session-sized window, and the two
+      // obsolete fact-sized window passes (lag + cumsum) were pruned:
+      // only the row_number window remains
+      "Window ".r.findAllIn(plan).size shouldBe 1
+      plan should not include "lag(ts"
+    }
+    // identical values vs the UNTAGGED formulation (plain window
+    // functions, invisible to the rule) — same engine, no rewrite
+    val e = graft.queries.Q.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("seq"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = e
+      .withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > 3600L * 1000 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"),
+        (max(col("ts")) - min(col("ts"))).as("dur_us"),
+        graft.queries.Q.dsumD(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+      .collect()
+    got.map(_.toString).toSeq shouldBe expected.map(_.toString).toSeq
+  }
 }
