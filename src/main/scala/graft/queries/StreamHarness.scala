@@ -37,8 +37,26 @@ object StreamHarness {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
+    // state-backend sweep knob (VERDICT r6 #8): SPARK_GRAFT_STATE_BACKEND=
+    // rocksdb runs the WHOLE streaming catalog on the RocksDB provider
+    // (queries that pin RocksDB themselves, e.g. stream_ewma's
+    // transformWithState, are unaffected). Results must be backend-
+    // independent — the sweep re-checks every hash; SCALE.md records the
+    // per-backend toll.
+    val bk = "spark.sql.streaming.stateStore.providerClass"
+    val prevBk = s.conf.getOption(bk)
+    val rocks = sys.env.get("SPARK_GRAFT_STATE_BACKEND")
+      .exists(_.equalsIgnoreCase("rocksdb"))
+    if (rocks) s.conf.set(bk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body
-    finally s.conf.set(key, prev)
+    finally {
+      s.conf.set(key, prev)
+      if (rocks) prevBk match {
+        case Some(v) => s.conf.set(bk, v)
+        case None => s.conf.unset(bk)
+      }
+    }
   }
 
   /** Default partition count for the streaming catalog queries. */
