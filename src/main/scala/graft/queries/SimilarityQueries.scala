@@ -251,6 +251,129 @@ object SimilarityQueries {
              WHERE rk <= 5 ORDER BY q_id, rk"""
       }),
 
+    // ANN recall evaluation UNDER THE GATE: recall@5 of the multi-probe
+    // LSH path against the exact brute-force top-5, computed as one
+    // declarative plan (both sides reuse the shipped formulations, the
+    // intersection is a (q_id, vec_id) join of two 5-row-per-query
+    // frames). AnnRecallSpec asserts recall thresholds in-process; this
+    // query puts the evaluation PIPELINE itself — the thing a serving
+    // team runs nightly — under the cross-engine hash gate. Scale shape:
+    // both arms are the already-audited bounded-candidate plans; the
+    // eval overlay joins k-bounded frames.
+    QueryDef(
+      "knn_recall_eval",
+      (s, dir) => {
+        val e = emb(s, dir)
+        def top5(scored: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          scored.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 5).select("q_id", "vec_id")
+        }
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        val brute = top5(e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))))
+        val eb = e.withColumn("bucket", bucket)
+        val h1 = (0 until PLANES).map(p => 1L << p)
+        val h2 = for { a <- 0 until PLANES; b <- a + 1 until PLANES }
+          yield (1L << a) | (1L << b)
+        val probes = array(
+          col("bucket") +: (h1 ++ h2).map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)
+        val ql = eb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), explode(probes).as("qb"))
+        val lsh = top5(eb.join(broadcast(ql),
+          col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))))
+        val hits = brute.join(lsh, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+          .orderBy("q_id")
+      },
+      Some {
+        val h1 = (0 until PLANES).map(p => 1L << p)
+        val h2 = for { a <- 0 until PLANES; b <- a + 1 until PLANES }
+          yield (1L << a) | (1L << b)
+        val probeList = ("bucket" +: (h1 ++ h2).map(m => s"xor(bucket, $m)"))
+          .mkString("[", ", ", "]")
+        s"""WITH $embSql,
+             q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
+             bscored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM q, emb WHERE vec_id <> q_id),
+             brute AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                 FROM bscored) WHERE rk <= 5),
+             b AS (SELECT vec_id, v, n2, ($bucketSql)::bigint AS bucket FROM emb),
+             ql AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, unnest($probeList) AS qb
+                    FROM b WHERE vec_id < 3),
+             lscored AS (
+               SELECT q_id, vec_id,
+                 ${dotSql("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos
+               FROM ql JOIN b ON bucket = qb AND vec_id <> q_id),
+             lsh AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                 FROM lscored) WHERE rk <= 5),
+             hits AS (
+               SELECT q_id, count(*) AS n_hits
+               FROM brute JOIN lsh USING (q_id, vec_id) GROUP BY q_id)
+             SELECT q_id, coalesce(n_hits, 0)::bigint AS n_hits,
+               (coalesce(n_hits, 0) * 20)::bigint AS recall_pct
+             FROM (SELECT DISTINCT q_id FROM q) LEFT JOIN hits USING (q_id)
+             ORDER BY q_id"""
+      }),
+
+    // Int8 scalar quantization (serving-side 4× compression) with EXACT
+    // reconstruction-error accounting: per vector, scale = maxabs/127,
+    // q_i = floor(v_i/scale + 0.5) (round-half-up, in [-127, 127] by
+    // construction), and the squared reconstruction error folds IN-ROW
+    // with the same sequential order as the oracle's list_reduce (the
+    // dotd contract) before quantizing to err·1e12. A pure map over the
+    // corpus — no shuffle, no UDF; the global rollup is exact int64.
+    QueryDef(
+      "emb_sq8",
+      (s, dir) => {
+        val e = emb(s, dir)
+          .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("maxabs") > 0)
+          .withColumn("err",
+            expr("""aggregate(v, 0.0d, (acc, x) ->
+                acc + (x - floor(x * 127.0d / maxabs + 0.5d) * (maxabs / 127.0d))
+                    * (x - floor(x * 127.0d / maxabs + 0.5d) * (maxabs / 127.0d)))"""))
+          .withColumn("err_q", floor(col("err") * 1e12 + 0.5).cast("long"))
+        e.agg(count(lit(1)).as("n_vecs"),
+          sum(col("err_q")).as("sum_err_q"),
+          max(col("err_q")).as("max_err_q"))
+      },
+      Some(s"""WITH $embSql,
+             sq AS (
+               SELECT vec_id,
+                 list_max(list_transform(v, x -> abs(x))) AS maxabs, v
+               FROM emb),
+             er AS (
+               SELECT vec_id,
+                 floor(list_reduce(list_prepend(0.0::double,
+                   list_transform(v, x ->
+                     (x - floor(x * 127.0 / maxabs + 0.5) * (maxabs / 127.0))
+                   * (x - floor(x * 127.0 / maxabs + 0.5) * (maxabs / 127.0)))),
+                   (acc, x) -> acc + x) * 1e12 + 0.5)::bigint AS err_q
+               FROM sq WHERE maxabs > 0)
+             SELECT count(*) AS n_vecs, sum(err_q)::bigint AS sum_err_q,
+               max(err_q) AS max_err_q
+             FROM er""")),
+
     // IVF ANN: coarse quantization — K fixed centroids (deterministic:
     // the first K vectors), every vector assigned to its nearest centroid
     // by cosine, queries probe ONLY their own cell. The inverted-file

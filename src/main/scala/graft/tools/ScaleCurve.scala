@@ -302,6 +302,31 @@ object ScaleCurve {
         graft.operators.PageRank.run(edges, iterations = 4)
           .agg(sum(col("rank_q"))).first().getLong(0)
       }
+      // PageRank CONVERGENCE mode (VERDICT r6 #5): the stopping rule is
+      // an exact int64 max-delta, so the data-dependent sweep count must
+      // be IDENTICAL under different partitionings — asserted here at
+      // scale (8 vs 32 input partitions), alongside the wall-clock point.
+      time("pagerank_conv", n / 4) {
+        val m = n / 4
+        val vtx = math.max(16L, m / 16L)
+        val edges = spark.range(m).select(
+          pmod(hash(col("id")), lit(vtx)).cast("long").as("src"),
+          pmod(hash(col("id") * 5 + 3), lit(vtx)).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        // eps = 0.05·base: the uniform synthetic graph's deltas start at
+        // ~0.25·base (degree-concentration), so this forces ~8-10 sweeps
+        // — enough rounds for a partitioning-dependent rule to diverge
+        val (ranks, k1) = graft.operators.PageRank.runUntilRel(
+          edges.repartition(32), epsCentiBase = 5, maxIterations = 15)
+        val sum1 = ranks.agg(sum(col("rank_q"))).first().getLong(0)
+        val (ranks2, k2) = graft.operators.PageRank.runUntilRel(
+          edges.repartition(8), epsCentiBase = 5, maxIterations = 15)
+        val sum2 = ranks2.agg(sum(col("rank_q"))).first().getLong(0)
+        require(k1 == k2 && sum1 == sum2,
+          s"convergence must be partition-independent: K $k1/$k2 mass $sum1/$sum2")
+        println(s"[scale]   pagerank_conv sweeps=$k1 (32p and 8p identical)")
+        k1.toLong
+      }
       // CDC MERGE apply: base (3/4 of keys) full-outer-joined with a
       // change batch (insert/update/delete split by residue) — claim:
       // one fact-fact long-key shuffle join, linear in |base|+|changes|.
@@ -318,6 +343,123 @@ object ScaleCurve {
             .when(col("op") === "I", col("c_price"))
             .otherwise(col("price")).as("p"))
           .agg(count(col("p"))).first().getLong(0)
+      }
+      // END-TO-END training-corpus pipeline (VERDICT r6 #1): quality gate
+      // → MinHash-LSH dedup (sigs → first-agreeing-band candidates →
+      // Jaccard verify → removal) → fixed-stride chunking → per-lang
+      // stats, COMPOSED in one plan over nd = n/10 synthetic docs (20
+      // int64 shingles, every 100th a planted 18/20 near-dup, quality
+      // tokens a pure hash of doc_id). The per-operator curves are flat;
+      // what this measures is the composition: no stage re-shuffles
+      // another's output on a different key (the dedup side works on
+      // doc_id-keyed narrow rows; chunking explodes AFTER the anti-join).
+      // Cardinality cross-checks printed+asserted: the COMPOSED plan's
+      // candidate volume equals the standalone dedup stage's on the same
+      // survivor set, and the chunk count equals Σ ceil(n_tokens/40)
+      // computed independently — composition must not change any stage's
+      // cardinality (the "sum of the parts" claim).
+      time("pipeline_corpus", n / 10) {
+        val nd = n / 10
+        val M = 2147483647L
+        val isDup = col("doc_id") % 100 === 1
+        val srcId = when(isDup, col("doc_id") - 1).otherwise(col("doc_id"))
+        val docs = spark.range(nd).select(
+          col("id").as("doc_id"),
+          (pmod(hash(col("id")), lit(1200)) + 20).as("n_tokens"),
+          pmod(hash(col("id"), lit(9)), lit(5)).as("lang"))
+          .select(col("doc_id"), col("n_tokens"), col("lang"),
+            transform(sequence(lit(0L), lit(19L)), i =>
+              pmod(when(isDup && i >= 18, xxhash64(col("doc_id"), i))
+                .otherwise(xxhash64(srcId, i)), lit(M))).as("hs"))
+        // stage 1: quality gate
+        val q = docs.filter(col("n_tokens") <= 1000).persist()
+        // stage 2: LSH dedup over survivors
+        def candidates(src: DataFrame): DataFrame = {
+          val sigs = src.select(col("doc_id") +: (0 until 8).map { j =>
+            array_min(transform(col("hs"),
+              h => (h * (1000003L * (j + 1) % M) + 998244353L * (j + 7) % M) % M))
+              .as(s"mh$j")
+          }: _*)
+          val bsig = sigs.select(
+            col("doc_id") +: (0 until 4).map(b =>
+              xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b))
+                .as(s"bh$b")): _*)
+          val banded = bsig.select(
+            col("doc_id"),
+            explode(array((0 until 4).map(b =>
+              struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("e"),
+            col("bh0"), col("bh1"), col("bh2"))
+            .select(col("doc_id"), col("e.band").as("band"),
+              col("e.bh").as("bh"), col("bh0"), col("bh1"), col("bh2"))
+          val noEarlier = (0 until 3).map { k =>
+            (col("a.band") <= k) || (col(s"a.bh$k") =!= col(s"b.bh$k"))
+          }.reduce(_ && _)
+          banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id") && noEarlier)
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        }
+        val cand = candidates(q).persist()
+        val removed = cand
+          .join(q.select(col("doc_id").as("id_a"), col("hs").as("sa")), "id_a")
+          .join(q.select(col("doc_id").as("id_b"), col("hs").as("sb")), "id_b")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .filter(col("inter").cast("double") / (lit(40) - col("inter")) >= 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        // stage 3+4: chunk survivors, per-lang stats
+        val survivors = q.join(removed, Seq("doc_id"), "left_anti")
+        val stats = survivors
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            explode(sequence(lit(0L), col("n_tokens") - 1, lit(40L))).as("start"))
+          .select(col("lang"), col("doc_id"),
+            least(lit(40L), col("n_tokens") - col("start")).as("n_tok"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("chunk_tokens"))
+          .collect()
+        // cardinality cross-checks: composition changed no stage's volume
+        val candComposed = cand.count()
+        val candAlone = candidates(q.select("doc_id", "hs")).count()
+        require(candComposed == candAlone,
+          s"composed candidates $candComposed != standalone $candAlone")
+        val expectChunks = survivors
+          .agg(sum(expr("(n_tokens + 39) div 40"))).first().getLong(0)
+        val gotChunks = stats.map(_.getAs[Long]("n_chunks")).sum
+        require(gotChunks == expectChunks,
+          s"chunks $gotChunks != sum-of-parts $expectChunks")
+        println(f"[scale]   pipeline_corpus candidates=$candComposed%,d " +
+          f"chunks=$gotChunks%,d langs=${stats.length}")
+        q.unpersist(); cand.unpersist()
+        stats.map(_.getAs[Long]("n_docs")).sum
+      }
+      // END-TO-END corpus tokenization (VERDICT r6 #1): n token
+      // OCCURRENCES over a vocabulary of n/1000 distinct words — stage 1
+      // collapses the corpus to the distinct-word frame (ONE partial-agg
+      // groupBy), stage 2 applies the trained merge chain per distinct
+      // word (the bpe_encode projection), stage 3 broadcast-joins token
+      // counts back to the occurrence frame, stage 4 aggregates per doc.
+      // The claim: corpus tokenization cost = the occurrence scan + its
+      // one word-key join — merges never run per token.
+      time("bpe_corpus", n) {
+        val vocab = math.max(1000L, n / 1000)
+        val merges = Seq("a b", "c d", "ab c", "e f", "abc d", "ef a",
+          "b c", "d e").zipWithIndex.map { case (p, i) =>
+          graft.operators.BPE.Merge(i + 1, p, 1L)
+        }
+        val occ = spark.range(n).select(
+          (col("id") % (n / 50 + 1)).as("doc_id"),
+          pmod(xxhash64(col("id")), lit(vocab)).as("wid"))
+        val words = occ.groupBy("wid").agg(count(lit(1)).as("wn"))
+          .select(concat_ws("", (0 until 10).map(i =>
+            chr(pmod(xxhash64(col("wid"), lit(i)), lit(6)) + 97)): _*).as("w"),
+            col("wid"), col("wn"))
+        val encoded = graft.operators.BPE.encode(
+          words.select("w", "wn"), merges)
+          .join(words.select("w", "wid"), "w")
+          .select(col("wid"), col("n_toks"))
+        occ.join(broadcast(encoded), "wid")
+          .groupBy("doc_id").agg(sum(col("n_toks")).as("doc_tokens"))
+          .count()
       }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
