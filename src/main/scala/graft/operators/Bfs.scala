@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source breadth-first search: hop distance from a seed set, the
+  * graph-exploration primitive next to [[PageRank]] / [[Triangles]] /
+  * [[ConnectedComponents]] (beyond-reference pipeline surface — reachability
+  * audits, contamination-spread tracing, N-hop feature neighborhoods).
+  *
+  * Determinism: distances are exact small ints (hop counts) and each node
+  * takes the FIRST hop that reaches it (the left-anti against the settled
+  * set), so the result is independent of partitioning and scheduling —
+  * there is no tie to break: every node reached at hop h is reached at
+  * hop h under any schedule.
+  *
+  * Scale shape (the [[PageRank]] loop discipline):
+  *   - edges deduped + hash-partitioned on `src` ONCE and persisted; each
+  *     hop joins the (frontier-sized) node frame against that same
+  *     partitioning — the fact-sized edge set never re-shuffles;
+  *   - the settled-set anti-join keys on the node id (node-sized);
+  *   - `localCheckpoint` per hop truncates lineage;
+  *   - early exit on an empty frontier (one k-bounded driver count/hop).
+  */
+object Bfs {
+
+  /** @param edges directed edges (`src`, `dst`); bidirect upstream for
+    *              undirected reachability
+    * @param seeds frame with a `node` column — distance-0 set
+    * @param maxHops inclusive hop bound
+    * @return (node, dist) for every node within `maxHops` of a seed
+    */
+  def layers(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = dist.select("node")
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select("node")
+        h += 1
+      }
+    }
+    e.unpersist()
+    dist
+  }
+}

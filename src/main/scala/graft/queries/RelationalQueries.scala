@@ -810,6 +810,51 @@ object RelationalQueries {
                  ON cum >= pct * (tr // 100) + (pct * (tr % 100) + 99) // 100
              GROUP BY pct ORDER BY pct""")),
 
+    // Lakehouse OPTIMIZE planning: bin small files into target-size
+    // compaction groups WITHIN each table partition (month) — the
+    // maintenance job behind Delta/Iceberg OPTIMIZE. "Files" are the
+    // per-ship-day row counts (the day layout a date-partitioned ingest
+    // produces); files already at target size are explicitly left alone
+    // (filtered, both engines). The planner IS
+    // Packing.firstFitDecreasingSharded — the same bounded-ring FFD that
+    // packs training sequences, reused as a general lakehouse primitive —
+    // and the oracle replays it with the shared Q.ffdStepCtes state
+    // machine. Scale shape: the file frame is metadata-sized (one row
+    // per file, never fact rows); the plan is deterministic, so two
+    // maintenance runs agree without coordination.
+    QueryDef(
+      "ord_compaction_plan",
+      (s, dir) => {
+        val cap = 10000
+        val files = li(s, dir).select(
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("int").as("shard"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1992-01-01")))
+            .cast("long").as("id"))
+          .groupBy("shard", "id").agg(count(lit(1)).as("len"))
+          .filter(col("len") < cap)
+        graft.operators.Packing.firstFitDecreasingSharded(files, cap, 4)
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("len")).cast("long").as("rows_total"),
+            min(col("id")).as("min_day"), max(col("id")).as("max_day"),
+            Q.hash60(concat_ws(",",
+              transform(sort_array(collect_list(col("id"))),
+                x => x.cast("string")))).as("files_fp"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH RECURSIVE it0 AS (
+               SELECT (year(l_shipdate)*12 + month(l_shipdate)) AS shard,
+                      datediff('day', DATE '1992-01-01', l_shipdate::date) AS id,
+                      count(*) AS len
+               FROM lineitem GROUP BY 1, 2 HAVING count(*) < 10000),
+             ${Q.ffdStepCtes(4, 10000)}
+             SELECT shard, bin, count(*)::bigint AS n_files,
+               sum(len)::bigint AS rows_total,
+               min(id) AS min_day, max(id) AS max_day,
+               ${Q.hash60Sql("string_agg(id::varchar, ',' ORDER BY id)")} AS files_fp
+             FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // MERGE INTO (upsert) semantics — the lakehouse CDC-apply primitive
     // (Delta/Iceberg MERGE): a base snapshot receives a change batch of
     // inserts, updates and deletes, applied declaratively as ONE
@@ -962,6 +1007,54 @@ object RelationalQueries {
           .limit(25)
       },
       Some(pagerankConvSql(PrConvKMax, PrConvEpsCenti))),
+
+    // Multi-source BFS layers (operators.Bfs): hop distance from seed
+    // nodes {p:1, s:2} over the bidirected part–supplier graph — the
+    // reachability/N-hop-neighborhood primitive next to PageRank. No
+    // tie-breaking exists (a node reached at hop h is reached at hop h
+    // under any schedule), so the layer histogram is exact. Scale: edges
+    // src-partitioned once; per hop only frontier-sized frames move.
+    QueryDef(
+      "graph_bfs_layers",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = li(s, dir)
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Seq(2L, 5L).toDF("node")
+        graft.operators.Bfs.layers(edges, seeds, maxHops = 3)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_node"))
+          .orderBy("dist")
+      },
+      Some("""WITH e0 AS (
+               SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               FROM lineitem),
+             edges AS (
+               SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             d0 AS (SELECT unnest([2, 5])::bigint AS node, 0 AS dist),
+             f1 AS (SELECT DISTINCT e.dst AS node
+                    FROM edges e JOIN d0 ON e.src = d0.node),
+             d1 AS (SELECT node, 1 AS dist FROM f1
+                    WHERE node NOT IN (SELECT node FROM d0)),
+             s1 AS (SELECT node FROM d0 UNION SELECT node FROM d1),
+             f2 AS (SELECT DISTINCT e.dst AS node
+                    FROM edges e JOIN d1 ON e.src = d1.node),
+             d2 AS (SELECT node, 2 AS dist FROM f2
+                    WHERE node NOT IN (SELECT node FROM s1)),
+             s2 AS (SELECT node FROM s1 UNION SELECT node FROM d2),
+             f3 AS (SELECT DISTINCT e.dst AS node
+                    FROM edges e JOIN d2 ON e.src = d2.node),
+             d3 AS (SELECT node, 3 AS dist FROM f3
+                    WHERE node NOT IN (SELECT node FROM s2)),
+             allr AS (
+               SELECT * FROM d0 UNION ALL SELECT * FROM d1
+               UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+             SELECT dist, count(*) AS n_nodes, sum(node)::bigint AS sum_node
+             FROM allr GROUP BY dist ORDER BY dist""")),
 
     // Triangle counting over the part co-purchase graph (parts sharing an
     // order), with the degree-orientation optimization every distributed

@@ -22,62 +22,21 @@ object TextQueries {
   private val FfdRing = 4
 
   /** Unrolled DuckDB replay of
-    * [[graft.operators.Packing.firstFitDecreasingSharded]]: the recursive
-    * CTE steps one item per shard per iteration, its state row carrying
-    * the whole open-bin ring — k (bin id, fill) pairs in opening order,
-    * sentinel fill cap+1 for unopened slots, the next-bin counter, and
-    * the placement the step just made. The ordered CASE over the fit
-    * predicates IS first-fit; the no-fit branch shifts the ring left
-    * (FIFO eviction) and opens `nxt`.
+    * [[graft.operators.Packing.firstFitDecreasingSharded]] over the
+    * document corpus (the generic state machine lives in
+    * [[Q.ffdStepCtes]]).
     */
-  private def ffdPackSql(k: Int, cap: Int): String = {
-    val slots = 1 to k
-    def ff(j: Int) = s"(s.f$j + i.len <= $cap)"
-    val anyFit = slots.map(ff).mkString("(", " OR ", ")")
-    val stateCols = slots.flatMap(j => Seq(s"b$j", s"f$j")).mkString(", ")
-    val anchorState =
-      slots.map(_ => s"(-1)::bigint, ${cap + 1}::bigint").mkString(", ")
-    def shiftB(j: Int) = if (j < k) s"s.b${j + 1}" else "s.nxt"
-    def shiftF(j: Int) = if (j < k) s"s.f${j + 1}" else "i.len"
-    val newState = slots.map { j =>
-      val fCases = slots.map { m =>
-        val v = if (m == j) s"s.f$j + i.len" else s"s.f$j"
-        s"WHEN ${ff(m)} THEN $v"
-      }.mkString(" ")
-      s"""CASE WHEN $anyFit THEN s.b$j ELSE ${shiftB(j)} END,
-                 CASE $fCases ELSE ${shiftF(j)} END"""
-    }.mkString(",\n                 ")
-    val pbin = slots.map(j => s"WHEN ${ff(j)} THEN s.b$j").mkString(" ")
-    val pstart = slots.map(j => s"WHEN ${ff(j)} THEN s.f$j").mkString(" ")
+  private def ffdPackSql(k: Int, cap: Int): String =
     s"""WITH RECURSIVE it0 AS (
                SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
                       doc_id AS id, len(string_split(text, ' '))::bigint AS len
                FROM documents),
-             it AS (
-               SELECT shard, id, len,
-                 row_number() OVER (PARTITION BY shard ORDER BY len DESC, id) AS rn
-               FROM it0 WHERE len <= $cap),
-             step(shard, rn, $stateCols, nxt, pbin, pstart) AS (
-               SELECT shard, 0::bigint, $anchorState, 0::bigint,
-                      NULL::bigint, NULL::bigint
-               FROM (SELECT DISTINCT shard FROM it)
-               UNION ALL
-               SELECT i.shard, i.rn,
-                 $newState,
-                 CASE WHEN $anyFit THEN s.nxt ELSE s.nxt + 1 END,
-                 CASE $pbin ELSE s.nxt END,
-                 CASE $pstart ELSE 0::bigint END
-               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
-             placed AS (
-               SELECT st.shard, st.pbin AS bin, i.id, i.len, st.pstart AS start
-               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn
-               WHERE st.rn >= 1)
+             ${Q.ffdStepCtes(k, cap)}
              SELECT shard, bin, count(*)::bigint AS n_docs,
                sum(len)::bigint AS n_tokens,
                ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
                sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
              FROM placed GROUP BY shard, bin ORDER BY shard, bin"""
-  }
 
   /** Per-JVM memoized media-blob fixtures (the StreamFixtures pattern,
     * VERDICT r2 "What's wrong" #2): synthetic clip GENERATION runs once
