@@ -2582,6 +2582,56 @@ object CoreQueries {
                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              ORDER BY event_id""")),
 
+    // ---- Point-in-interval (range) join, bucketized ---------------------
+    // Join fact events to overlapping campaign windows — the range-join
+    // shape Spark has no native operator for. The naive plan is a
+    // BroadcastNestedLoopJoin evaluating |events|·|intervals| predicates;
+    // the scale pattern used here is INTERVAL BUCKETIZATION: pick a grid
+    // of width w ≥ typical interval length, explode each interval to the
+    // ≤⌈len/w⌉+1 buckets it touches, key each event by its ONE bucket,
+    // and the range predicate survives only as a residual filter on an
+    // EQUI hash join — per-event work bounded by intervals-per-bucket,
+    // never the interval universe. (Campaigns here derive from the data's
+    // own [min ts, max ts] span: 200 windows, each 2 grid cells wide,
+    // overlapping by one — every event lands in exactly 2 campaigns.)
+    QueryDef(
+      "ev_interval_join",
+      (s, dir) => {
+        val b = Q.events(s, dir)
+          .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+        val camps = s.range(200).crossJoin(broadcast(b))
+          .select(col("id").as("camp"),
+            expr("(tmax - tmin) div 200 + 1").as("w"),
+            expr("tmin + id * ((tmax - tmin) div 200 + 1)").as("cstart"))
+          .withColumn("cend", col("cstart") + lit(2) * col("w"))
+        // each interval [cstart, cend) spans grid cells camp .. camp+1
+        val campBuckets = camps.select(col("camp"), col("cstart"), col("cend"),
+          explode(sequence(col("camp"), col("camp") + 1)).as("bucket"))
+        val pts = Q.events(s, dir).crossJoin(broadcast(b))
+          .select(col("ts"), col("value"),
+            expr("(ts - tmin) div ((tmax - tmin) div 200 + 1)").as("bucket"))
+        pts.join(broadcast(campBuckets), Seq("bucket"))
+          .filter(col("ts") >= col("cstart") && col("ts") < col("cend"))
+          .groupBy("camp")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+          .orderBy("camp")
+      },
+      Some("""WITH b AS (
+               SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+               FROM events),
+             c AS (
+               SELECT c AS camp,
+                 tmin + c * ((tmax - tmin) // 200 + 1) AS cstart,
+                 tmin + c * ((tmax - tmin) // 200 + 1)
+                   + 2 * ((tmax - tmin) // 200 + 1) AS cend
+               FROM (SELECT unnest(range(200)) AS c, tmin, tmax FROM b))
+             SELECT camp, count(*) AS n_events,
+               sum(value::decimal(38,6))::double AS sum_value
+             FROM events JOIN c
+               ON epoch_us(ts) >= cstart AND epoch_us(ts) < cend
+             GROUP BY camp ORDER BY camp""")),
+
     // ---- Cohort retention: first-seen week × activity-week offsets ------
     // The events-warehouse staple. cohort = each user's first activity
     // week (exact integer µs-div), activity = distinct (user, week); the

@@ -1056,6 +1056,54 @@ object RelationalQueries {
              SELECT dist, count(*) AS n_nodes, sum(node)::bigint AS sum_node
              FROM allr GROUP BY dist ORDER BY dist""")),
 
+    // Label-propagation communities (operators.LabelProp): 2 synchronous
+    // rounds over the bidirected part–supplier graph, deterministic
+    // most-frequent-neighbor-label rule with smallest-label tie-break —
+    // classic LPA's random tie-break and async order are replaced by a
+    // total order so the result is engine/partitioning-independent and
+    // the oracle can replay the rounds exactly. Top-20 communities.
+    QueryDef(
+      "graph_lpa",
+      (s, dir) => {
+        val e0 = li(s, dir)
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.LabelProp.run(edges, rounds = 2)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community"))
+          .limit(20)
+      },
+      Some("""WITH e0 AS (
+               SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               FROM lineitem),
+             edges AS (
+               SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+             nodes AS (SELECT DISTINCT src AS node FROM edges),
+             l0 AS (SELECT node, node AS label FROM nodes),
+             c1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                    FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+             a1 AS (SELECT node, label FROM (
+                      SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY cnt DESC, label) AS rk
+                      FROM c1) WHERE rk = 1),
+             l1 AS (SELECT l.node, coalesce(a.label, l.label) AS label
+                    FROM l0 l LEFT JOIN a1 a USING (node)),
+             c2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                    FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+             a2 AS (SELECT node, label FROM (
+                      SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY cnt DESC, label) AS rk
+                      FROM c2) WHERE rk = 1),
+             l2 AS (SELECT l.node, coalesce(a.label, l.label) AS label
+                    FROM l1 l LEFT JOIN a2 a USING (node))
+             SELECT label AS community, count(*) AS n_nodes
+             FROM l2 GROUP BY label
+             ORDER BY n_nodes DESC, community LIMIT 20""")),
+
     // Triangle counting over the part co-purchase graph (parts sharing an
     // order), with the degree-orientation optimization every distributed
     // triangle counter uses (node-iterator on the LOWEST-degree corner):
