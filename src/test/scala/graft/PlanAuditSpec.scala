@@ -552,6 +552,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ev_interval_join: the range join is an EQUI hash join on the " +
+    "grid bucket — never a nested-loop over the interval universe") {
+    val df = SparkEntry.queries("ev_interval_join")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      // the interval join itself: equi on bucket, range as residual
+      plan should include("BroadcastHashJoin [bucket")
+      "BroadcastHashJoin \\[bucket[^\\n]*cstart".r.findFirstIn(plan) should not be empty
+      // the only nested-loop joins are the 1-row bounds cross joins —
+      // none may carry the range predicate (that would be the naive
+      // |events|·|intervals| plan this query exists to avoid)
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .foreach { l => l should not include "cstart" }
+      plan should not include "CartesianProduct"
+    }
+  }
+
   test("ev_sessions_gap: RewriteGapSessions fires — native session " +
     "aggregation, one fact exchange, no fact-sized window pass; values " +
     "identical to the untagged lag/cumsum formulation") {
