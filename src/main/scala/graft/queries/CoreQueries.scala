@@ -2632,6 +2632,60 @@ object CoreQueries {
                ON epoch_us(ts) >= cstart AND epoch_us(ts) < cend
              GROUP BY camp ORDER BY camp""")),
 
+    // Ingest-time twin of ev_interval_join: the campaign grid (tmin, w,
+    // and the bucket-exploded window frame) is computed batch-side from
+    // history and FROZEN (the stream_drift_kl reference-frame pattern);
+    // the live stream buckets each arriving event with the frozen
+    // constants, stream-static-joins the broadcast window frame, and
+    // keeps only the 200-group (camp) aggregate as state — interval
+    // attribution at ingest with O(|campaigns|) state forever.
+    QueryDef(
+      "stream_interval_join",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val bRow = Q.events(s, dir)
+          .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax")).head()
+        val (tmin, tmax) = (bRow.getLong(0), bRow.getLong(1))
+        val w = (tmax - tmin) / 200 + 1
+        val campBuckets = s.range(200)
+          .select(col("id").as("camp"),
+            (lit(tmin) + col("id") * w).as("cstart"))
+          .withColumn("cend", col("cstart") + lit(2 * w))
+          .select(col("camp"), col("cstart"), col("cend"),
+            explode(sequence(col("camp"), col("camp") + 1)).as("bucket"))
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(graft.core.Tables.tsUsExpr(schema).as("ts"), col("value"))
+          .withColumn("bucket", expr(s"(ts - ${tmin}L) div ${w}L"))
+        val agg = src.join(broadcast(campBuckets), Seq("bucket"))
+          .filter(col("ts") >= col("cstart") && col("ts") < col("cend"))
+          .groupBy("camp")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        val name = "stream_ij_" + System.nanoTime()
+        val sq = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.processAllAvailable() finally sq.stop()
+        s.table(name).orderBy("camp")
+      },
+      Some("""WITH b AS (
+               SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+               FROM events),
+             c AS (
+               SELECT c AS camp,
+                 tmin + c * ((tmax - tmin) // 200 + 1) AS cstart,
+                 tmin + c * ((tmax - tmin) // 200 + 1)
+                   + 2 * ((tmax - tmin) // 200 + 1) AS cend
+               FROM (SELECT unnest(range(200)) AS c, tmin, tmax FROM b))
+             SELECT camp, count(*) AS n_events,
+               sum(value::decimal(38,6))::double AS sum_value
+             FROM events JOIN c
+               ON epoch_us(ts) >= cstart AND epoch_us(ts) < cend
+             GROUP BY camp ORDER BY camp""")),
+
     // ---- Cohort retention: first-seen week × activity-week offsets ------
     // The events-warehouse staple. cohort = each user's first activity
     // week (exact integer µs-div), activity = distinct (user, week); the
