@@ -20,6 +20,35 @@ object RelationalQueries {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
 
+  /** Per-JVM memoized two-generation parquet fixture for
+    * ord_schema_evolution (the MediaFixtures pattern): built once per
+    * (dir), deleted at JVM exit.
+    */
+  private object SchemaEvoFixture {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    sys.addShutdownHook {
+      cache.values.foreach { root =>
+        try StreamFixtures.deleteRecursively(root) catch { case _: Throwable => () }
+      }
+    }
+    def dir(s: SparkSession, tableDir: String): String =
+      cache.getOrElseUpdate(tableDir, {
+        val root = StreamFixtures.scratchDir("graft_schev_")
+        val o = Tables.orders(s, tableDir)
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+            col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "cents")
+          .write.mode("overwrite").parquet(s"$root/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("cents"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$root/v2")
+        root
+      })
+  }
+
   /** graph_pagerank_conv parameters, shared by the Spark loop and the
     * generated oracle so the two cannot drift.
     */
@@ -809,6 +838,40 @@ object RelationalQueries {
                JOIN ranked
                  ON cum >= pct * (tr // 100) + (pct * (tr % 100) + 99) // 100
              GROUP BY pct ORDER BY pct""")),
+
+    // Schema evolution read (lakehouse table-format staple): two parquet
+    // GENERATIONS of the same table — v1 (key, cents) and v2 adding a
+    // `priority` column — written as real files once per (dir) per JVM,
+    // then read back through Spark's actual mergeSchema reconciliation
+    // (missing columns null-fill; the exercised surface is the parquet
+    // reader's schema merge, not a union we hand-build). The oracle
+    // recomputes both generations from the source table with an explicit
+    // NULL::varchar union — deterministic at every SF without touching
+    // the fixture files. Scale: schema merge is a footer-only planning
+    // step; the scan stays columnar and prunes per generation.
+    QueryDef(
+      "ord_schema_evolution",
+      (s, dir) => {
+        val root = SchemaEvoFixture.dir(s, dir)
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/v1", s"$root/v2")
+          .groupBy(coalesce(col("priority"), lit("LEGACY")).as("priority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("priority")
+      },
+      Some("""WITH m AS (
+               SELECT o_orderkey,
+                 floor(o_totalprice * 100 + 0.5)::bigint AS cents,
+                 NULL::varchar AS priority
+               FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL
+               SELECT o_orderkey,
+                 floor(o_totalprice * 100 + 0.5)::bigint AS cents,
+                 o_orderpriority AS priority
+               FROM orders WHERE o_orderkey % 2 = 1)
+             SELECT coalesce(priority, 'LEGACY') AS priority,
+               count(*) AS n, sum(cents)::bigint AS sum_cents
+             FROM m GROUP BY 1 ORDER BY priority""")),
 
     // Lakehouse OPTIMIZE planning: bin small files into target-size
     // compaction groups WITHIN each table partition (month) — the

@@ -552,6 +552,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("knn_brute: the rank<=k filter pushes into WindowGroupLimit — " +
+    "per-group top-k prunes BEFORE the full window sort materializes") {
+    val df = SparkEntry.queries("knn_brute")(spark, dir)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    withClue(plan) {
+      plan should include("WindowGroupLimit")
+    }
+  }
+
   test("ev_interval_join: the range join is an EQUI hash join on the " +
     "grid bucket — never a nested-loop over the interval universe") {
     val df = SparkEntry.queries("ev_interval_join")(spark, dir)
