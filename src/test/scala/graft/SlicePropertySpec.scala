@@ -54,6 +54,30 @@ class SlicePropertySpec extends SparkSpec {
     }
   }
 
+  test("hopping laws: step=width degenerates to Tumbling; general " +
+    "hopping covers each row exactly floorDiv(ts,step)-floorDiv(ts-width,step) times") {
+    cases(6).foreach { case (vs, w0) =>
+      val w = math.max(1, w0).toLong
+      // degeneracy: Hopping(w, w) ≡ Tumbling(w), ids included
+      val hop = EStream(stream(vs)).group(Slice.Hopping(w, w))
+        .reduce("s" -> sum(col("v")))
+        .orderBy("window_id").as[(Long, Long)].collect().toSeq
+      val tum = EStream(stream(vs)).group(Slice.Tumbling(w))
+        .reduce("s" -> sum(col("v")))
+        .orderBy("window_id").as[(Long, Long)].collect().toSeq
+      hop shouldBe tum
+      // coverage multiplicity: total replicated rows == Σ per-row count
+      val width = 2 * w + 1 // non-divisible by step on purpose
+      val rows = EStream(stream(vs)).group(Slice.Hopping(width, w))
+        .reduce("n" -> count(lit(1)))
+        .agg(sum(col("n"))).as[Long].head()
+      val expect = vs.indices.map { i =>
+        Math.floorDiv(i.toLong, w) - Math.floorDiv(i.toLong - width, w)
+      }.sum
+      rows shouldBe expect
+    }
+  }
+
   test("partition law: per-window sums re-add to the total for every slice spec") {
     cases(6).foreach { case (vs, n) =>
       val specs: Seq[Slice] = Seq(
