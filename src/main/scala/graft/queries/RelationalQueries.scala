@@ -1087,6 +1087,11 @@ object RelationalQueries {
           .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = Seq(2L, 5L).toDF("node")
+        // int64 headroom: sum_node is a layer fingerprint — exact while
+        // Σ node ids < 2^63, i.e. up to ~10⁹ nodes with ~10⁹-scale ids
+        // (≈ sf 10⁴). Past that Spark wraps while DuckDB promotes to
+        // hugeint; a production fingerprint at that scale should switch
+        // to xor/hash folding (the bounded alternative), not a sum.
         graft.operators.Bfs.layers(edges, seeds, maxHops = 3)
           .groupBy("dist")
           .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_node"))

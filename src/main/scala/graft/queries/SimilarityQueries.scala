@@ -353,6 +353,10 @@ object SimilarityQueries {
                 acc + (x - floor(x * 127.0d / maxabs + 0.5d) * (maxabs / 127.0d))
                     * (x - floor(x * 127.0d / maxabs + 0.5d) * (maxabs / 127.0d)))"""))
           .withColumn("err_q", floor(col("err") * 1e12 + 0.5).cast("long"))
+        // int64 headroom: per-vector err ≤ dim·(maxabs/254)² ≈ 1e-4 for
+        // unit-scale embeddings ⇒ err_q ≤ ~1e8, so sum_err_q holds to
+        // ~10¹⁰ vectors; if embedding scale grows, quantize per-vector to
+        // a coarser unit before summing (the ev_ab_ttest centi-unit rule).
         e.agg(count(lit(1)).as("n_vecs"),
           sum(col("err_q")).as("sum_err_q"),
           max(col("err_q")).as("max_err_q"))
