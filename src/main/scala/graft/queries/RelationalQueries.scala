@@ -839,6 +839,56 @@ object RelationalQueries {
                  ON cum >= pct * (tr // 100) + (pct * (tr % 100) + 99) // 100
              GROUP BY pct ORDER BY pct""")),
 
+    // Incremental view maintenance (the materialized-aggregate refresh
+    // primitive): a per-priority revenue aggregate maintained from a BASE
+    // snapshot plus a DELTA batch by merging mergeable partials
+    // (sum/count add; no rescan of base facts) — then proved equal to the
+    // full recompute in the same plan. `agree` is an exact integer
+    // compare on decimal-exact cent sums, so the refresh correctness is
+    // itself under the hash gate. Scale shape: the delta-sized aggregate
+    // is the only new fact work; the base partial is view-sized.
+    QueryDef(
+      "ord_incr_agg",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderpriority").as("priority"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        def agg(df: DataFrame) = df.groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val base = agg(o.filter(col("o_orderkey") % 4 =!= 0))
+        val delta = agg(o.filter(col("o_orderkey") % 4 === 0))
+        val incr = base.select(col("priority"), col("n"), col("cents"))
+          .unionByName(delta)
+          .groupBy("priority")
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("sum_cents"))
+        val full = agg(o).select(col("priority"),
+          col("n").as("fn"), col("cents").as("fc"))
+        incr.join(full, "priority")
+          .select(col("priority"), col("n"), col("sum_cents"),
+            (col("n") === col("fn") && col("sum_cents") === col("fc"))
+              .cast("int").as("agree"))
+          .orderBy("priority")
+      },
+      Some("""WITH o AS (
+               SELECT o_orderpriority AS priority,
+                 floor(o_totalprice * 100 + 0.5)::bigint AS cents, o_orderkey
+               FROM orders),
+             base AS (SELECT priority, count(*) AS n, sum(cents) AS cents
+                      FROM o WHERE o_orderkey % 4 <> 0 GROUP BY priority),
+             delta AS (SELECT priority, count(*) AS n, sum(cents) AS cents
+                       FROM o WHERE o_orderkey % 4 = 0 GROUP BY priority),
+             incr AS (
+               SELECT priority, sum(n)::bigint AS n,
+                 sum(cents)::bigint AS sum_cents
+               FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+               GROUP BY priority),
+             refull AS (SELECT priority, count(*) AS fn, sum(cents) AS fc
+                        FROM o GROUP BY priority)
+             SELECT priority, n, sum_cents,
+               (n = fn AND sum_cents = fc)::int AS agree
+             FROM incr JOIN refull USING (priority)
+             ORDER BY priority""")),
+
     // Schema evolution read (lakehouse table-format staple): two parquet
     // GENERATIONS of the same table — v1 (key, cents) and v2 adding a
     // `priority` column — written as real files once per (dir) per JVM,
