@@ -62,12 +62,18 @@ object RelationalQueries {
     * while-loop's stopping rule, round count included.
     */
   private def pagerankConvSql(kMax: Int, epsCenti: Long): String = {
+    // AS MATERIALIZED on every multi-referenced CTE: each r_k is read by
+    // c_{k+1}, d_k, d_{k+1} and the tagged union (4×), and edges/nodes/
+    // outdeg/nn by all kMax stages — DuckDB INLINES multi-referenced
+    // CTEs by default, re-running the whole upstream chain per
+    // reference (measured: 19 s → 0.3 s at sf0.01 from this hint alone;
+    // the un-hinted form is minutes at sf0.1).
     val stages = (1 to kMax).map { k =>
       s"""c$k AS (SELECT r.node AS src, r.rank_q // d.deg AS contrib
                     FROM r${k - 1} r JOIN outdeg d USING (node)),
              i$k AS (SELECT e.dst AS node, sum(c.contrib) AS inflow
                     FROM edges e JOIN c$k c ON e.src = c.src GROUP BY e.dst),
-             r$k AS (SELECT n.node,
+             r$k AS MATERIALIZED (SELECT n.node,
                       (85 * coalesce(i.inflow, 0) + 15 * nn.base) // 100 AS rank_q
                     FROM nodes n LEFT JOIN i$k i USING (node) CROSS JOIN nn),
              d$k AS (SELECT max(abs(a.rank_q - b.rank_q)) AS d
@@ -83,13 +89,13 @@ object RelationalQueries {
     s"""WITH e0 AS (
                SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
                FROM lineitem),
-             edges AS (
+             edges AS MATERIALIZED (
                SELECT src, dst FROM e0
                UNION ALL SELECT dst AS src, src AS dst FROM e0),
-             nodes AS (SELECT DISTINCT src AS node FROM edges),
-             nn AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
-             outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
-             r0 AS (SELECT node, base AS rank_q FROM nodes CROSS JOIN nn),
+             nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+             nn AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
+             outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+             r0 AS MATERIALIZED (SELECT node, base AS rank_q FROM nodes CROSS JOIN nn),
              $stages,
              eps AS (SELECT (base * $epsCenti) // 100 AS e FROM nn),
              ks AS (SELECT CASE $cases ELSE $kMax END AS k
