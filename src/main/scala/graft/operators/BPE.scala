@@ -128,7 +128,7 @@ object BPE {
     */
   def encodeOracleWith(wordsSql: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH w0 AS (
+    sb ++= s"""WITH w0 AS MATERIALIZED (
       SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, wn
       FROM ($wordsSql)),\n"""
     for (r <- 1 to rounds) {
@@ -142,7 +142,7 @@ object BPE {
                   WHERE len(regexp_extract_all(seg, '[^|]+')) >= 2))
           GROUP BY pair)
         ORDER BY n DESC, pair LIMIT 1),\n"""
-      sb ++= s"""w$r AS (
+      sb ++= s"""w$r AS MATERIALIZED (
         SELECT w, replace(seg,
             '|' || string_split(p.pair, ' ')[1] || '||'
                 || string_split(p.pair, ' ')[2] || '|',
@@ -166,7 +166,7 @@ object BPE {
     */
   def oracleSql(wordsSql: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH w0 AS (
+    sb ++= s"""WITH w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, wn
       FROM ($wordsSql)),\n"""
     for (r <- 1 to rounds) {
@@ -181,7 +181,7 @@ object BPE {
           GROUP BY pair)
         ORDER BY n DESC, pair LIMIT 1),\n"""
       if (r < rounds)
-        sb ++= s"""w$r AS (
+        sb ++= s"""w$r AS MATERIALIZED (
           SELECT replace(seg,
               '|' || string_split(p.pair, ' ')[1] || '||'
                   || string_split(p.pair, ' ')[2] || '|',

@@ -1293,8 +1293,8 @@ object SimilarityQueries {
           s"AND (a.band <= $k OR a.bh$k != b.bh$k)"
         }.mkString(" ")
         s"""WITH $embSql,
-             bsig AS (SELECT vec_id, $bhs FROM emb),
-             banded AS ($bandRows),
+             bsig AS MATERIALIZED (SELECT vec_id, $bhs FROM emb),
+             banded AS MATERIALIZED ($bandRows),
              cand AS (
                SELECT a.vec_id AS id_a, b.vec_id AS id_b
                FROM banded a JOIN banded b
@@ -1431,7 +1431,7 @@ object SimilarityQueries {
       Some {
         val sb = new StringBuilder
         sb ++= s"""WITH $embSql,
-          g AS (SELECT t1.i AS i, t2.i AS j,
+          g AS MATERIALIZED (SELECT t1.i AS i, t2.i AS j,
                   sum(floor(v[t1.i + 1] * 1000)::bigint *
                       floor(v[t2.i + 1] * 1000)::bigint)::bigint AS c
                 FROM emb, range(0, 64) t1(i), range(0, 64) t2(i)
@@ -1439,7 +1439,7 @@ object SimilarityQueries {
           v0 AS (SELECT unnest(range(0, 64)) AS i, 1000000::bigint AS v)"""
         for (r <- 1 to 8) {
           sb ++= s""",
-          w$r AS (SELECT g.i AS i, sum(g.c * pv.v)::bigint AS w
+          w$r AS MATERIALIZED (SELECT g.i AS i, sum(g.c * pv.v)::bigint AS w
                   FROM g JOIN v${r - 1} pv ON g.j = pv.i GROUP BY g.i),
           m$r AS (SELECT max(abs(w)) AS m FROM w$r),
           v$r AS (SELECT i, ((w::hugeint * 1000000) // m)::bigint AS v
