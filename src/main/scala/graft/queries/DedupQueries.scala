@@ -146,14 +146,14 @@ object DedupQueries {
     val noEarlier = (0 until BANDS - 1).map { k =>
       s"AND (a.band <= $k OR a.bh$k != b.bh$k)"
     }.mkString(" ")
-    s"""base AS (
+    s"""base AS MATERIALIZED (
          SELECT doc_id, $shinglesSql AS shingles
          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          WHERE len(toks) >= 3),
        hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM base),
        sigs AS (SELECT doc_id, $mhs FROM hashed),
-       bsig AS (SELECT doc_id, $bhs FROM sigs),
-       banded AS ($bandRows),
+       bsig AS MATERIALIZED (SELECT doc_id, $bhs FROM sigs),
+       banded AS MATERIALIZED ($bandRows),
        cand AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
@@ -165,7 +165,7 @@ object DedupQueries {
            len(sa.shingles) AS na, len(sb.shingles) AS nb
          FROM cand JOIN base sa ON sa.doc_id = id_a
                    JOIN base sb ON sb.doc_id = id_b),
-       pairs AS (
+       pairs AS MATERIALIZED (
          SELECT id_a, id_b, inter::double / (na + nb - inter) AS jaccard
          FROM j WHERE inter::double / (na + nb - inter) >= 0.8)"""
   }
@@ -319,7 +319,7 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $minhashPairsCtes,
-           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                    UNION ALL SELECT id_b, id_a FROM pairs),
            lbl(id, comp) AS (
              SELECT a, a FROM sym
@@ -352,7 +352,7 @@ object DedupQueries {
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE $minhashPairsCtes,
-           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                    UNION ALL SELECT id_b, id_a FROM pairs),
            lbl(id, comp) AS (
              SELECT a, a FROM sym
