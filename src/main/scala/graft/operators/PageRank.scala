@@ -48,7 +48,7 @@ object PageRank {
           totalQ: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
     loop(edges, totalQ, dampPct) { (sweep, ranks0, _) =>
       var ranks = ranks0
-      for (_ <- 1 to iterations) ranks = sweep(ranks)
+      for (_ <- 1 to iterations) ranks = sweep(ranks).select("node", "rank_q")
       (ranks, iterations)
     }._1
 
@@ -91,14 +91,14 @@ object PageRank {
       var iters = 0
       var delta = Long.MaxValue
       while (delta >= epsQ && iters < maxIterations) {
+        // the sweep carries prev_q through, so the delta is one max over
+        // the ALREADY-CHECKPOINTED sweep output — no extra join pass
         val next = sweep(ranks)
-        delta = ranks.select(col("node"), col("rank_q").as("prev_q"))
-          .join(next, "node")
-          .agg(max(abs(col("rank_q") - col("prev_q"))).as("d"))
+        delta = next.agg(max(abs(col("rank_q") - col("prev_q"))).as("d"))
           .head().getLong(0)
         iters += 1
         trace(iters, delta)
-        ranks = next
+        ranks = next.select("node", "rank_q")
       }
       (ranks, iters)
     }
@@ -130,9 +130,13 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
       // `div`, not `/`: Column `/` on longs is DOUBLE division, whose
-      // truncation can be off-by-one vs exact integer division
-      nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
+      // truncation can be off-by-one vs exact integer division. The
+      // incoming rank frame (every node, by the r0 invariant) replaces a
+      // separate `nodes` join so the previous rank rides along for the
+      // convergence delta at zero extra passes.
+      ranks.select(col("node"), col("rank_q").as("prev_q"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"), col("prev_q"),
           expr(s"(${dampPct}L * coalesce(inflow, 0L) + " +
             s"${100 - dampPct}L * ${base}L) div 100").as("rank_q"))
         .localCheckpoint()
