@@ -591,6 +591,41 @@ object TextQueries {
                    FROM documents)
              GROUP BY 1 ORDER BY split""")),
 
+    // Deterministic per-epoch corpus shuffling (the dataloader's other
+    // half next to sequence packing): each epoch e permutes the corpus
+    // by the cross-engine order key hash60('shuf|e|doc_id') — a new
+    // independent permutation per epoch with zero state and exact
+    // replayability from (corpus, epoch) alone, which is how a 100-TB
+    // training run shuffles without ever materializing a permutation.
+    // The readout gates the head of each epoch's order (top-20 per
+    // epoch): the rank<=k filter rides WindowGroupLimit, so per-epoch
+    // top-k prunes map-side — the plan never globally sorts the corpus.
+    QueryDef(
+      "doc_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val ep = Seq(0L, 1L, 2L).toDF("epoch")
+        val keyed = docs(s, dir).select(col("doc_id"))
+          .crossJoin(broadcast(ep))
+          .withColumn("okey", Q.hash60(concat(lit("shuf|"),
+            col("epoch").cast("string"), lit("|"), col("doc_id").cast("string"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch").orderBy(col("okey"), col("doc_id"))
+        keyed.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("epoch"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("okey"))
+          .orderBy("epoch", "rk")
+      },
+      Some(s"""WITH keyed AS (
+               SELECT e.epoch, doc_id,
+                 ${Q.hash60Sql("'shuf|' || e.epoch || '|' || doc_id")} AS okey
+               FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e)
+             SELECT epoch, rk, doc_id, okey FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY epoch ORDER BY okey, doc_id) AS rk
+               FROM keyed) WHERE rk <= 20 ORDER BY epoch, rk""")),
+
     // Data-mixture sampling (the LLaMA/Pile-style mixture step): given
     // per-source mixture WEIGHTS and a total token BUDGET (half the
     // corpus here), derive each source's per-mille sampling rate
