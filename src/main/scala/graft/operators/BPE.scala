@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus collapses to the DISTINCT-WORD frequency frame
   * first (~10⁷ rows at 100 TB regardless of corpus size — the reason real
-  * BPE trainers pre-aggregate), so each round is one narrow groupBy(pair)
-  * over the word frame plus a map-only merge. The only driver-sized data is
-  * the 1-row argmax per round (same loop discipline as KMeans/PageRank).
-  * The word frame is persisted per round and the previous round's cache
-  * dropped, so round r does not replay rounds 1..r-1's merges.
+  * BPE trainers pre-aggregate). That frame is vocab-bounded, so the merge
+  * LOOP runs in driver memory over the collected vocab with incremental
+  * pair counts (see [[train]]/[[trainLocal]]) — one Spark job total for
+  * the trainer, regardless of merge count, which is what makes production
+  * parameter regimes (30k–50k merges) feasible: a per-merge Spark job at a
+  * ~200 ms scheduling floor would cost hours of driver-serial time at any
+  * cluster size. Corpus-sized passes (pre-aggregation, encode) stay
+  * distributed.
   *
   * Cross-engine determinism: a word's segmentation is encoded as the string
   * `|s1||s2||s3|` — every symbol wrapped in its own `|…|`. With that
@@ -38,48 +41,143 @@ object BPE {
     * weighted count at selection time. */
   final case class Merge(rank: Int, pair: String, n: Long)
 
-  private def pairCounts(words: DataFrame): DataFrame =
-    words
-      .select(col("wn"),
-        regexp_extract_all(col("seg"), lit("[^|]+"), lit(0)).as("syms"))
-      .filter(size(col("syms")) >= 2)
-      .select(col("wn"), explode(expr(
-        "transform(sequence(1, size(syms) - 1), " +
-          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
-        .as("pair"))
-      .groupBy("pair").agg(sum(col("wn")).as("n"))
-
   /** Run `rounds` greedy merges over a word-frequency frame.
+    *
+    * The corpus-sized work (collapsing the corpus to the distinct-word
+    * frequency frame) happens UPSTREAM, distributed; `words` is
+    * vocab-bounded by contract (~10⁷ rows / a few hundred MB at 100 TB of
+    * corpus — bounded by the language, not the data). So the merge loop
+    * itself collects the vocab ONCE and runs in driver memory with
+    * incrementally-maintained pair counts (the HF-tokenizers /
+    * Sennrich `learn_bpe` design): round r touches only the words that
+    * contain round r's argmax pair, so 30k–50k production merge rounds cost
+    * seconds, not 30k serial Spark jobs. Encoding stays distributed
+    * ([[encode]]) and the merge table stays k-bounded driver state — the
+    * same loop discipline as KMeans/PageRank (collect only vocab/k-bounded
+    * state, never corpus-sized frames).
     *
     * @param words (w: string of [a-z0-9]+, wn: long) — distinct words with
     *              corpus frequencies
     * @return the learned merge table, rank ascending
     */
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
-    var cur = words
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("seg"), col("wn"))
-      .persist()
-    val merges = Seq.newBuilder[Merge]
-    try {
-      for (r <- 1 to rounds) {
-        val top = pairCounts(cur)
-          .orderBy(col("n").desc, col("pair"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val pair = top(0).getString(0)
-          val n = top(0).getLong(1)
-          merges += Merge(r, pair, n)
-          val Array(a, b) = pair.split(" ", 2)
-          val next = cur
-            .withColumn("seg",
-              expr(s"replace(seg, '|$a||$b|', '|$a$b|')"))
-            .persist()
-          next.count() // materialize before dropping the parent cache
-          cur.unpersist()
-          cur = next
+    val vocab = words.select(col("w").cast("string"), col("wn").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainLocal(vocab, rounds)
+  }
+
+  /** The in-memory merge loop over a collected vocabulary. Semantics are
+    * exactly the classic trainer: each round the argmax adjacent pair
+    * (weighted count desc, then space-joined pair string asc) is merged
+    * greedily left-to-right, non-overlapping, in every word. Pair counts
+    * are maintained INCREMENTALLY: merging pair p only re-derives the
+    * adjacency counts of words that actually contain p (tracked per pair),
+    * and the argmax comes from a lazy max-heap (stale entries are
+    * re-enqueued at their corrected count on pop — the standard
+    * decrease-key-free priority queue), so total work is
+    * O(Σ affected-word lengths + heap churn), independent of vocabulary
+    * size per round. */
+  def trainLocal(vocab: Array[(String, Long)], rounds: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val segs = vocab.map(_._1.map(_.toString))       // word → symbol array
+    val wns = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[String, Long] // "a b" → Σ wn
+    // pair → words that MAY contain it (monotone superset: memberships are
+    // never retracted and may repeat; a stale/duplicate member costs one
+    // O(len) no-op scan at the pair's single merge round — each pair is
+    // merged at most once ever — which keeps the hot loop allocation-free.
+    // A compact append-only Int buffer, NOT a BitSet: BitSet capacity is
+    // the max word INDEX (25 KB per pair at 200k words even for singleton
+    // pairs), which O(live pairs) would turn into GBs)
+    val where = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+    val changed = mutable.HashSet.empty[String]      // pairs touched per round
+    // max-heap: highest count first, then lexicographically smallest pair
+    val ord: Ordering[(Long, String)] = (x, y) => {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c else y._2.compareTo(x._2)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String)](ord)
+
+    def bump(pair: String, wi: Int, n: Long): Unit = {
+      counts(pair) = counts.getOrElse(pair, 0L) + n
+      val members = where.getOrElseUpdate(pair, mutable.ArrayBuffer.empty[Int])
+      // skip intra-word duplicates (a word's bumps arrive consecutively)
+      if (members.isEmpty || members(members.length - 1) != wi) members += wi
+      changed += pair
+    }
+    def drop(pair: String, n: Long): Unit = counts.get(pair) match {
+      case Some(c) =>
+        val nn = c - n
+        if (nn <= 0L) { counts.remove(pair); where.remove(pair) }
+        else counts(pair) = nn // lazily corrected when its heap entry pops
+        changed += pair
+      case None => () // already fully merged away this round
+    }
+    /** One heap entry per pair whose count changed this round (NOT one per
+      * occurrence update — that would grow the heap by the round's whole
+      * update volume and is what makes the naive lazy-heap trainer
+      * quadratic-ish in practice). */
+    def flushChanged(): Unit = {
+      for (p <- changed; c <- counts.get(p)) heap.enqueue((c, p))
+      changed.clear()
+    }
+    for (wi <- segs.indices; i <- 0 until segs(wi).length - 1)
+      bump(segs(wi)(i) + " " + segs(wi)(i + 1), wi, wns(wi))
+    flushChanged()
+
+    /** Pop the true argmax: stale heap entries (count changed since push)
+      * are re-enqueued at their live count until a fresh one surfaces. */
+    def popArgmax(): Option[(String, Long)] = {
+      while (heap.nonEmpty) {
+        val (n, p) = heap.dequeue()
+        counts.get(p) match {
+          case Some(cn) if cn == n => return Some((p, n))
+          case Some(cn)            => heap.enqueue((cn, p))
+          case None                => // pair fully merged away
         }
       }
-    } finally cur.unpersist()
+      None
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      popArgmax() match {
+        case None => done = true // no adjacent pairs remain anywhere
+        case Some((pair, n)) =>
+          merges += Merge(r, pair, n)
+          val Array(a, b) = pair.split(" ", 2)
+          val ab = a + b
+          for (wi <- where.getOrElse(pair, mutable.ArrayBuffer.empty[Int])) {
+            val syms = segs(wi)
+            val merged = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += ab; i += 2 // greedy: merged symbol not rescanned
+              } else { merged += syms(i); i += 1 }
+            }
+            val out = merged.result()
+            if (out.length != syms.length) { // stale member ⇒ no-op scan
+              val wn = wns(wi)
+              var j = 0
+              while (j < syms.length - 1) {
+                drop(syms(j) + " " + syms(j + 1), wn); j += 1
+              }
+              j = 0
+              while (j < out.length - 1) {
+                bump(out(j) + " " + out(j + 1), wi, wn); j += 1
+              }
+              segs(wi) = out
+            }
+          }
+          // greedy merge removed every (a,b) adjacency from every member
+          counts.remove(pair); where.remove(pair); changed -= pair
+          flushChanged()
+          r += 1
+      }
+    }
     merges.result()
   }
 

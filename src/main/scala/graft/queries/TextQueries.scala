@@ -445,11 +445,17 @@ object TextQueries {
              FROM pairs GROUP BY pair
              ORDER BY n DESC, pair LIMIT 20""")),
 
-    // FULL BPE merge-training loop (operators.BPE): 8 greedy argmax-merge
+    // FULL BPE merge-training loop (operators.BPE): 256 greedy argmax-merge
     // rounds over the distinct-word frequency frame — the actual tokenizer
-    // trainer, not just one scan. Oracle replays the same 8 data-dependent
-    // rounds as generated unrolled CTEs (see BPE.oracleSql). Restricting
-    // words to [a-z0-9]+ keeps the `|…|` segmentation encoding unambiguous.
+    // trainer at a production-shaped round count, not just one scan. The
+    // vocab-bounded frame is collected once and the merge loop runs
+    // driver-side with incremental pair counts (BPE.train), so 256 rounds
+    // cost ONE Spark job, not 256. On this fixture's vocabulary the pair
+    // supply exhausts before 256 (both engines stop at the same rank —
+    // the trainer's termination path is part of what's gated). Oracle
+    // replays the same data-dependent rounds as generated unrolled CTEs
+    // (see BPE.oracleSql). Restricting words to [a-z0-9]+ keeps the
+    // `|…|` segmentation encoding unambiguous.
     QueryDef(
       "doc_bpe_train",
       (s, dir) => {
@@ -457,12 +463,12 @@ object TextQueries {
           .select(explode(split(lower(col("text")), " ")).as("w"))
           .filter(col("w").rlike("^[a-z0-9]+$"))
           .groupBy("w").agg(count(lit(1)).as("wn"))
-        graft.operators.BPE.trainDf(s, words, rounds = 8).orderBy("merge_rank")
+        graft.operators.BPE.trainDf(s, words, rounds = 256).orderBy("merge_rank")
       },
       Some(graft.operators.BPE.oracleSql(
         """SELECT w, count(*) AS wn FROM (
              SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-           WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 8))),
+           WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w""", rounds = 256))),
 
     // BPE ENCODE — the other half of the tokenizer: apply the trained
     // merge table to the corpus (train on this corpus, then tokenize it —

@@ -158,6 +158,27 @@ object ScaleCurve {
         graft.operators.BPE.encode(words, merges)
           .agg(sum(col("n_toks"))).first().getLong(0)
       }
+      // BPE merge TRAINING at n ROUNDS (opt-in only: here n is a round
+      // count, not a row count — run as
+      //   SPARK_GRAFT_SCALE_OPS=bpe_rounds runMain graft.tools.ScaleCurve
+      //     256 1024 4096 16384
+      // over a FIXED 200k-word synthetic vocab). The measured claim
+      // (VERDICT r7 #1): the driver-side incremental trainer is SUBLINEAR
+      // in rounds — the one vocab collect + pair-count init dominates and
+      // each merge then touches only the words containing its pair — so
+      // production merge counts (30k–50k) cost seconds, vs the
+      // one-Spark-job-per-merge shape whose floor is rounds × ~200 ms of
+      // driver-serial scheduling at ANY cluster size.
+      if (only("bpe_rounds")) time("bpe_rounds", n) {
+        val vocab = spark.range(200000).select(
+          concat_ws("", (0 until 24).map(i =>
+            chr(pmod(xxhash64(col("id"), lit(i)), lit(10)) + 97)): _*)
+            .substr(lit(1),
+              (pmod(xxhash64(col("id"), lit(77)), lit(17)) + 8).cast("int"))
+            .as("w"),
+          (pmod(xxhash64(col("id"), lit(99)), lit(1000)) + 1).as("wn"))
+        graft.operators.BPE.train(vocab, rounds = n.toInt).size.toLong
+      }
       // Repeated-span mining at n span rows (n/100 docs × 100 spans):
       // every doc pair shares its first 10 span hashes (planted repeats).
       // The measured claim (VERDICT r5 #5): the whole pipeline is narrow

@@ -74,6 +74,24 @@ class BpeSpec extends SparkSpec {
     law(Map("a" -> 3L, "b" -> 2L), rounds = 4)
   }
 
+  test("matches reference at production round counts (512 merges, 2k vocab)") {
+    // the merge-count dimension: 2000 distinct pseudo-random words over a
+    // 6-letter alphabet sustain hundreds of merges; the incremental
+    // driver-side trainer must equal the O(rounds × vocab) reference loop
+    // rule for rule (rank, pair, AND selection-time count) all the way out
+    val rnd = new scala.util.Random(1234)
+    val words = (1 to 2000).map { _ =>
+      val len = 3 + rnd.nextInt(10)
+      (1 to len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }.groupBy(identity).map { case (w, g) => w -> (g.size.toLong * 3) }
+    val df = words.toSeq.toDF("w", "wn")
+    val got = BPE.train(df, rounds = 512)
+    val want = refTrain(words, rounds = 512)
+    got.size shouldBe want.size
+    got.size should be >= 256 // the regime actually exercised, not vacuous
+    got shouldBe want
+  }
+
   /** Single-node reference ENCODER: apply merges in rank order, each
     * greedily non-overlapping left-to-right (the Sennrich apply_bpe
     * order — identical greedy step as the trainer's merge). */
