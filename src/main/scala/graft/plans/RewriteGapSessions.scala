@@ -48,7 +48,20 @@ import org.apache.spark.unsafe.types.CalendarInterval
 object RewriteGapSessions extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    // Short-circuit (VERDICT r7 #5): this runs on every analyzer-fixpoint
+    // pass of EVERY query in the session — resolveOperatorsUp's rewrite
+    // machinery on plans that cannot contain the pattern (tag emitted only
+    // by sessionize) is pure overhead, measurable on the catalog's deep
+    // unrolled-loop plans. `exists` is a read-only traversal with a cheap
+    // instanceof test; only tag-bearing plans pay for the rewrite pass.
+    if (!plan.exists {
+      case p: Project => p.projectList.exists {
+        case Alias(_: GapSessionTag, _) => true
+        case _ => false
+      }
+      case _ => false
+    }) plan
+    else plan.resolveOperatorsUp {
       case agg: Aggregate if agg.resolved =>
         tryRewrite(agg).getOrElse(agg)
     }
@@ -83,7 +96,15 @@ object RewriteGapSessions extends Rule[LogicalPlan] {
           agg.aggregateExpressions.forall {
             case a: Attribute => true
             case ne => !ne.references.exists(_.exprId == sid.exprId)
-          }
+          } &&
+          // DISTINCT aggregates stay on the window formulation (ADVICE
+          // r7): MergingSessions + RewriteDistinctAggregates planning is
+          // an untested composition — correct-by-construction beats
+          // correct-by-hope, and the fallback plan is the pre-r7 one
+          !agg.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression => ae.isDistinct
+            case _ => false
+          })
       if (!ok) None
       else Some(rewrite(agg, sid, tag, keyAttrs))
     }

@@ -621,4 +621,36 @@ class PlanAuditSpec extends SparkSpec {
       .collect()
     got.map(_.toString).toSeq shouldBe expected.map(_.toString).toSeq
   }
+
+  test("sessionize + DISTINCT aggregate: RewriteGapSessions declines " +
+    "(ADVICE r7) — window formulation plan, values match the untagged form") {
+    import org.apache.spark.sql.functions.{col, countDistinct, lag, lit, sum, when}
+    val df = graft.core.KStream(graft.queries.Q.events(spark, dir), Seq("user_id"))
+      .sessionize(3600L * 1000 * 1000)
+      .reduceAll("n_types" -> countDistinct(col("event_type")))
+      .orderBy("user_id", "session_id")
+    val got = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // the distinct-aggregate guard keeps the MergingSessions composition
+      // (untested with RewriteDistinctAggregates planning) out of the plan
+      plan should not include "MergingSessions"
+    }
+    // values equal the plain lag/cumsum formulation (invisible to the rule)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("seq"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = graft.queries.Q.events(spark, dir)
+      .withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > 3600L * 1000 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id", "session_id")
+      .collect()
+    got.map(_.toString).toSeq shouldBe expected.map(_.toString).toSeq
+  }
 }
