@@ -107,6 +107,15 @@ object Bench {
     val ok = results.collect { case (n, Right((d, _))) => n -> d }
     val failed = results.collect { case (n, Left(e)) => n -> e }
     val multi = results.collect { case (n, Right((_, rs))) if rs.size > 1 => n -> rs }
+    // Storage-tab assertion (VERDICT r7 #6): after the per-query cleanup
+    // discipline (clearCache + temp-view drop after every run), NO
+    // SQL-cached relation may survive to run end — a non-empty cache here
+    // means some query's persist escaped the lifecycle and would
+    // accumulate across an embedding caller's job. (localCheckpoint
+    // blocks are intentionally exempt: they are RDD-GC-governed and the
+    // per-JVM frozen stream models own theirs for the JVM lifetime.)
+    require(spark.sharedState.cacheManager.isEmpty,
+      "cache leak: SQL-cached relations survived the catalog run")
     spark.stop()
 
     // Same-window head-to-head: DuckDB single-threaded over the identical

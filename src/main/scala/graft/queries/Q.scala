@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 /** One verifiable operator query: a Spark implementation + (usually) an
   * equivalent DuckDB oracle SQL. Names of output columns MUST match between
   * the two — the driver sorts columns by name and hash-compares values.
+  *
+  * Cache lifecycle CONTRACT (VERDICT r6 #4 / r7 #6): `fn` returns a LAZY
+  * frame, so a query that `.persist()`s an internal frame cannot unpersist
+  * it before the caller's action without recomputing every consumer. The
+  * action owner therefore owns the release: Verify's per-query
+  * `finally clearCache()` and Bench's `cleanup()` after every timed run
+  * drop all query-internal persists, and Bench ASSERTS the SQL cache is
+  * empty at run end. Library-embedding callers inherit the same rule —
+  * run your action, then release. Per-JVM frozen stream models
+  * (StreamFixtures.frozen) use `localCheckpoint`, which lives outside the
+  * SQL cache and is RDD-GC-governed by design.
   */
 final case class QueryDef(
     name: String,

@@ -488,7 +488,7 @@ object TextQueries {
           .select(explode(split(lower(col("text")), " ")).as("w"))
           .filter(col("w").rlike("^[a-z0-9]+$"))
           .groupBy("w").agg(count(lit(1)).as("wn"))
-          .persist() // train's 8 argmax rounds + encode both consume it
+          .persist() // train's one vocab collect + encode both consume it
         val merges = graft.operators.BPE.train(words, rounds = 8)
         val wordToks = graft.operators.BPE.encode(words, merges)
           .select(col("w"), col("n_toks"))
@@ -1213,6 +1213,8 @@ object TextQueries {
     QueryDef(
       "doc_bigram_lift",
       (s, dir) => {
+        // persisted: unigram/total/bigram passes share the tokenized
+        // frame; released by the runner (QueryDef lifecycle contract)
         val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
           .filter(size(col("t")) >= 2).persist()
         val uni = d.select(explode(col("t")).as("w"))
@@ -1390,6 +1392,8 @@ object TextQueries {
     QueryDef(
       "doc_bigram_nll",
       (s, dir) => {
+        // persisted: model-count and per-doc passes share the tokenized
+        // frame; released by the runner (QueryDef lifecycle contract)
         val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
           .filter(size(col("t")) >= 2).persist()
         val bg = d
