@@ -106,18 +106,19 @@ object WindowKernel {
       df.withColumn(WindowId, expr(s"CAST(`$tsCol` AS BIGINT) div ${width}L"))
 
     case Slice.Hopping(width, step) =>
-      // covering hop ids: w_max = ts div step (exact for ts >= 0);
-      // w_min = floorDiv(ts - width, step) + 1 — (ts - width) can be
-      // negative near t=0 where Spark `div` truncates toward zero, so
-      // floor is restored with the (a % step < 0) correction (step > 0).
+      // covering hop ids: w_max = floorDiv(ts, step),
+      // w_min = floorDiv(ts - width, step) + 1. BOTH bounds need the
+      // floor correction (ADVICE r7): Spark `div` truncates toward zero,
+      // which equals floor only for nonnegative operands — ts itself can
+      // be negative (pre-epoch axes), not just (ts - width) near t=0.
       // Exact int64 arithmetic throughout: double floor(a/b) would lose
       // precision past 2^53 for epoch-nano axes.
       val t = s"CAST(`$tsCol` AS BIGINT)"
       val a = s"($t - ${width}L)"
-      // floorDiv(a, step) + 1 == truncDiv(a, step) + (a % step < 0 ? 0 : 1)
+      // floorDiv(x, step) == truncDiv(x, step) + (x % step < 0 ? -1 : 0)
       df.withColumn(WindowId, explode(expr(
         s"sequence(($a div ${step}L) + (CASE WHEN $a % ${step}L < 0 THEN 0L ELSE 1L END), " +
-          s"$t div ${step}L)")))
+          s"($t div ${step}L) + (CASE WHEN $t % ${step}L < 0 THEN -1L ELSE 0L END))")))
 
     case Slice.Count(n) =>
       val w = part(keys).orderBy(col(tsCol), col(seqCol))

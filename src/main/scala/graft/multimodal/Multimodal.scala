@@ -461,13 +461,21 @@ object Codecs {
     val stsz = box("stsz", be32(0 +: 0 +: n +: frames.map(_.length.toInt): _*))
     val stco = box("stco", be32(0, 1, mdatPayloadOff))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
-    val vmhd = box("vmhd", be32(1, 0))
+    // spec-length payloads (ADVICE r7): vmhd v0 = flags(=1) + graphicsmode
+    // + opcolor[3] → 12 bytes; strict external parsers reject short boxes
+    val vmhd = box("vmhd", be32(1, 0, 0))
     val dinf = box("dinf", box("dref", be32(0, 1), box("url ", be32(1))))
     val minf = box("minf", vmhd, dinf, stbl)
     val hdlr = box("hdlr", be32(0, 0, 0x76696465 /*vide*/, 0, 0, 0, 0))
     val mdhd = box("mdhd", be32(0, 0, 0, 1000, n, 0))
     val mdia = box("mdia", mdhd, hdlr, minf)
-    val tkhd = box("tkhd", be32(0, 0, 0, 1, 0, n, 0, 0))
+    // tkhd v0 = 21 u32s: flags(enabled|in_movie|in_preview) + times +
+    // track_id + reserved + duration + reserved[2] + layer/alt-group +
+    // volume/reserved + unity matrix[9] + 16.16 width/height
+    // width/height 0: frames are opaque encoded samples — packMp4 does
+    // not decode them, and 16.16 zero is the neutral "unspecified" value
+    val tkhd = box("tkhd", be32(7, 0, 0, 1, 0, n, 0, 0, 0, 0,
+      0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, 0, 0))
     val trak = box("trak", tkhd, mdia)
     val mvhd = box("mvhd", be32(0, 0, 0, 1000, n, 0x00010000, 0, 0, 0,
       0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, 0, 0, 0, 0, 0, 0, 2))

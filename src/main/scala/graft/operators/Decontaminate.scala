@@ -40,6 +40,13 @@ object Decontaminate {
     // treeAggregate, exact join) — the index lineage is never replayed
     val benchP = bench.persist()
     val nBench = benchP.count() // also sizes the filter
+    // empty index (degenerate corpus): stat.bloomFilter aggregates over
+    // zero partitions into an uninitialized sketch whose probe NPEs —
+    // and no prune is needed, the exact join against the empty index IS
+    // the (empty) answer
+    if (nBench == 0L)
+      return corpus.join(benchP, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     val bloom = benchP.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))

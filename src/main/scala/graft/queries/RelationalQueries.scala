@@ -31,7 +31,11 @@ object RelationalQueries {
         try StreamFixtures.deleteRecursively(root) catch { case _: Throwable => () }
       }
     }
-    def dir(s: SparkSession, tableDir: String): String =
+    // synchronized (ADVICE r7): TrieMap.getOrElseUpdate may evaluate the
+    // builder concurrently, and the LOSING thread's scratch root would
+    // never enter `cache` — the shutdown hook then misses it and the dir
+    // leaks until reboot. One coarse lock; the builder runs once per JVM.
+    def dir(s: SparkSession, tableDir: String): String = cache.synchronized {
       cache.getOrElseUpdate(tableDir, {
         val root = StreamFixtures.scratchDir("graft_schev_")
         val o = Tables.orders(s, tableDir)
@@ -47,6 +51,7 @@ object RelationalQueries {
           .write.mode("overwrite").parquet(s"$root/v2")
         root
       })
+    }
   }
 
   /** graph_pagerank_conv parameters, shared by the Spark loop and the

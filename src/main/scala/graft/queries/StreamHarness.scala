@@ -96,7 +96,7 @@ object StreamFixtures {
     * coalesce is test-fixture generation, not an engine path — a real
     * deployment's Kafka topic is keyed.)
     */
-  def eventsHalves(s: SparkSession, dir: String): String =
+  def eventsHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("events_halves|" + dir, {
       val ev = graft.core.Tables.events(s, dir)
       val r0 = ev.agg(min("ts"), max("ts")).head()
@@ -106,6 +106,7 @@ object StreamFixtures {
       ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$root/hi")
       root
     })
+  }
 
   /** Schema of the fixture halves (= Tables.events schema). */
   def eventsHalvesSchema(s: SparkSession, dir: String) =
@@ -117,7 +118,7 @@ object StreamFixtures {
     * Same-date rows always land in the same half, so per-key event order
     * is respected across batches.
     */
-  def ordersHalves(s: SparkSession, dir: String): String =
+  def ordersHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("orders_halves|" + dir, {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val r0 = o.agg(min("o_orderdate"), max("o_orderdate")).head()
@@ -132,6 +133,7 @@ object StreamFixtures {
         .write.parquet(s"$root/hi")
       root
     })
+  }
 
   /** Schema of the orders fixture halves. */
   def ordersHalvesSchema(s: SparkSession, dir: String) =
@@ -141,7 +143,7 @@ object StreamFixtures {
     * pipeline feeds lower ids first, so first-wins dedup across batches
     * equals the batch keep-min-doc_id rule.
     */
-  def docsHalves(s: SparkSession, dir: String): String =
+  def docsHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("docs_halves|" + dir, {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val mid = d.agg((min("doc_id") + max("doc_id")) / 2).head().getDouble(0)
@@ -150,6 +152,7 @@ object StreamFixtures {
       d.filter(col("doc_id") > mid).coalesce(1).write.parquet(s"$root/hi")
       root
     })
+  }
 
   /** Schema of the documents fixture halves. */
   def docsHalvesSchema(s: SparkSession, dir: String) =

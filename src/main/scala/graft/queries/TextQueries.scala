@@ -51,12 +51,16 @@ object TextQueries {
         build: => Dataset[Multimodal.MediaRow]): Dataset[Multimodal.MediaRow] = {
       implicit val enc: Encoder[Multimodal.MediaRow] =
         Encoders.product[Multimodal.MediaRow]
-      val p = cache.getOrElseUpdate(kind + "|" + dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory(s"graft_media_${kind}_").toString + "/blobs"
-        build.write.parquet(root)
-        root
-      })
+      // synchronized: getOrElseUpdate may run the builder concurrently
+      // and leak the losing thread's fixture dir (ADVICE r7 class)
+      val p = cache.synchronized {
+        cache.getOrElseUpdate(kind + "|" + dir, {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_media_${kind}_").toString + "/blobs"
+          build.write.parquet(root)
+          root
+        })
+      }
       s.read.parquet(p).as[Multimodal.MediaRow]
     }
 
