@@ -55,6 +55,12 @@ object Bench {
     // the standard local-bench setup and does not change any result)
     Scratch.dir().foreach(d =>
       builder.config("spark.sql.streaming.checkpointLocation", s"$d/ckpt"))
+    // NIO atomic checkpoint writes (local paths only; cluster runs keep
+    // the Hadoop default) — the FileContext path costs 31 ms per
+    // offset/commit/state-delta publish even on tmpfs, a fixed per-batch
+    // toll with nothing to do with the operators under test
+    builder.config("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.LocalNioCheckpointFileManager].getName)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // fixture-schema canary: fail once, loudly, on testdata drift

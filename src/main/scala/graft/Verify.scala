@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // NIO atomic checkpoint writes for the local run (31 ms -> 0.05 ms
+      // per offset/commit/state-delta publish; see
+      // streaming.LocalNioCheckpointFileManager). Running the WHOLE
+      // streaming catalog under it here IS its correctness gate.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        classOf[graft.streaming.LocalNioCheckpointFileManager].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture-schema canary: one loud failure on testdata drift, never a

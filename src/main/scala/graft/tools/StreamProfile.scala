@@ -28,6 +28,9 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
     graft.Scratch.dir().foreach(d =>
       builder.config("spark.sql.streaming.checkpointLocation", s"$d/ckpt"))
+    if (!sys.env.contains("SPARK_GRAFT_NO_NIO_CKPT"))
+      builder.config("spark.sql.streaming.checkpointFileManagerClass",
+        classOf[graft.streaming.LocalNioCheckpointFileManager].getName)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
