@@ -266,8 +266,10 @@ object DedupQueries {
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         import s.implicits._
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // scanWide: shingling + 8 minhash sweeps dominate — parallelize
+        // the signature map before the narrow (band,bh) state shuffle
+        val src = StreamHarness.scanWide(s, s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
         val sigs = shingledFrom(src)
           .select(col("doc_id"), shingleHashes.as("hs"))
           .select(

@@ -67,6 +67,23 @@ object StreamHarness {
     */
   val StreamPartitions: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(4)
+
+  /** Fan a micro-batch's scan output across all cores before CPU-heavy
+    * per-row ingest work (minhash signatures, nested-replace BPE encode,
+    * n-gram hashing). The fixture sources are single-file, single-row-
+    * group parquet, so the scan is ONE split and everything upstream of
+    * the first shuffle runs single-threaded regardless of cores; parquet
+    * can't split below a row group, so the only way to parallelize the
+    * map side is an explicit exchange. Deployed this is the standard
+    * ingest-enrichment pattern whenever per-row compute cost dominates
+    * one extra row-sized shuffle (image decode, signature computation) —
+    * and it is exactly what Kafka source partitioning gives for free.
+    * RoundRobin (repartition(n) without keys) preserves nothing the
+    * downstream relies on: every consumer re-shuffles on its own keys or
+    * aggregates associatively; results stay partition-independent (gated
+    * at CPUS=7). */
+  def scanWide(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }
 
 /** Per-JVM memoized streaming test fixtures (pre-split source files). */

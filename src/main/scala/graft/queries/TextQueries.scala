@@ -541,8 +541,10 @@ object TextQueries {
           graft.operators.BPE.train(words, rounds = 8)
         }
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // scanWide: the nested-replace tokenize is the CPU cost here —
+        // fan the single-split fixture scan across cores before it
+        val src = StreamHarness.scanWide(s, s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
         val wordsC = filter(split(lower(col("text")), " "),
           w => w.rlike("^[a-z0-9]+$"))
         val nToks = aggregate(wordsC, lit(0L), (acc, w) =>
@@ -974,7 +976,10 @@ object TextQueries {
         val root = StreamFixtures.scratchDir("graft_sdc_")
         val srcDir = s"$root/src"
         StreamFixtures.feed(fx, "lo", srcDir)
-        val src = s.readStream.schema(schema).parquet(srcDir)
+        // scanWide: the 8-gram hash explode is the CPU cost — fan the
+        // single-split scan across cores before computing it
+        val src = StreamHarness.scanWide(s,
+            s.readStream.schema(schema).parquet(srcDir))
           .filter(col("doc_id") % 20 =!= 0 &&
             size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
