@@ -401,21 +401,30 @@ object CoreQueries {
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .withColumn("ts", graft.core.Tables.tsUsExpr(schema))
-        val agg = src
-          .withColumn("event_time", timestamp_micros(col("ts")))
-          .withWatermark("event_time", "0 seconds")
-          .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("user_id"))
-          .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
+        // SLICED form (streaming.SlicedHopping): the direct
+        // window(2h, 1h) built-in expands every event to width/step
+        // state rows BEFORE the state store; slicing aggregates once
+        // per non-overlapping 1h slice in-stream (overlap factor 1 in
+        // state and shuffle) and composes hops from the slice-sized
+        // sink with the query's own final watermark — ≡ the direct
+        // form's append emission (law-tested at factors 2 and 10).
+        val agg = graft.streaming.SlicedHopping.slices(
+          src, Seq("user_id"), "1 hour", "0 seconds",
+          "n" -> count(lit(1)), "sv" -> Q.dsum(col("value")))
         val name = "stream_sliding_" + System.nanoTime()
         val q = agg.writeStream.queryName(name).format("memory")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name)
-          .select(col("user_id"),
-            unix_micros(col("window.start")).as("wstart"),
-            col("n"), col("sum_value"))
+        val wm = try {
+          q.processAllAvailable()
+          graft.streaming.SlicedHopping.finalWatermarkUs(q)
+        } finally q.stop()
+        graft.streaming.SlicedHopping.compose(s.table(name), Seq("user_id"),
+            7200000000L, 3600000000L, wm,
+            "n" -> sum(col("n")),
+            "sum_value" -> sum(col("sv")).cast("double"))
+          .select(col("user_id"), col("wstart"), col("n"), col("sum_value"))
           .orderBy("user_id", "wstart")
       },
       Some("""WITH b AS (SELECT max(epoch_us(ts)) AS tmax FROM events),

@@ -38,6 +38,84 @@ object Streams {
   }
 }
 
+/** SLICED hopping/sliding event-time aggregation — the stream-slicing
+  * optimization (Scotty/Cutty lineage: overlapping windows share their
+  * non-overlapping "slices", so the stream aggregates once per slice and
+  * overlapping windows are COMPOSED from slice partials).
+  *
+  * Spark's direct `window(t, width, step)` form expands every event to
+  * its width/step covering windows before the state store: state rows,
+  * shuffled rows, and per-row state-put work all scale with the OVERLAP
+  * FACTOR. The sliced form keeps the in-stream aggregation tumbling at
+  * `step` granularity (overlap factor 1 — each event touches exactly one
+  * state row) and merges the factor-many slice partials per emitted hop
+  * OUTSIDE the stateful path, on the slice-sized (not event-sized)
+  * output. At a 24h/1h sliding spec that is 24× less state and 24× fewer
+  * state-store puts; the composition join is over windows×keys rows —
+  * noise next to the event volume.
+  *
+  * Contract: `width = h × step` (exact multiple), aggregates must be
+  * MERGEABLE with the supplied merge expressions (count→sum, sum→sum,
+  * min→min, max→max; avg via sum+count). Emission parity with the direct
+  * append-mode form: a hop [w, w+width) is final iff w+width ≤ the
+  * query's final WATERMARK — pass the watermark Spark itself reported
+  * ([[finalWatermarkUs]]) to [[SlicedHopping.compose]]; a hop appears
+  * iff it has ≥1 event, exactly like the direct form (absent slices are
+  * empty, contributing nothing).
+  */
+object SlicedHopping {
+
+  /** The in-stream leg: tumbling slice aggregation at `step` width.
+    * Output schema: window(struct) + keys + the named partials.
+    */
+  def slices(
+      events: DataFrame,
+      keys: Seq[String],
+      step: String,
+      delay: String,
+      aggs: (String, Column)*): DataFrame =
+    Streams.tumblingAgg(events, keys, step, delay, aggs: _*)
+
+  /** The post-sink composition: explode each slice to the hops it
+    * covers (hop starts `slice_start − i·step`, i ∈ [0, h)), keep hops
+    * finalized by `watermarkUs`, and merge partials with the supplied
+    * merge expressions (applied over the grouped partial columns).
+    * `sink` is the memory/file sink table of [[slices]] — slice-sized,
+    * so this is a narrow batch job regardless of event volume.
+    */
+  def compose(
+      sink: DataFrame,
+      keys: Seq[String],
+      widthUs: Long,
+      stepUs: Long,
+      watermarkUs: Long,
+      merges: (String, Column)*): DataFrame = {
+    require(widthUs > 0 && stepUs > 0 && widthUs % stepUs == 0,
+      s"width ($widthUs) must be a positive multiple of step ($stepUs)")
+    val h = (widthUs / stepUs).toInt
+    val withStart = sink.withColumn("slice_start", unix_micros(col("window.start")))
+    val exploded = withStart.withColumn("wstart",
+      explode(array((0 until h).map(i =>
+        col("slice_start") - lit(i.toLong * stepUs)): _*)))
+      .filter(col("wstart") + lit(widthUs) <= lit(watermarkUs))
+    exploded
+      .groupBy(col("wstart") +: keys.map(col): _*)
+      .agg(merges.head._2.as(merges.head._1),
+        merges.tail.map { case (n, e) => e.as(n) }: _*)
+  }
+
+  /** The query's own final event-time watermark in epoch-µs (what the
+    * direct form's append finalization compared window ends against),
+    * read from the last StreamingQueryProgress — no data re-read.
+    */
+  def finalWatermarkUs(sq: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val wm = Option(sq.lastProgress).flatMap(p => Option(p.eventTime.get("watermark")))
+      .getOrElse(sys.error("no watermark in query progress"))
+    val i = java.time.Instant.parse(wm)
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+}
+
 /** Typed stream element for the stateful operators (the scespet
   * `(ts, seq, key, value)` event shape).
   */

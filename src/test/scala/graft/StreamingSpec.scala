@@ -549,6 +549,56 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("SlicedHopping ≡ direct window(width, step) streaming form " +
+    "(overlap factors 2 and 10, seeded random feeds, 2 batches)") {
+    val rnd = new scala.util.Random(77)
+    val events = (0 until 400).map { i =>
+      // int-valued doubles: decimal partials merge exactly either way
+      KeyedEvent("k" + rnd.nextInt(4), rnd.nextInt(2000).toLong * 100000L + i,
+        i.toLong, rnd.nextInt(50).toDouble)
+    }.sortBy(e => (e.ts, e.seq))
+
+    for ((widthS, stepS, widthUs, stepUs) <- Seq(
+        ("20 seconds", "10 seconds", 20000000L, 10000000L),
+        ("100 seconds", "10 seconds", 100000000L, 10000000L))) {
+      // direct: the overlap-factor-expanded built-in form
+      val memD = MemoryStream[KeyedEvent](spark)
+      memD.addData(events.take(200): _*)
+      memD.addData(events.drop(200): _*)
+      val direct = memD.toDF()
+        .withColumn("event_time", timestamp_micros(col("ts")))
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(window(col("event_time"), widthS, stepS), col("k"))
+        .agg(count(lit(1)).as("n"), graft.queries.Q.dsumD(col("v")).as("s"))
+      runToCompletion(direct.writeStream.outputMode("append"), s"hop_direct_$widthUs")
+      val want = spark.table(s"hop_direct_$widthUs")
+        .select(col("k"), unix_micros(col("window.start")).as("wstart"),
+          col("n"), col("s"))
+        .orderBy("k", "wstart")
+        .as[(String, Long, Long, Double)].collect().toSeq
+
+      // sliced: tumbling at step in-stream, hops composed from partials
+      val memS = MemoryStream[KeyedEvent](spark)
+      memS.addData(events.take(200): _*)
+      memS.addData(events.drop(200): _*)
+      val sl = SlicedHopping.slices(memS.toDF(), Seq("k"), stepS, "0 seconds",
+        "n" -> count(lit(1)), "sv" -> graft.queries.Q.dsum(col("v")))
+      val name = s"hop_sliced_$widthUs"
+      val sq = sl.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      val wm = try { sq.processAllAvailable(); SlicedHopping.finalWatermarkUs(sq) }
+        finally sq.stop()
+      val got = SlicedHopping.compose(spark.table(name), Seq("k"),
+          widthUs, stepUs, wm,
+          "n" -> sum(col("n")), "s" -> sum(col("sv")).cast("double"))
+        .select(col("k"), col("wstart"), col("n"), col("s"))
+        .orderBy("k", "wstart")
+        .as[(String, Long, Long, Double)].collect().toSeq
+
+      withClue(s"width=$widthS step=$stepS: ") { got shouldBe want }
+    }
+  }
+
   test("streaming next-fit packing: arrival-order reference parity and " +
     "open bins continuing across micro-batches with O(1) state") {
     // 3 shards x 60 items, hash-derived lengths; batch split mid-shard so
