@@ -506,6 +506,58 @@ object ScaleCurve {
           .groupBy("doc_id").agg(sum(col("n_toks")).as("doc_tokens"))
           .count()
       }
+      // STREAMING SemDeDup with the k-tracks-corpus codebook rule
+      // (answering the r8 sf1 observation: the gated query's FROZEN
+      // 8-cell codebook at 10× volume makes per-cell occupancy — and
+      // the dedup-against-history scan — grow with the corpus; the
+      // documented sizing rule is cells ≈ corpus/256). Feed n/10
+      // synthetic 16-dim vectors (every 100th a planted near-dup of its
+      // predecessor, routed to the same cell) through StreamSemDedup in
+      // 4 micro-batches with cells = max(8, sd/256): per-arrival history
+      // work stays O(occupancy) = O(256), so the curve must be ~linear
+      // in sd. rows_out ≈ planted dups (θ=0.95 isolates them).
+      time("stream_semdedup_cells", n / 10) {
+        import spark.implicits._
+        val sd = (n / 10).toInt
+        val dim = 16
+        val cells = math.max(8L, sd / 256)
+        def vec(src: Long, dup: Boolean, id: Long): IndexedSeq[Double] =
+          (0 until dim).map { i =>
+            val base = java.lang.Long.remainderUnsigned(
+              scala.util.hashing.MurmurHash3.productHash((src, i)).toLong, 1000L)
+              .toDouble / 500.0 - 1.0
+            if (dup) base + java.lang.Long.remainderUnsigned(
+              scala.util.hashing.MurmurHash3.productHash((id, i + 100)).toLong,
+              10L).toDouble / 1000.0
+            else base
+          }
+        val feed = (0L until sd.toLong).map { id =>
+          val dup = id % 100 == 1
+          val src = if (dup) id - 1 else id
+          val v = vec(src, dup, id)
+          graft.streaming.CellVec(
+            java.lang.Long.remainderUnsigned(
+              scala.util.hashing.MurmurHash3.productHash(Tuple1(src)).toLong,
+              cells),
+            id, v, v.map(x => x * x).sum)
+        }
+        val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[graft.streaming.CellVec](spark)
+          val name = "sd_cells_" + System.nanoTime()
+          val q = graft.streaming.StreamSemDedup(mem.toDS(), 0.95)
+            .writeStream.queryName(name).format("memory")
+            .outputMode("append").start()
+          try {
+            feed.grouped(math.max(1, sd / 4)).foreach { chunk =>
+              mem.addData(chunk: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          spark.table(name).count()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevP)
+      }
       time("heavy_hitters", n) {
         val toks = spark.range(n).select(
           when(pmod(hash(col("id")), lit(4)) === 0,
