@@ -55,7 +55,16 @@ object Reducers {
   /** VWAP bucket (scespet Vwap, TradeAnalysis.scala:49-56):
     * Σ(px·qty)/Σ(qty), both sums exact decimal, one final double division.
     */
+  /** Scale 2, not 6: price has 2 decimals and qty is integral, so the
+    * true product is exact at 2 dp (the double→decimal rounding is
+    * unambiguous on both engines), and — the sf1-gate lesson — the
+    * SCALED integer backing the decimal sum must stay below 2^53 for the
+    * decimal→double cast to be exact in DuckDB too (its hugeint→double
+    * conversion is not correctly rounded above 2^53; scale 6 crossed it
+    * at 10× volume and diverged by 1 ulp). At scale 2 the numerator sum
+    * has 2^53 headroom past 100× this corpus.
+    */
   def vwap(px: Column, qty: Column): Column =
-    sum((px * qty).cast("decimal(38,6)")).cast("double") /
-      sum(qty.cast("decimal(38,6)")).cast("double")
+    sum((px * qty).cast("decimal(38,2)")).cast("double") /
+      sum(qty.cast("decimal(38,2)")).cast("double")
 }

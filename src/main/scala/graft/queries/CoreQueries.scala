@@ -566,7 +566,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: recent half; wm → max−1h
           StreamFixtures.feed(fx, "lo", srcDir)
-          q.processAllAvailable() // batch 2: old half — all late, dropped
+          StreamHarness.settle(q) // batch 2: old half — all late, dropped
         } finally q.stop()
         val res = s.table(name)
           .select(col("user_id"),
@@ -1874,7 +1874,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: old half — registers park in state
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: recent half — cross-batch matches
+          StreamHarness.settle(q) // batch 2: recent half — cross-batch matches
         } finally q.stop()
         val res = s.table(name)
           .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
@@ -1934,7 +1934,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: counters park in state
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: counts straddle the boundary
+          StreamHarness.settle(q) // batch 2: counts straddle the boundary
         } finally q.stop()
         val res = s.table(name)
           .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
@@ -1988,7 +1988,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: registers park
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: stages complete across batches
+          StreamHarness.settle(q) // batch 2: stages complete across batches
         } finally q.stop()
         val res = s.table(name)
           .agg(sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_view"),
@@ -2037,7 +2037,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: open sessions park in state
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: straddlers extend, then close
+          StreamHarness.settle(q) // batch 2: straddlers extend, then close
         } finally q.stop()
         val res = s.table(name)
           .groupBy("path").agg(count(lit(1)).as("n"))
@@ -2093,7 +2093,7 @@ object CoreQueries {
         try {
           q.processAllAvailable() // batch 1: cohorts register
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: later-week offsets emit
+          StreamHarness.settle(q) // batch 2: later-week offsets emit
         } finally q.stop()
         val res = s.table(name)
           .groupBy(col("cohortW").as("cohort_w"), col("offsetW").as("offset_w"))

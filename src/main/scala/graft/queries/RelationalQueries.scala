@@ -237,8 +237,8 @@ object RelationalQueries {
           .agg(Reducers.vwap(col("l_extendedprice"), col("l_quantity")).as("vwap"))
           .orderBy("p_brand"),
       Some("""SELECT p_brand,
-             sum((l_extendedprice * l_quantity)::decimal(38,6))::double /
-             sum(l_quantity::decimal(38,6))::double AS vwap
+             sum((l_extendedprice * l_quantity)::decimal(38,2))::double /
+             sum(l_quantity::decimal(38,2))::double AS vwap
              FROM lineitem JOIN part ON l_partkey = p_partkey
              GROUP BY p_brand ORDER BY p_brand""")),
 
@@ -1414,7 +1414,7 @@ object RelationalQueries {
         try {
           q.processAllAvailable() // batch 1: early half; tail intervals park
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: straddling intervals extend/close
+          StreamHarness.settle(q) // batch 2: straddling intervals extend/close
         } finally q.stop()
         val res = s.table(name)
           .select(col("k").cast("long").as("o_custkey"), col("island"),

@@ -68,6 +68,33 @@ object StreamHarness {
   val StreamPartitions: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(4)
 
+  /** Process a mid-stream file feed to quiescence — closes the
+    * `processAllAvailable` no-data race that the sf1-volume gate exposed
+    * (stream_cohort_retention / stream_session_paths lost their entire
+    * second micro-batch at 10×, intermittently).
+    *
+    * The race: `processAllAvailable` returns when the engine completes a
+    * trigger that found no new data. A trigger's directory LISTING can
+    * predate the feed's file copy while its no-data CONCLUSION lands
+    * after `processAllAvailable` starts waiting — the call then returns
+    * with the fed file never admitted. The window is the duration of one
+    * no-data trigger (listing + bookkeeping), which grows with file count
+    * /size and JVM load — negligible at sf0.01, real at sf1 volume.
+    *
+    * Why TWO calls suffice: micro-batch triggers run sequentially on one
+    * engine thread, so at most ONE in-flight trigger can have listed
+    * before the feed finished. The first call absorbs it (returns on its
+    * stale no-data signal at worst); any trigger that satisfies the
+    * second call necessarily STARTED after that stale trigger completed,
+    * i.e. listed after the feed — so it either admits the fed file (data
+    * trigger, doesn't satisfy the wait) or correctly concludes
+    * everything is processed.
+    */
+  def settle(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.processAllAvailable()
+  }
+
   /** Fan a micro-batch's scan output across all cores before CPU-heavy
     * per-row ingest work (minhash signatures, nested-replace BPE encode,
     * n-gram hashing). The fixture sources are single-file, single-row-

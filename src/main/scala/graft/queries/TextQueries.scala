@@ -810,7 +810,7 @@ object TextQueries {
         try {
           q.processAllAvailable() // batch 1: low doc_ids seed the registry
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: cross-batch dups suppressed
+          StreamHarness.settle(q) // batch 2: cross-batch dups suppressed
         } finally q.stop()
         val res = s.table(name)
           .groupBy("lang")
@@ -996,7 +996,7 @@ object TextQueries {
         try {
           q.processAllAvailable() // batch 1: low-id half
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: hits accumulate across batches
+          StreamHarness.settle(q) // batch 2: hits accumulate across batches
         } finally q.stop()
         val res = s.table(name).orderBy("doc_id").localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
@@ -1887,7 +1887,7 @@ object TextQueries {
         try {
           q.processAllAvailable() // batch 1: low-id half
           StreamFixtures.feed(fx, "hi", srcDir)
-          q.processAllAvailable() // batch 2: open bins keep filling
+          StreamHarness.settle(q) // batch 2: open bins keep filling
         } finally q.stop()
         val res = s.table(name).orderBy("shard", "bin").localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)

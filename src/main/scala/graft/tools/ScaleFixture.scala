@@ -68,13 +68,23 @@ object ScaleFixture {
     val outs: Seq[(String, DataFrame)] = Seq(
       "region" -> t("region"),
       "nation" -> t("nation"),
+      // IDENTITY-name columns (c_name/s_name are 1:1 with their key in
+      // the real testdata) must stay unique across copies: q21 groups by
+      // s_name where the Spark side groups by s_suppkey — equivalent
+      // only under that 1:1, which verbatim-copied names broke at 10×
+      // (numwait merged 10 universes in the oracle leg only). Categorical
+      // columns (p_brand/p_type/mktsegment, and p_name) repeat by design.
       "customer" -> scaled(t("customer")) { (df, k) =>
-        df.select(bump("c_custkey", sc, k), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment"))
+        val nm = if (k == 0) col("c_name")
+                 else concat(col("c_name"), lit(s"#$k"))
+        df.select(bump("c_custkey", sc, k), nm.as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       },
       "supplier" -> scaled(t("supplier")) { (df, k) =>
-        df.select(bump("s_suppkey", ss, k), col("s_name"), col("s_nationkey"),
-          col("s_acctbal"))
+        val nm = if (k == 0) col("s_name")
+                 else concat(col("s_name"), lit(s"#$k"))
+        df.select(bump("s_suppkey", ss, k), nm.as("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
       },
       "part" -> scaled(t("part")) { (df, k) =>
         df.select(bump("p_partkey", sp, k), col("p_name"), col("p_brand"),

@@ -64,7 +64,9 @@ object StateSoak {
         try {
           for (b <- 1 to Batches) {
             feed(src, b)
-            q.processAllAvailable()
+            // settle: closes the processAllAvailable no-data race on
+            // file feeds into a running query (see StreamHarness.settle)
+            graft.queries.StreamHarness.settle(q)
             val p = q.lastProgress
             val so = p.stateOperators
             rows += so.map(_.numRowsTotal).sum

@@ -46,7 +46,7 @@ class StreamNearDupSpec extends SparkSpec {
       s.table(name).count() shouldBe 0 // batch 1: originals only, no pairs
       b2.toDS().coalesce(1).write.parquet(s"$root/h2")
       feed("h2")
-      q.processAllAvailable()
+      graft.queries.StreamHarness.settle(q)
       // doc 20 pairs with doc 10 (bucket 77, 6/8 components agree); doc 40
       // lands in bucket 55 but shares only 0/8 components with doc 30.
       val pairs = s.table(name).as[graft.streaming.NearDupPair].collect()

@@ -56,7 +56,7 @@ class StreamSemDedupSpec extends SparkSpec {
       q.processAllAvailable()
       s.table(name).count() shouldBe 0 // no near-dups within batch 1
       feed("h2", b2)
-      q.processAllAvailable()
+      graft.queries.StreamHarness.settle(q)
       val pairs = s.table(name).as[SemDupPair].collect()
         .map(p => (p.idA, p.idB)).toSeq
       // 11 pairs with 10 (same cell, cos >= 0.99); 21 is IDENTICAL to 10
@@ -101,7 +101,7 @@ class StreamSemDedupSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       feed("h2", b2)
-      q.processAllAvailable()
+      graft.queries.StreamHarness.settle(q)
       val later = s.table(name).as[SemDupPair].collect()
         .filter(p => p.idA == 4L || p.idB == 4L).map(p => (p.idA, p.idB)).toSet
       // id 1 was evicted by the cap before batch 2 → only 2 and 3 pair
