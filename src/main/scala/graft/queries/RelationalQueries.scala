@@ -614,21 +614,27 @@ object RelationalQueries {
       (s, dir) => {
         val e = Tables.events(s, dir)
           .filter(col("event_type").isin("purchase", "click"))
-        // ONE pass over the fact builds all three sketches (conditional
-        // HLLs — null inputs don't touch the register banks), and one
-        // user_id shuffle computes the exact overlap to audit against.
-        val sk = e.agg(
-          approx_count_distinct(
-            when(col("event_type") === "purchase", col("user_id")), 0.02).as("na"),
-          approx_count_distinct(
-            when(col("event_type") === "click", col("user_id")), 0.02).as("nb"),
-          approx_count_distinct(col("user_id"), 0.02).as("nu")).head()
-        val approx = sk.getLong(0) + sk.getLong(1) - sk.getLong(2)
-        val exact = e.groupBy("user_id")
+        // ONE fact pass, ONE shuffle: reduce to per-user membership flags,
+        // then build all three HLLs AND the exact audit count from that
+        // reduced frame in a single final aggregation. An HLL's registers
+        // depend only on the DISTINCT input set, so sketching after the
+        // per-user reduce is bit-identical to sketching the raw rows
+        // (conditional inputs: null doesn't touch the register banks).
+        val r = e.groupBy("user_id")
           .agg(
             max(col("event_type") === "purchase").as("in_a"),
             max(col("event_type") === "click").as("in_b"))
-          .filter(col("in_a") && col("in_b")).count()
+          .agg(
+            approx_count_distinct(when(col("in_a"), col("user_id")), 0.02).as("na"),
+            approx_count_distinct(when(col("in_b"), col("user_id")), 0.02).as("nb"),
+            approx_count_distinct(col("user_id"), 0.02).as("nu"),
+            // coalesce: sum over an EMPTY frame is NULL where the prior
+            // formulation's .count() was 0 (degenerate-corpus guard)
+            coalesce(sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)),
+              lit(0L)).as("exact"))
+          .head()
+        val approx = r.getLong(0) + r.getLong(1) - r.getLong(2)
+        val exact = r.getLong(3)
         import s.implicits._
         Seq((exact,
           math.abs(approx - exact).toDouble / exact <= 0.15))
@@ -1675,22 +1681,30 @@ object RelationalQueries {
 
     // TPC-H Q21 shape: suppliers who were the SOLE returned-flag supplier on
     // a multi-supplier order. The textbook form is EXISTS + NOT-EXISTS
-    // self-joins on the fact; at scale that is two extra fact shuffles, so we
-    // aggregate per order once (count distinct suppliers, count distinct
-    // failing suppliers) and join the survivors back — one fact shuffle total.
+    // self-joins on the fact — two extra fact shuffles — and the
+    // countDistinct form pays a 2× Expand plus a SECOND fact scan for the
+    // per-order counts (Catalyst does not share an unpersisted subtree
+    // across consumers). Instead: ONE fact scan, ONE fact exchange. The
+    // explicit repartition on l_orderkey satisfies every downstream
+    // clustering requirement — the (order,supplier) reduce (subset-key
+    // hash partitioning satisfies ClusteredDistribution), the per-order
+    // counts as window aggregates over the same key (sort, no exchange),
+    // and only the tiny blamed-supplier count shuffles again. Forgoing
+    // map-side partial agg is deliberate: (l_orderkey, l_suppkey) is
+    // nearly unique in the fact, so the partial reduce saves almost
+    // nothing while costing the extra two-key exchange.
     QueryDef(
       "q21_sole_blame",
       (s, dir) => {
-        val l = li(s, dir)
-        val perOrder = l
-          .groupBy("l_orderkey")
-          .agg(
-            countDistinct(col("l_suppkey")).as("nsupp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nfail"))
-          .filter(col("nsupp") > 1 && col("nfail") === 1)
-        l.filter(col("l_returnflag") === "R")
-          .join(perOrder, "l_orderkey")
-          .select(col("l_suppkey"), col("l_orderkey")).distinct()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_orderkey")
+        li(s, dir)
+          .repartition(col("l_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fail"))
+          .withColumn("nsupp", count(lit(1)).over(w))
+          .withColumn("nfail", sum(col("fail")).over(w))
+          .filter(col("fail") === 1 && col("nsupp") > 1 && col("nfail") === 1)
           .groupBy("l_suppkey")
           .agg(count(lit(1)).as("numwait"))
           .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey"))
@@ -1902,9 +1916,17 @@ object RelationalQueries {
           .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .filter(col("n_name") === "NATION_7")
           .select("s_suppkey"))
+        // v feeds BOTH the scalar total and the filter; unpersisted,
+        // Catalyst recomputes the whole fact aggregation per consumer (two
+        // lineitem scans+shuffles). It is part-bounded (one row per part
+        // held by the nation's suppliers), so materialize it once —
+        // localCheckpoint truncates the lineage and both consumers read
+        // the tiny cached frame. Exact-decimal sums, so re-reading the
+        // materialized rows is bit-identical to recomputation.
         val v = ps.join(natSupp, col("l_suppkey") === col("s_suppkey"))
           .groupBy("l_partkey")
           .agg(sum((col("cost") * col("availqty")).cast("decimal(38,6)")).as("val_dec"))
+          .localCheckpoint(true)
         val total = v.agg(sum("val_dec").as("total"))
         v.join(broadcast(total))
           .filter(col("val_dec") * lit(1000) > col("total"))

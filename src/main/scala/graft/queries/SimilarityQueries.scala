@@ -1399,10 +1399,13 @@ object SimilarityQueries {
 
     // Top principal direction (PCA by power iteration) — the embedding
     // whitening/compression primitive. Distributed piece: the 64×64
-    // integer-quantized Gram (second-moment) matrix, accumulated by an
-    // IN-ROW outer-product explosion (4096 narrow (i,j,p) terms per
-    // vector, map-side combinable — no self-join anywhere) into one
-    // dim²-group shuffle. Driver piece: 8 exact-integer power-iteration
+    // integer-quantized Gram (second-moment) matrix, accumulated as a
+    // flat 2080-long partial per partition and tree-combined (the MLlib
+    // RowMatrix.computeGramianMatrix shape) — every add is an exact
+    // int64 sum, so the result is bit-identical under any partitioning
+    // and any combine order, with no row-expansion anywhere (the prior
+    // in-row 2080-term explode paid 2080 hash-agg probes per vector for
+    // the same integers). Driver piece: 8 exact-integer power-iteration
     // sweeps on the collected d×d longs (operators.Pca — KMeans-style
     // k-bounded state). Bounds at this corpus: |x|≤0.58 ⇒ xq≤580,
     // c≤6.7e8, G·v≤4.3e16 — all inside int64; renormalization runs in
@@ -1412,23 +1415,40 @@ object SimilarityQueries {
       "emb_pca_power",
       (s, dir) => {
         import s.implicits._
-        // UPPER TRIANGLE only (2080 terms/row instead of 4096): the Gram
-        // is symmetric and xq_i·xq_j commutes, so mirroring the collected
-        // triangle is bit-identical to accumulating both halves
-        val terms = emb(s, dir).select(
-          explode(flatten(transform(sequence(lit(0), lit(63)), i =>
-            transform(sequence(i, lit(63)), j =>
-              struct(i.as("i"), j.as("j"),
-                (floor(element_at(col("v"), i + 1) * 1000) *
-                  floor(element_at(col("v"), j + 1) * 1000)).as("p"))))))
-            .as("t"))
-          .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-        val g = Array.ofDim[Long](64, 64)
-        terms.groupBy("i", "j").agg(sum("p").as("c")).collect()
-          .foreach { r =>
-            g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-            g(r.getInt(1))(r.getInt(0)) = r.getLong(2)
+        // UPPER TRIANGLE only (2080 sums instead of 4096): the Gram is
+        // symmetric and xq_i·xq_j commutes, so mirroring the triangle is
+        // bit-identical to accumulating both halves. Quantization must
+        // replay the oracle exactly: one double multiply then floor —
+        // java.lang.Math.floor(x*1000) IS Spark's FLOOR(double) and
+        // DuckDB's floor() on the identical IEEE product.
+        val tri = emb(s, dir).select(col("v")).as[Seq[Double]]
+          .mapPartitions { rows =>
+            val acc = new Array[Long](2080)
+            val xq = new Array[Long](64)
+            rows.foreach { v =>
+              val n = math.min(64, v.length)
+              var i = 0
+              while (i < n) { xq(i) = math.floor(v(i) * 1000).toLong; i += 1 }
+              while (i < 64) { xq(i) = 0L; i += 1 }
+              var idx = 0
+              i = 0
+              while (i < 64) {
+                val xi = xq(i)
+                var j = i
+                while (j < 64) { acc(idx) += xi * xq(j); idx += 1; j += 1 }
+                i += 1
+              }
+            }
+            Iterator.single(acc)
           }
+          .rdd.treeReduce({ (a, b) =>
+            var k = 0; while (k < 2080) { a(k) += b(k); k += 1 }; a
+          }, depth = 2)
+        val g = Array.ofDim[Long](64, 64)
+        var idx = 0
+        for (i <- 0 until 64; j <- i until 64) {
+          g(i)(j) = tri(idx); g(j)(i) = tri(idx); idx += 1
+        }
         val v = graft.operators.Pca.powerIteration(g, rounds = 8)
         v.zipWithIndex.map { case (x, d) => (d, x) }.toSeq
           .toDF("dim", "v_ppm").orderBy("dim")
