@@ -71,22 +71,35 @@ object TextQueries {
   }
 
   /** Deterministic synthetic PCM16 clip per doc, encoded as a genuine WAV
-    * container ([[Codecs.pcmToWav]]): group-dependent sawtooth
-    * (group = doc_id % 32) plus tiny doc-dependent noise, 2600 samples.
-    * The sample formula is integer-exact and shared verbatim with the
-    * DuckDB oracle — PCM16 WAV is lossless, so decode∘encode is identity
-    * and both engines see the same samples. Clips in the same group
-    * differ only by the ±10 noise, so their frame energies (and hence
-    * [[Codecs.audioFingerprint]]s) stay within a few Hamming bits.
+    * container ([[Codecs.pcmToWav]]): cohort-dependent chirp
+    * (cohort = doc_id div 8 through the same bijective multiplicative
+    * hash as the image fixture — near-dup clusters stay 8 docs at ANY
+    * corpus size, pair counts linear, unlike the earlier id%32 key whose
+    * clusters grew with the corpus) plus tiny doc-dependent noise, 2600
+    * samples. The sample formula is integer-exact and shared verbatim
+    * with the DuckDB oracle — PCM16 WAV is lossless, so decode∘encode is
+    * identity and both engines see the same samples. Clips in the same
+    * cohort differ only by the ±10 noise, so their frame energies (and
+    * hence [[Codecs.audioFingerprint]]s) stay within a few Hamming bits.
     */
   private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
     MediaFixtures.cached(s, dir, "audio")(audioClipsBuild(s, dir))
 
   /** Deterministic synthetic 16×16 GRAYSCALE PNG per doc (real
-    * `javax.imageio` encode): group-dependent integer pattern
-    * (group = doc_id % 32) plus one doc-dependent single-pixel bump of
-    * ≤3 luma — same-group images land within a few aHash Hamming bits.
-    * Grayscale makes Rec.601 luma the pixel value EXACTLY
+    * `javax.imageio` encode): cohort-dependent integer pattern
+    * (cohort = doc_id div 8 — a BOUNDED near-dup cluster of 8 consecutive
+    * ids) plus one doc-dependent single-pixel bump of ≤3 luma —
+    * same-cohort images land within a few aHash Hamming bits. The cohort
+    * key feeds a multiplicative hash mod a prime (bijective on cohort
+    * ids) and each pixel SQUARES the mixed value before the final mod 17:
+    * any affine-in-cohort formula makes a cohort difference a constant
+    * shift across all pixels (mod-carry the only variation), so every
+    * ~17th cohort collided in aHash space and pair counts grew
+    * quadratically (measured: 11.6k pairs at 500 docs, 66M at 50k). The
+    * square's cross-term makes the difference pixel-dependent — measured
+    * pair counts are now exactly the within-cohort ideal (28·cohorts) and
+    * grow linearly with the corpus like real crawl data (the sf1-gate
+    * fixture finding). Grayscale makes Rec.601 luma the pixel value EXACTLY
     * ((299v+587v+114v)/1000 = v), and PNG is lossless, so the oracle
     * recomputes the hash straight from the pixel formula.
     */
@@ -100,14 +113,16 @@ object TextQueries {
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val m = (id / 8 * 2654435761L) % 2147483647L
           val nx = (id * 31 % 16).toInt
           val ny = (id * 17 % 16).toInt
           var y = 0
           while (y < 16) {
             var x = 0
             while (x < 16) {
-              val v = (((x * 7 + y * 13 + (id % 32) * 29) % 17) * 15 +
-                (if (x == nx && y == ny) (id % 4).toInt else 0)).toInt
+              val z = (m + x * 131L + y * 8191L) % 65536L
+              val v = ((z * z % 65521L % 17L) * 15 +
+                (if (x == nx && y == ny) (id % 4) else 0L)).toInt
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }
@@ -129,12 +144,17 @@ object TextQueries {
     * halves folded to the signed Long Spark produces (the audioFpCte
     * convention).
     */
-  private val imageFpCte: String = """WITH px AS (
+  private val imageFpCte: String = """WITH pz AS (
       SELECT doc_id AS id, x, y,
-        ((x*7 + y*13 + (doc_id % 32) * 29) % 17) * 15
-          + CASE WHEN x = (doc_id * 31) % 16 AND y = (doc_id * 17) % 16
-                 THEN doc_id % 4 ELSE 0 END AS v
+        ((doc_id // 8 * 2654435761) % 2147483647
+           + x*131 + y*8191) % 65536 AS z
       FROM documents, range(16) tx(x), range(16) ty(y)),
+    px AS (
+      SELECT id, x, y,
+        (z*z % 65521 % 17) * 15
+          + CASE WHEN x = (id * 31) % 16 AND y = (id * 17) % 16
+                 THEN id % 4 ELSE 0 END AS v
+      FROM pz),
     cells AS (SELECT id, (y // 2) * 8 + (x // 2) AS c, sum(v)::bigint AS sv
               FROM px GROUP BY id, (y // 2) * 8 + (x // 2)),
     ct AS (SELECT id, list(sv ORDER BY c) AS cs, sum(sv)::bigint AS t
@@ -156,9 +176,10 @@ object TextQueries {
       .mapPartitions { it =>
         it.map { id =>
           val n = 2600
-          val g = id % 32
+          val m = (id / 8 * 2654435761L) % 2147483647L
           val samples = Array.tabulate(n) { j =>
-            val base = ((j.toLong * j * (g + 3) + 17L * j) % 3000L) - 1500L
+            val base = ((j.toLong * j * ((m % 2999L) + 3L) +
+              j.toLong * (17L + m % 101L)) % 3000L) - 1500L
             val noise = ((id * 1000003L + 7919L * j) % 21L) - 10L
             (base + noise).toShort
           }
@@ -218,11 +239,14 @@ object TextQueries {
     * 64-bit signature is assembled as two 32-bit halves to stay inside
     * BIGINT, then folded to the signed Long Spark produces.
     */
-  private val audioFpCte: String = """WITH samp AS (
+  private val audioFpCte: String = """WITH dm AS (
+      SELECT doc_id, (doc_id // 8 * 2654435761) % 2147483647 AS m
+      FROM documents),
+    samp AS (
       SELECT doc_id AS id, j,
-        ((j*j*((doc_id % 32) + 3) + 17*j) % 3000) - 1500
+        ((j*j*((m % 2999) + 3) + j*(17 + m % 101)) % 3000) - 1500
           + ((doc_id*1000003 + 7919*j) % 21) - 10 AS v
-      FROM documents, range(2600) t(j)),
+      FROM dm, range(2600) t(j)),
     en AS (
       SELECT id, (j*65)//2600 AS f, sum(v*v) AS e
       FROM samp GROUP BY id, (j*65)//2600),
@@ -1986,10 +2010,9 @@ object TextQueries {
     // aHash path (pigeonhole-exact at distance <= 3), exact bit_count
     // verify on narrow rows. The oracle compares all fingerprint pairs
     // with the same predicate — identical sets, because the banding has
-    // perfect recall at distance <= 3. (The quadratic pair count here is a
-    // property of the synthetic fixture — every clip in a doc_id%32 group
-    // is a near-copy — not of the operator, whose candidate generation is
-    // bounded by band-bucket sizes.)
+    // perfect recall at distance <= 3. Near-dup clusters are the
+    // 8-doc-id cohorts of the fixture, so the pair count grows LINEARLY
+    // with the corpus (the sf1-gate fixture fix).
     QueryDef(
       "mm_audio_neardup",
       (s, dir) =>
