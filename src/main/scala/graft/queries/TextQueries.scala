@@ -47,7 +47,8 @@ object TextQueries {
   private object MediaFixtures {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
 
-    def cached(s: SparkSession, dir: String, kind: String)(
+    def cached(s: SparkSession, dir: String, kind: String,
+        wide: Boolean = true)(
         build: => Dataset[Multimodal.MediaRow]): Dataset[Multimodal.MediaRow] = {
       implicit val enc: Encoder[Multimodal.MediaRow] =
         Encoders.product[Multimodal.MediaRow]
@@ -61,7 +62,21 @@ object TextQueries {
           root
         })
       }
-      s.read.parquet(p).as[Multimodal.MediaRow]
+      // scanWide, batch side (`wide`): the fixture parquet is a single
+      // ~MB file, so the scan is ONE split and a decode-heavy consumer
+      // (ImageIO per image/frame) ran single-threaded regardless of
+      // cores — parquet can't split below a row group, and the read-side
+      // bin-packer (openCostInBytes) re-merges small files, so the only
+      // way to fan the map side out is an explicit exchange. The shuffle
+      // moves the fixture's few MB once; deployed, a blob store's many
+      // objects give this partitioning for free and blobs still never
+      // shuffle past the decode (every consumer reduces to ≤16 bytes/row
+      // before its first key exchange). Audio opts OUT: its per-row work
+      // is a header parse + one integer pass (measured cheaper than
+      // shuffling the clips — 0.48 s narrow vs 1.05 s wide), the same
+      // cost rule scanWide documents for the streaming side.
+      val ds = s.read.parquet(p).as[Multimodal.MediaRow]
+      if (wide) ds.repartition(s.sparkContext.defaultParallelism) else ds
     }
 
     /** Fixture parquet root for a kind already built via [[cached]] —
@@ -83,7 +98,8 @@ object TextQueries {
     * hence [[Codecs.audioFingerprint]]s) stay within a few Hamming bits.
     */
   private def audioClips(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] =
-    MediaFixtures.cached(s, dir, "audio")(audioClipsBuild(s, dir))
+    MediaFixtures.cached(s, dir, "audio", wide = false)(
+      audioClipsBuild(s, dir))
 
   /** Deterministic synthetic 16×16 GRAYSCALE PNG per doc (real
     * `javax.imageio` encode): cohort-dependent integer pattern
