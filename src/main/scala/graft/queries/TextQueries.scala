@@ -682,6 +682,59 @@ object TextQueries {
                  PARTITION BY epoch ORDER BY okey, doc_id) AS rk
                FROM keyed) WHERE rk <= 20 ORDER BY epoch, rk""")),
 
+    // DSIR importance resampling (Xie et al. 2023): pick the 10% of the
+    // corpus whose hashed unigram+bigram profile is most like the
+    // lang='en' target subset — importance weight p_target/q_raw under
+    // two bag-of-hashed-n-gram models, Gumbel-top-k resampled. Operator
+    // scaladoc ([[graft.operators.Dsir]]) carries the scale shape (map-
+    // side hashing, one shared model pass, broadcast B-row model,
+    // TakeOrdered selection) and the quantized-ln determinism regime.
+    QueryDef(
+      "doc_dsir_sample",
+      (s, dir) =>
+        graft.operators.Dsir.select(
+          docs(s, dir).select(col("doc_id"), col("lang"), toks.as("t")),
+          col("doc_id"), col("t"), col("lang") === "en", buckets = 4096)
+          .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH d AS (
+               SELECT doc_id, lang, string_split(text, ' ') AS t
+               FROM documents),
+             feats AS MATERIALIZED (
+               SELECT doc_id, lang,
+                 ${Q.hash60Sql("'dsir|'||f")} % 4096 AS bucket
+               FROM (SELECT doc_id, lang,
+                       unnest(list_concat(
+                         list_transform(t, w -> 'u:'||w),
+                         CASE WHEN len(t) >= 2
+                              THEN list_transform(
+                                     generate_series(1, len(t) - 1),
+                                     i -> 'b:'||t[i]||' '||t[i+1])
+                              ELSE CAST([] AS varchar[]) END)) AS f
+                     FROM d)),
+             bc AS MATERIALIZED (
+               SELECT bucket,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS tc,
+                 count(*)::bigint AS rc
+               FROM feats GROUP BY bucket),
+             tot AS (SELECT sum(tc)::bigint AS tt, sum(rc)::bigint AS rt
+                     FROM bc),
+             sq AS (SELECT bucket,
+                 floor(ln(((tc + 1) * (rt + 4096))::double
+                   / ((tt + 4096) * (rc + 1))::double) * 10000)::bigint AS s_q
+               FROM bc CROSS JOIN tot),
+             scored AS MATERIALIZED (
+               SELECT doc_id, sum(s_q)::bigint AS lw_q,
+                 sum(s_q)::bigint + floor(-ln(-ln(
+                   ((${Q.hash60Sql("'dsir-g|'||doc_id")} % 1048576) + 1)::double
+                   / 1048577.0)) * 10000)::bigint AS score_q
+               FROM feats JOIN sq USING (bucket)
+               GROUP BY doc_id)
+             SELECT doc_id, lw_q, score_q
+             FROM (SELECT *, row_number() OVER (ORDER BY score_q DESC, doc_id)
+                     AS rn FROM scored)
+             WHERE rn <= (SELECT (count(*) + 9) // 10 FROM scored)
+             ORDER BY score_q DESC, doc_id""")),
+
     // Data-mixture sampling (the LLaMA/Pile-style mixture step): given
     // per-source mixture WEIGHTS and a total token BUDGET (half the
     // corpus here), derive each source's per-mille sampling rate
