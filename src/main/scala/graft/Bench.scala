@@ -16,6 +16,11 @@ import java.nio.file.{Files, Paths}
   *   - every streaming query (micro-batch state-store commits are the most
   *     stall-sensitive work in the catalog) and every query whose first
   *     timed run exceeds 1 s gets two more timed runs;
+  *   - round-over-round guard (VERDICT r8 #3 — a dozen sub-1 s queries
+  *     drifted +0.3–0.5 s on host noise and a single timed run could not
+  *     tell): a query whose first timed run exceeds 2x its value in the
+  *     previous committed BENCH.json also gets two more timed runs, so a
+  *     one-off stall on a cheap query cannot masquerade as a regression;
   *   - while the max/min spread of the timed runs exceeds 2x (the signature
   *     of a noisy-neighbor stall, not steady-state cost), one adaptive
   *     extra run is added, up to 5 total;
@@ -70,6 +75,9 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // previous round's per-query seconds (working-dir BENCH.json is the
+    // last committed artifact at round start) for the r-over-r guard
+    val prior = priorQueryValues()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         // cleanup between runs: drop query-internal persists AND temp
@@ -95,7 +103,8 @@ object Bench {
         }
         val first = timed()
         var runs: Vector[Double] =
-          if (name.startsWith("stream_") || first > 1.0)
+          if (name.startsWith("stream_") || first > 1.0 ||
+              prior.get(name).exists(p => first > 2.0 * p))
             first +: Vector.fill(2)(timed())
           else Vector(first)
         // adaptive: a >2x max/min spread means at least one run was
@@ -200,6 +209,27 @@ object Bench {
     }
     verdictRound.orElse(correctnessRound).map(n => f"BENCH_r$n%02d.json")
   }
+
+  /** Per-query seconds from the working-dir BENCH.json (the previous
+    * round's committed artifact at round start; this round's own last
+    * pass after a re-run — either serves the r-over-r noise guard).
+    * Empty map when absent/unparseable: the guard is best-effort.
+    */
+  private def priorQueryValues(): Map[String, Double] =
+    try {
+      val p = Paths.get("BENCH.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(Files.readAllBytes(p)).get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** Run tools/duck_bench.py on the same sfDir over the named oracle
     * queries; returns (total seconds, duck's full JSON line — including the

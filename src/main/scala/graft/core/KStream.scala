@@ -112,11 +112,26 @@ final case class KStream(
     * then snapshots regroup per tick. O(events × keys) rows — inherent to
     * "arbitrary f of ALL keys at every event" (the reference also touches
     * every cell per event); for associative folds use the O(n) delta
-    * specializations below ([[vectorSizeAtEachEvent]]/[[vectorSumAtEachEvent]]).
+    * specializations above ([[vectorSizeAtEachEvent]]/[[vectorSumAtEachEvent]]).
+    *
+    * @param maxKeys explicit key-universe envelope (VERDICT r8 #6): the
+    *                intermediate is events × keys rows, so a caller at
+    *                100× the expected key cardinality must fail LOUDLY
+    *                here — with the pointer to the O(n) specializations —
+    *                not quadratically in the shuffle. Raise it knowingly
+    *                when an arbitrary-f snapshot over a wide universe is
+    *                genuinely intended.
     */
-  def mapVector(value: Column, out: String = "snapshot"): DataFrame = {
+  def mapVector(value: Column, out: String = "snapshot",
+                maxKeys: Long = 10000L): DataFrame = {
     require(keys.size == 1, "mapVector supports single-key vectors")
     val k = keys.head
+    val nKeys = toKeySet.count()
+    require(nKeys <= maxKeys,
+      s"mapVector materializes events × keys rows and the key universe " +
+        s"has $nKeys keys > maxKeys=$maxKeys; for associative folds use " +
+        "the O(n) vectorSizeAtEachEvent/vectorSumAtEachEvent " +
+        "specializations, or raise maxKeys explicitly")
     val ticks = df.select(col(tsCol), col(seqCol))
     val keyed = toKeySet.crossJoin(ticks)
     val sampled = AsOf.take(

@@ -60,7 +60,19 @@ object BPE {
     *              corpus frequencies
     * @return the learned merge table, rank ascending
     */
+  /** Hard ceiling on the collected vocabulary (rows). Natural-language
+    * distinct-word vocabularies plateau around 10⁷ regardless of corpus
+    * size; a `words` frame past 2×10⁷ means the upstream collapse is
+    * wrong (e.g. not actually distinct), and the failure should be this
+    * message, not a driver OOM minutes later. */
+  val MaxVocabRows = 20000000L
+
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
+    val n = words.count()
+    require(n <= MaxVocabRows,
+      s"BPE.train collects the vocabulary to the driver; got $n rows > " +
+        s"cap $MaxVocabRows — pass a DISTINCT word-frequency frame " +
+        "(the corpus collapse belongs upstream, distributed)")
     val vocab = words.select(col("w").cast("string"), col("wn").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     trainLocal(vocab, rounds)
@@ -79,7 +91,16 @@ object BPE {
     * size per round. */
   def trainLocal(vocab: Array[(String, Long)], rounds: Int): Seq[Merge] = {
     import scala.collection.mutable
-    val segs = vocab.map(_._1.map(_.toString))       // word → symbol array
+    // singleton-char symbols are SHARED across all words (the alphabet is
+    // ~40 strings; per-word fresh 1-char Strings would dominate driver
+    // memory at the 10⁷-word bound — the arrays then hold pointers only)
+    val charSym = new Array[String](128)
+    def sym(c: Char): String =
+      if (c < 128) {
+        val s = charSym(c)
+        if (s != null) s else { val t = c.toString; charSym(c) = t; t }
+      } else c.toString
+    val segs = vocab.map(_._1.map(sym))              // word → symbol array
     val wns = vocab.map(_._2)
     val counts = mutable.HashMap.empty[String, Long] // "a b" → Σ wn
     // pair → words that MAY contain it (monotone superset: memberships are

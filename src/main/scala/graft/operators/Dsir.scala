@@ -30,8 +30,10 @@ import graft.queries.Q
   *   - per-bucket log-ratio quantized `floor(ln(x)·10⁴)` where x is ONE
   *     IEEE division of exactly-agreed int64 products (the
   *     doc_unigram_nll regime): x = ((tc+1)·(rt+B)) / ((tt+B)·(rc+1)),
-  *     Laplace-smoothed so no zero/div-zero exists; products stay below
-  *     2^53, so the int64→double casts are exact in both engines;
+  *     Laplace-smoothed so no zero/div-zero exists; products below
+  *     2^53 cast exactly to double in both engines — ENFORCED by a
+  *     runtime bound check over the collected totals (fail-loud with a
+  *     rescale remedy, never silent drift);
   *   - the Gumbel perturbation is deterministic: u = (hash60(id-salt) %
   *     2^20 + 1) / (2^20 + 1) ∈ (0,1), g_q = floor(−ln(−ln u)·10⁴) —
   *     same unit as the quantized log-weight, so score_q = lw_q + g_q
@@ -87,14 +89,30 @@ object Dsir {
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
         count(lit(1)).as("rc"))
       .persist()
-    val tot = bc.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    // totals are a 1-row agg over the B-row model frame, collected so the
+    // < 2^53 exactness contract below is ENFORCED, not assumed (ADVICE
+    // r8): at pre-training scale (rt ~1e13) the products can exceed 2^53
+    // — and int64 — so fail loudly with the rescale remedy instead of
+    // silently losing cross-engine cast exactness
+    val trow = bc.agg(sum("tc").as("tt"), sum("rc").as("rt"),
+      max("tc").as("mtc"), max("rc").as("mrc")).head()
+    val tt = if (trow.isNullAt(0)) 0L else trow.getLong(0)
+    val rt = if (trow.isNullAt(1)) 0L else trow.getLong(1)
+    val mtc = if (trow.isNullAt(2)) 0L else trow.getLong(2)
+    val mrc = if (trow.isNullAt(3)) 0L else trow.getLong(3)
+    val lim = BigInt(1) << 53
+    require((BigInt(mtc) + 1) * (BigInt(rt) + b) < lim &&
+      (BigInt(tt) + b) * (BigInt(mrc) + 1) < lim,
+      s"DSIR log-ratio exactness bound exceeded (tt=$tt, rt=$rt, B=$b): " +
+        "an int64 product reaches 2^53 and no longer casts exactly to " +
+        "double — downscale tc/rc by a common factor before the ratio")
     // Laplace-smoothed quantized log-ratio; ONE double division of two
-    // exact int64 products (< 2^53 ⇒ exact casts in both engines)
-    val sq = bc.crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        floor(log(((col("tc") + 1L) * (col("rt") + lit(b))).cast("double") /
-          ((col("tt") + lit(b)) * (col("rc") + 1L)).cast("double"))
-          * 10000).as("s_q"))
+    // exact int64 products (< 2^53 ⇒ exact casts in both engines). The
+    // totals fold in as literals — no crossJoin stage
+    val sq = bc.select(col("bucket"),
+      floor(log(((col("tc") + 1L) * lit(rt + b)).cast("double") /
+        (lit(tt + b) * (col("rc") + 1L)).cast("double"))
+        * 10000).as("s_q"))
     val scored = feats.join(broadcast(sq), "bucket")
       .groupBy("id")
       .agg(sum("s_q").as("lw_q"))

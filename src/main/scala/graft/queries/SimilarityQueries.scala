@@ -1648,8 +1648,13 @@ object SimilarityQueries {
 
     // STREAMING SemDeDup — semantic dedup-against-history on a live
     // embedding ingest. The coarse codebook is a CONSTANT of the query
-    // (8 centroid rows collected before the stream starts, the LSH-plane
-    // pattern), cell assignment is a pure map over the stream, and
+    // (collected before the stream starts, the LSH-plane pattern) SIZED
+    // BY THE CORPUS: cells = max(8, n/256), the rule the
+    // `stream_semdedup_cells` scale op proves keeps per-cell occupancy —
+    // and with it both the dedup-against-history scan and the bounded
+    // state — O(256) as the corpus grows (r8 SCALE.md). Cell routing is
+    // a typed map over the broadcast codebook (K tracks the corpus, so
+    // per-centroid plan columns would blow up the expression tree), and
     // per-cell bounded state emits a pair for every historical cell-mate
     // with cosine >= theta. The oracle recomputes the batch within-cell
     // pair set — the streaming state machine must converge to it.
@@ -1657,33 +1662,43 @@ object SimilarityQueries {
       "stream_semdedup",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         import s.implicits._
-        // coarse codebook FROZEN per JVM (offline-trained constant)
+        // corpus-sized coarse codebook FROZEN per JVM (offline constant)
         val cents = StreamFixtures.frozen("semdedup_cents|" + dir) {
-          emb(s, dir).filter(col("vec_id") < 8)
+          val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+          val k = graft.streaming.StreamSemDedup.codebookCells(n)
+          emb(s, dir).filter(col("vec_id") < k)
             .select(col("vec_id"), col("v"), col("n2"))
             .collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
             .sortBy(_._1)
         }
         val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        val e0 = src.select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
-          .withColumn("n2", call_function("dotd", col("v"), col("v")))
-        val withScores = cents.foldLeft(e0) { case (df, (cid, cv, cn2)) =>
-          df.withColumn(s"c$cid",
-            call_function("dotd", typedLit(cv), col("v")) /
-              (sqrt(lit(cn2)) * sqrt(col("n2"))))
-        }
-        val mx = greatest(cents.map { case (cid, _, _) => col(s"c$cid") }: _*)
-        // first max in ascending c_id order == row_number(ccos desc, c_id)
-        val cell = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
-          when(col(s"c$cid") === mx, lit(cid)).otherwise(acc)
-        }
-        val cv = withScores.withColumn("cell", cell)
-          .select(col("cell"), col("vec_id").as("id"), col("v"), col("n2"))
-          .as[graft.streaming.CellVec]
+        // same sequential accumulation order as dotd / the oracle's
+        // list_reduce; argmax ascending with strict `>` == the oracle's
+        // row_number(ccos DESC, c_id ASC) tie-break. The codebook ships
+        // as an explicit broadcast (it is O(corpus/256) rows, not O(1))
+        val bcCents = s.sparkContext.broadcast(cents)
+        val cv = src.select(col("vec_id").as("_1"),
+            transform(col("embedding"), _.cast("double")).as("_2"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, vSeq) =>
+            val v = vSeq.toArray
+            var n2 = 0.0
+            var i = 0
+            while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+            var bestC = -1L
+            var best = Double.NegativeInfinity
+            bcCents.value.foreach { case (cid, cw, cn2) =>
+              var d = 0.0
+              var j = 0
+              while (j < cw.length) { d += cw(j) * v(j); j += 1 }
+              val ccos = d / (math.sqrt(cn2) * math.sqrt(n2))
+              if (ccos > best) { best = ccos; bestC = cid }
+            }
+            graft.streaming.CellVec(bestC, id, v.toIndexedSeq, n2)
+          }
         val name = "stream_sd_" + System.nanoTime()
         val sq = graft.streaming.StreamSemDedup(cv, 0.3)
           .writeStream.queryName(name).format("memory")
@@ -1695,7 +1710,8 @@ object SimilarityQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $embSql,
-             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb
+               WHERE vec_id < greatest(8, (SELECT count(*) FROM emb) // 256)),
              scored AS (
                SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
                  ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) AS ccos

@@ -66,7 +66,12 @@ object StreamHarness {
     * sweeps: SPARK_GRAFT_STREAM_PARTITIONS.
     */
   val StreamPartitions: Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(4)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS") match {
+      case None => 4
+      case Some(v) => v.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive int, got '$v'"))
+    }
 
   /** Process a mid-stream file feed to quiescence — closes the
     * `processAllAvailable` no-data race that the sf1-volume gate exposed

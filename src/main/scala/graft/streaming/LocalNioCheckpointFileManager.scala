@@ -55,6 +55,12 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
       overwriteIfPossible: Boolean): CancellableFSDataOutputStream =
     localPath(path) match {
       case None => super.createAtomic(path, overwriteIfPossible)
+      // the no-overwrite publish needs hard links; on a local fs without
+      // them (FAT/exFAT, some fuse/overlay mounts) defer to the Hadoop
+      // base rather than fail every offset/commit-log write (ADVICE r8)
+      case Some(dst) if !overwriteIfPossible &&
+          !LocalNioCheckpointFileManager.supportsHardLinks(dst.getParent) =>
+        super.createAtomic(path, overwriteIfPossible)
       case Some(dst) =>
         Files.createDirectories(dst.getParent)
         val tmp = dst.resolveSibling(
@@ -94,4 +100,27 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
           }
         }
     }
+}
+
+object LocalNioCheckpointFileManager {
+
+  // hard-link support probed ONCE per directory (offsets/, commits/,
+  // state/... — a handful per checkpoint root) with a real link attempt;
+  // any failure mode other than success disables the NIO no-overwrite
+  // path for that directory
+  private val linkSupport =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+
+  private[streaming] def supportsHardLinks(dir: java.nio.file.Path): Boolean =
+    linkSupport.computeIfAbsent(dir, d => {
+      try {
+        Files.createDirectories(d)
+        val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
+        try {
+          val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
+          try { Files.createLink(lnk, probe); Files.delete(lnk); true }
+          catch { case _: Exception => false }
+        } finally Files.deleteIfExists(probe)
+      } catch { case _: Exception => false }
+    }).booleanValue
 }

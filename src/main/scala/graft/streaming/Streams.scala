@@ -746,6 +746,19 @@ object StreamSemDedup {
     */
   val DefaultMaxPerCell = 1024
 
+  /** Target mean per-cell occupancy for [[codebookCells]]. */
+  val TargetOccupancy = 256L
+
+  /** Codebook sizing rule: cells = max(8, n / 256) for an n-vector
+    * corpus, so expected per-cell occupancy — and with it both the
+    * dedup-against-history scan per arrival and the bounded state —
+    * stays O(256) as the corpus grows (proven linear by the
+    * `stream_semdedup_cells` scale op, SCALE.md r8). Keeps cells far
+    * below [[DefaultMaxPerCell]], so the FIFO cap never bites a
+    * well-sized codebook.
+    */
+  def codebookCells(n: Long): Long = math.max(8L, n / TargetOccupancy)
+
   def apply(
       vecs: Dataset[CellVec],
       theta: Double,

@@ -125,4 +125,18 @@ class MapVectorSpec extends SparkSpec {
       withClue(s"seq=$seq") { got(seq) shouldBe exp }
     }
   }
+
+  test("general mapVector fails LOUDLY past its key-universe envelope, " +
+    "pointing at the O(n) specializations (VERDICT r8 #6)") {
+    val wide = (0 until 40).map(i => (i.toLong, i.toLong, s"k$i", 1.0))
+      .toDF("ts", "seq", "k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      KStream(wide, Seq("k")).mapVector(col("v"), "snap", maxKeys = 16L)
+    }
+    ex.getMessage should include("events × keys")
+    ex.getMessage should include("vectorSumAtEachEvent")
+    // the same universe passes when the caller raises the envelope
+    KStream(wide, Seq("k")).mapVector(col("v"), "snap", maxKeys = 64L)
+      .count() shouldBe 40L
+  }
 }

@@ -68,6 +68,30 @@ class StreamSemDedupSpec extends SparkSpec {
       .foreach(Files.deleteIfExists(_))
   }
 
+  test("codebook sizing law: cells = max(8, n/256) bounds expected " +
+    "occupancy at 256 and stays under the FIFO cap") {
+    import StreamSemDedup.{codebookCells, DefaultMaxPerCell, TargetOccupancy}
+    codebookCells(0L) shouldBe 8L
+    codebookCells(500L) shouldBe 8L // sf0.001/sf0.01 corpora: the r7 constant
+    codebookCells(2000L) shouldBe 8L // sf0.1
+    codebookCells(20000L) shouldBe 78L // sf1-equivalent: the r8 divergence fix
+    val sweep = Seq(1L, 2048L, 20000L, 1000000L, 1000000000L)
+    sweep.foreach { n =>
+      val k = codebookCells(n)
+      // the law: expected occupancy n/k never exceeds ~2× the target
+      // (the max(8,·) floor only ever LOWERS occupancy past n=2048)
+      assert(n.toDouble / k <= 2 * TargetOccupancy,
+        s"occupancy ${n.toDouble / k} for n=$n exceeds bound")
+      // a well-sized codebook keeps mean occupancy far below the FIFO
+      // cap, so the bounded state is a backstop, not a truncation
+      assert(TargetOccupancy * 2 < DefaultMaxPerCell)
+    }
+    // monotone non-decreasing in n
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(codebookCells(a) <= codebookCells(b))
+    }
+  }
+
   test("cell history is FIFO-capped at maxPerCell (state stays bounded)") {
     val s = spark
     import s.implicits._
