@@ -126,14 +126,23 @@ final case class KStream(
                 maxKeys: Long = 10000L): DataFrame = {
     require(keys.size == 1, "mapVector supports single-key vectors")
     val k = keys.head
-    val nKeys = toKeySet.count()
-    require(nKeys <= maxKeys,
+    // ONE distinct-key scan serves both the envelope guard and the
+    // crossJoin (ADVICE r9 — the guard used to run its own eager
+    // distinct+count and the crossJoin then recomputed the scan): collect
+    // maxKeys+1 rows at most — bounded driver state by construction —
+    // and rebuild the (tiny, guard-bounded) key set as a local relation,
+    // which the planner then broadcasts instead of shuffling.
+    val ksDf = toKeySet
+    val ksRows = ksDf.limit(math.min(maxKeys + 1, Int.MaxValue.toLong).toInt).collect()
+    require(ksRows.length <= maxKeys,
       s"mapVector materializes events × keys rows and the key universe " +
-        s"has $nKeys keys > maxKeys=$maxKeys; for associative folds use " +
+        s"has > maxKeys=$maxKeys keys; for associative folds use " +
         "the O(n) vectorSizeAtEachEvent/vectorSumAtEachEvent " +
         "specializations, or raise maxKeys explicitly")
+    val keySet = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ksRows: _*), ksDf.schema)
     val ticks = df.select(col(tsCol), col(seqCol))
-    val keyed = toKeySet.crossJoin(ticks)
+    val keyed = keySet.crossJoin(ticks)
     val sampled = AsOf.take(
       keyed,
       df.select(col(k), col(tsCol), col(seqCol), value.as("__v")),

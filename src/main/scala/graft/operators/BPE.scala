@@ -68,14 +68,20 @@ object BPE {
   val MaxVocabRows = 20000000L
 
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
-    val n = words.count()
-    require(n <= MaxVocabRows,
-      s"BPE.train collects the vocabulary to the driver; got $n rows > " +
-        s"cap $MaxVocabRows — pass a DISTINCT word-frequency frame " +
-        "(the corpus collapse belongs upstream, distributed)")
-    val vocab = words.select(col("w").cast("string"), col("wn").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainLocal(vocab, rounds)
+    // persist the (vocab-bounded) projection so the guard count and the
+    // collect share ONE computation of the upstream corpus collapse —
+    // without it every train() call paid the distinct-word agg twice
+    val proj = words.select(col("w").cast("string"), col("wn").cast("long"))
+      .persist()
+    try {
+      val n = proj.count()
+      require(n <= MaxVocabRows,
+        s"BPE.train collects the vocabulary to the driver; got $n rows > " +
+          s"cap $MaxVocabRows — pass a DISTINCT word-frequency frame " +
+          "(the corpus collapse belongs upstream, distributed)")
+      val vocab = proj.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(vocab, rounds)
+    } finally proj.unpersist(blocking = true)
   }
 
   /** The in-memory merge loop over a collected vocabulary. Semantics are

@@ -1688,9 +1688,13 @@ object SimilarityQueries {
             var n2 = 0.0
             var i = 0
             while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-            var bestC = -1L
+            // zero-norm guard (ADVICE r9): with n2 == 0 every ccos is NaN,
+            // strict `>` would never update bestC and the row would land
+            // in cell -1 — while the oracle's ORDER BY ccos DESC sorts NaN
+            // first and assigns the LOWEST c_id. Match that explicitly.
+            var bestC = bcCents.value.head._1
             var best = Double.NegativeInfinity
-            bcCents.value.foreach { case (cid, cw, cn2) =>
+            if (n2 > 0.0) bcCents.value.foreach { case (cid, cw, cn2) =>
               var d = 0.0
               var j = 0
               while (j < cw.length) { d += cw(j) * v(j); j += 1 }

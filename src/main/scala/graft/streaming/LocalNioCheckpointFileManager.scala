@@ -104,23 +104,30 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
 
 object LocalNioCheckpointFileManager {
 
-  // hard-link support probed ONCE per directory (offsets/, commits/,
-  // state/... — a handful per checkpoint root) with a real link attempt;
-  // any failure mode other than success disables the NIO no-overwrite
-  // path for that directory
+  // hard-link support probed ONCE per FILESYSTEM (java.nio FileStore —
+  // UnixFileStore equality is the device id), with a real link attempt.
+  // Keying by directory (ADVICE r9) grew one cache entry per checkpoint
+  // scratch root × state-store dir for the JVM lifetime; link support is
+  // a property of the mounted filesystem, so one entry per mount is both
+  // bounded and semantically right. Any failure mode other than success
+  // disables the NIO no-overwrite path for that filesystem.
   private val linkSupport =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.FileStore, java.lang.Boolean]()
 
   private[streaming] def supportsHardLinks(dir: java.nio.file.Path): Boolean =
-    linkSupport.computeIfAbsent(dir, d => {
+    try {
+      Files.createDirectories(dir)
+      val store = Files.getFileStore(dir)
+      linkSupport.computeIfAbsent(store, _ => probeHardLinks(dir)).booleanValue
+    } catch { case _: Exception => false }
+
+  private def probeHardLinks(d: java.nio.file.Path): Boolean =
+    try {
+      val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
       try {
-        Files.createDirectories(d)
-        val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
-        try {
-          val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
-          try { Files.createLink(lnk, probe); Files.delete(lnk); true }
-          catch { case _: Exception => false }
-        } finally Files.deleteIfExists(probe)
-      } catch { case _: Exception => false }
-    }).booleanValue
+        val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
+        try { Files.createLink(lnk, probe); Files.delete(lnk); true }
+        catch { case _: Exception => false }
+      } finally Files.deleteIfExists(probe)
+    } catch { case _: Exception => false }
 }
