@@ -151,7 +151,7 @@ object Bench {
     // validity marker (ADVICE r4): a total over a partial catalog is not
     // comparable round-over-round — flag it, and only claim a ratio when
     // every query ran (a query that errors is not "within 2x").
-    val fullCatalog = failed.isEmpty
+    val fullCatalog = failed.isEmpty && selected.size == SparkEntry.queries.size
     val pair = duckRun match {
       case Some((d, detail)) if d > 0 =>
         val ratio =

@@ -21,6 +21,67 @@ object TextQueries {
   private val FfdCap = 512
   private val FfdRing = 4
 
+  /** doc_maximal_spans parameters (shared Spark ↔ oracle): emit maximal
+    * repeated spans of >= MaxSpanMin tokens; suffix windows (and with
+    * them reported span lengths) cap at MaxSpanCap.
+    */
+  private val MaxSpanMin = 8
+  private val MaxSpanCap = 64
+
+  /** Capped token-hash LCP of two list expressions in DuckDB — the SQL
+    * twin of [[graft.operators.MaximalSpans]]'s neighbor scan: first
+    * mismatch index − 1, or the full common capped length when one list
+    * prefixes the other; 0 against the missing neighbor at the corpus
+    * sort boundary.
+    */
+  private def lcpSql(a: String, b: String): String =
+    s"""CASE WHEN $b IS NULL THEN 0 ELSE
+       coalesce(list_filter(range(1, least(len($a), len($b)) + 1),
+                  (j) -> $a[j] IS DISTINCT FROM $b[j])[1],
+                least(len($a), len($b)) + 1)::int - 1 END"""
+
+  /** DuckDB replay of [[graft.operators.MaximalSpans.spans]] over
+    * `documents`: same 60-bit token alphabet, same candidate filter,
+    * one global capped-suffix sort with neighbor LCPs, same capped
+    * left-maximality rule.
+    */
+  private def maximalSpansSql: String = {
+    val L = MaxSpanMin; val cap = MaxSpanCap
+    s"""WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       h AS (
+         SELECT doc_id, [${Q.hash60Sql("x")} for x in t] AS h0
+         FROM tok WHERE len(t) >= $L),
+       pos AS (
+         SELECT doc_id,
+           unnest(range(1, greatest(len(h0) - ${L - 2}, 1))) AS i,
+           unnest([h0[i : i + ${L - 1}]
+             for i in range(1, greatest(len(h0) - ${L - 2}, 1))]) AS p8
+         FROM h),
+       rep AS (SELECT p8 FROM pos GROUP BY p8 HAVING count(*) >= 2),
+       cand AS (
+         SELECT p.doc_id, p.i, hh.h0[p.i : p.i + ${cap - 1}] AS w
+         FROM pos p JOIN rep USING (p8) JOIN h hh USING (doc_id)),
+       srt AS (
+         SELECT doc_id, i, w,
+           lag(w) OVER (ORDER BY w) AS pw,
+           lead(w) OVER (ORDER BY w) AS nw
+         FROM cand),
+       lr AS (
+         SELECT doc_id, i,
+           greatest(${lcpSql("w", "pw")}, ${lcpSql("w", "nw")}) AS lrs
+         FROM srt),
+       fin AS (
+         SELECT doc_id, i, lrs,
+           lag(i) OVER wd AS pi, lag(lrs) OVER wd AS pl
+         FROM lr WHERE lrs >= $L
+         WINDOW wd AS (PARTITION BY doc_id ORDER BY i))
+       SELECT doc_id, i::bigint AS start, lrs::bigint AS len
+       FROM fin
+       WHERE pi IS NULL OR pi <> i - 1 OR pl < least(lrs + 1, $cap)
+       ORDER BY doc_id, start"""
+  }
+
   /** Unrolled DuckDB replay of
     * [[graft.operators.Packing.firstFitDecreasingSharded]] over the
     * document corpus (the generic state machine lives in
@@ -1231,6 +1292,36 @@ object TextQueries {
            SELECT doc_id, count(*) AS n_hits,
              sum(c)::bigint AS n_tokens_cut
            FROM cov GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Variable-length MAXIMAL repeated-span mining — the exact Lee et al.
+    // 2021 semantics that doc_repeated_spans/doc_span_cut approximate
+    // with fixed 8-token windows: every emitted (doc, start, len) is a
+    // repeated span (>= 2 corpus occurrences) that cannot be extended
+    // left or right and still repeat (len clipped at MaxSpanCap — the
+    // documented envelope). Algorithm + scale shape live in
+    // [[graft.operators.MaximalSpans]] (candidate filter → capped-suffix
+    // range sort → mapPartitions neighbor-LCP with partition-boundary
+    // patch — the distributed equivalent of the paper's suffix array; no
+    // document text ever shuffles). The oracle recomputes the same
+    // definition from scratch in SQL: identical per-token hash alphabet,
+    // one global suffix sort, neighbor LCP via list lambdas — suffix
+    // order TIES are irrelevant by construction (LCP with an equal
+    // window is the full capped length either way), which is what makes
+    // the two engines' independent sorts comparable.
+    QueryDef(
+      "doc_maximal_spans",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= MaxSpanMin)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"),
+            transform(col("t"), tok => Q.hash60(tok)).as("h0"))
+        graft.operators.MaximalSpans
+          .spans(d, MaxSpanMin, MaxSpanCap,
+            s.sessionState.conf.numShufflePartitions)
+          .orderBy("doc_id", "start")
+      },
+      Some(maximalSpansSql)),
 
     // Sparse weighted-cosine document similarity — the SPARSE counterpart
     // to the dense ANN suite (`knn_*`): documents as tf·idf-weighted token
