@@ -108,8 +108,14 @@ object PageRank {
     */
   private def loop(edges: DataFrame, totalQ: Long, dampPct: Int)(
       body: (DataFrame => DataFrame, DataFrame, Long) => (DataFrame, Int)): (DataFrame, Int) = {
-    val e = edges.select("src", "dst").distinct()
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // repartition BEFORE distinct: hash(src) clusters every (src,dst)
+    // duplicate into one partition, so the dedup aggregation rides the
+    // src partitioning the sweeps need anyway — one fact-sized shuffle
+    // for setup instead of two (distinct's hash(src,dst) exchange plus
+    // the repartition) (VERDICT r8 #7)
+    val e = edges.select("src", "dst")
+      .repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)

@@ -1053,10 +1053,13 @@ object RelationalQueries {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
+        // no query-side distinct: PageRank dedupes (src,dst) after the
+        // union on its own src partitioning, and even/odd id parity means
+        // the reversed half can never collide with the forward half — a
+        // pre-distinct here would only add a second fact-sized shuffle
         val e0 = li(s, dir)
           .select((col("l_partkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-          .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.PageRank.run(edges, iterations = 4)
           .select(
@@ -1122,10 +1125,10 @@ object RelationalQueries {
     QueryDef(
       "graph_pagerank_conv",
       (s, dir) => {
+        // no query-side distinct — same reasoning as graph_pagerank above
         val e0 = li(s, dir)
           .select((col("l_partkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-          .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         val (ranks, iters) = graft.operators.PageRank.runUntilRel(
           edges, epsCentiBase = PrConvEpsCenti, maxIterations = PrConvKMax)
