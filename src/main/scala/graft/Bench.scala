@@ -46,7 +46,11 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // system-property overrides let an in-JVM orchestrator (BenchSf1)
+    // retarget the run; env vars stay the driver contract
+    val sfDir = sys.props.get("graft.sfDir")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -174,7 +178,8 @@ object Bench {
       // disk is N-1); re-runs within a round overwrite idempotently.
       roundSnapshotName().foreach(p => Files.writeString(Paths.get(p), json))
     }
-    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    sys.props.get("graft.benchOut")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .foreach(p => Files.writeString(Paths.get(p), json))
     // last stdout line, after Spark's own shutdown logging is done
     System.out.flush()
@@ -191,7 +196,14 @@ object Bench {
     * BENCH_r07 (VERDICT r6 #2). Fallback when VERDICT.md is absent
     * (round 1) or unparseable: max correctness round + 1 as before.
     * None outside a round workspace (no snapshots, no verdict). */
-  private def roundSnapshotName(): Option[String] = {
+  private def roundSnapshotName(): Option[String] =
+    currentRound().map(n => f"BENCH_r$n%02d.json")
+
+  /** The round number this session is building (see roundSnapshotName's
+    * scaladoc for the anchoring rules); shared with tools.BenchSf1 for
+    * the BENCH_SF1_r{N} artifact.
+    */
+  private[graft] def currentRound(): Option[Int] = {
     val verdictRound =
       try {
         val p = Paths.get("VERDICT.md")
@@ -207,7 +219,11 @@ object Bench {
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         .maxOption.map(_ + 1)
     }
-    verdictRound.orElse(correctnessRound).map(n => f"BENCH_r$n%02d.json")
+    // max of the two anchors, not verdict-first: a judge round that
+    // leaves VERDICT.md's header stale (round 9 did — the header still
+    // read "round 8" while CORRECTNESS_r09 existed) would otherwise
+    // relabel the NEXT round's bench over the committed r09 artifact
+    (verdictRound ++ correctnessRound).maxOption
   }
 
   /** Per-query seconds from the working-dir BENCH.json (the previous

@@ -660,6 +660,12 @@ object CohortTracker {
   */
 final case class KeyedDoc(h: Long, ord: Long, lang: String, nTokens: Long)
 
+/** [[KeepFirst.withTtl]]'s input: KeyedDoc plus the event time the
+  * watermark (and with it the TTL) advances on.
+  */
+final case class TsKeyedDoc(
+    h: Long, ord: Long, lang: String, nTokens: Long, ts: java.sql.Timestamp)
+
 object KeepFirst {
 
   def apply(docs: Dataset[KeyedDoc]): Dataset[KeyedDoc] = {
@@ -673,6 +679,109 @@ object KeepFirst {
           else {
             state.update(true)
             Iterator.single(it.toSeq.minBy(d => (d.ord, d.lang)))
+          }
+      }
+  }
+
+  /** Registry-TTL variant (VERDICT r8 #8): without eviction the seen-key
+    * registry grows with distinct keys forever — the one streaming state
+    * family the FIFO-cap proofs cannot bound. The TTL is EVENT-TIME,
+    * watermark-driven, and the semantics change is documented:
+    * "first-wins" becomes "first within any ttl of the key's last
+    * sighting ON THE EVENT TIMELINE" — the timeout timestamp refreshes
+    * on every duplicate (sliding idle-TTL, the dedup-registry
+    * convention), a key whose last sighting falls ttl behind the
+    * watermark evicts, and a later duplicate re-emits. State is bounded
+    * by the keys active inside any ttl window regardless of stream
+    * length (soak-proven in tools.StateSoak).
+    *
+    * Event-time, NOT processing-time, deliberately: eviction then
+    * depends only on the data and the micro-batch composition —
+    * deterministic and testable without wall-clock sleeps — and timers
+    * are swept by ordinary data batches. A ProcessingTimeTimeout
+    * registry was measured to LIVE-LOCK `processAllAvailable`: each
+    * expiring wall-clock timer constructs another micro-batch,
+    * continuously re-arming while data keeps arriving, so `noNewData`
+    * never latches (thousands of back-to-back empty batches in the
+    * soak harness before the design was replaced).
+    */
+  def withTtl(docs: Dataset[TsKeyedDoc], ttlMs: Long,
+              delay: String = "0 seconds"): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    require(ttlMs > 0, "ttlMs must be positive (use apply() for no TTL)")
+    docs
+      .withWatermark("ts", delay)
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[TsKeyedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: registry entry expires
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val seen = state.getOption.getOrElse(false)
+            state.update(true)
+            // refresh to last-sighting + ttl; the watermark floor keeps
+            // late rows (event time already behind the watermark) from
+            // registering an immediately-expired — and thus rejected —
+            // timer
+            val maxTs = rows.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            if (seen) Iterator.empty
+            else {
+              val d = rows.minBy(d => (d.ord, d.lang))
+              Iterator.single(KeyedDoc(d.h, d.ord, d.lang, d.nTokens))
+            }
+          }
+      }
+  }
+}
+
+/** TTL-bounded per-key hit counting — the eviction-capable form of the
+  * decontamination registry (stream_decontaminate's per-doc hit counts
+  * accumulate via a streaming agg whose state grows with distinct docs
+  * forever; that is fine for a bounded corpus and exact, which is why
+  * the gated query keeps it). On an infinite ingest the deployment shape
+  * is this operator: per-key running counts with a sliding EVENT-TIME
+  * idle-TTL (see [[KeepFirst.withTtl]] for why event-time and not
+  * wall-clock) — a key whose last hit falls ttl behind the watermark
+  * drops its count (a later hit restarts from 1, the documented
+  * semantics change), so state is bounded by the keys active within any
+  * ttl window regardless of stream length. Soak-proven bounded in
+  * tools.StateSoak; exactness law (ttl off ≡ batch counts) and the
+  * restart semantics pinned in StreamingSpec.
+  */
+final case class TsKeyHit(k: Long, ts: java.sql.Timestamp)
+final case class KeyCount(k: Long, n: Long)
+
+object TtlCounter {
+
+  def apply(hits: Dataset[TsKeyHit], ttlMs: Long = 0L,
+            delay: String = "0 seconds"): Dataset[KeyCount] = {
+    import hits.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val src = if (ttlMs > 0) hits.withWatermark("ts", delay) else hits
+    src
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Long, KeyCount](
+        OutputMode.Append, timeoutConf) {
+        (key: Long, it: Iterator[TsKeyHit], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: count expires
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (ttlMs > 0)
+              state.setTimeoutTimestamp(
+                math.max(rows.iterator.map(_.ts.getTime).max + ttlMs,
+                  state.getCurrentWatermarkMs() + 1))
+            Iterator.single(KeyCount(key, n))
           }
       }
   }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Per-round sf1-equivalent head-to-head (VERDICT r8 #5): the 10×
+  * inversion measured in round 8 (SCALE.md) is the project's core scale
+  * claim, so it must regress LOUDLY — this main re-measures it every
+  * round and commits `BENCH_SF1_r{N}.json` next to the sf0.1 artifacts.
+  *
+  *   sbt -batch "runMain graft.tools.BenchSf1"
+  *
+  * Protocol (same as the round-8 measurement): synthesize the
+  * sf1-equivalent dir with [[ScaleFixture]] (10 disjoint key-shifted
+  * copies of sf0.1; cached across runs under /tmp, keyed by src+factor),
+  * then run [[graft.Bench]] over the heavy-batch set + every streaming
+  * query against it — Spark leg first (warmup + min-of-runs), DuckDB
+  * leg after (duck_bench.py, sequential, never concurrent), both inside
+  * Bench's own machinery so the two artifacts stay methodologically
+  * identical. The artifact carries per-query seconds for both legs
+  * (`queries` / `duck_detail`); the judge's bar is ratios within 1.5×
+  * of the r8 table.
+  *
+  * NEVER run concurrently with another bench or Spark/DuckDB workload —
+  * the shared-VM noise rules in the round workflow apply doubly at this
+  * volume.
+  */
+object BenchSf1 {
+
+  /** The round-8 heavy-batch set (SCALE.md's 24-query table) plus the
+    * heavy operators added since (doc_maximal_spans, r10).
+    */
+  val HeavyBatch: Seq[String] = Seq(
+    "doc_seq_pack_ffd", "doc_seq_pack", "dedup_ngram_jaccard",
+    "graph_triangles", "doc_bpe_train", "knn_ivfpq_residual",
+    "doc_repeated_spans", "graph_bfs_layers", "graph_pagerank",
+    "dedup_simhash_pairs", "pr_step_partsupp", "graph_lpa",
+    "emb_neardup", "dedup_minhash_lsh", "doc_span_cut", "dedup_clusters",
+    "pipeline_training_corpus", "dedup_canonical_keep",
+    "graph_pagerank_conv", "doc_bpe_encode", "q21_sole_blame",
+    "emb_pca_power", "q9_product_profit", "ord_merge_upsert",
+    "doc_maximal_spans")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
+    val fix = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_fixture")
+
+    // fixture cache: rebuild only when src/factor changed or absent
+    val marker = Paths.get(fix, "_fixture_marker")
+    val want = s"$src|$factor"
+    val fresh = Files.exists(marker) && Files.readString(marker) == want
+    if (!fresh) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ScaleFixture.build(spark, src, fix, factor)
+      spark.stop() // Bench.main re-creates with its own (bench) config
+      Files.writeString(marker, want)
+    } else println(s"[sf1] reusing fixture at $fix")
+
+    val streaming = graft.SparkEntry.queries.keys
+      .filter(_.startsWith("stream_")).toSeq.sorted
+    val names = HeavyBatch ++ streaming
+    val missing = names.filterNot(graft.SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown bench queries: $missing")
+
+    val artifact = graft.Bench.currentRound()
+      .map(n => f"BENCH_SF1_r$n%02d.json").getOrElse("BENCH_SF1.json")
+    sys.props("graft.sfDir") = fix
+    sys.props("graft.benchOut") = artifact
+    try graft.Bench.main(names.toArray)
+    finally {
+      sys.props.remove("graft.sfDir")
+      sys.props.remove("graft.benchOut")
+    }
+    println(s"[sf1] wrote $artifact")
+  }
+}

@@ -44,6 +44,12 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** The fixture synthesis, callable in-JVM (tools.BenchSf1). */
+  def build(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def maxOf(df: DataFrame, c: String): Long =
@@ -137,6 +143,5 @@ object ScaleFixture {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       println(s"[fixture] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
-    spark.stop()
   }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming._
 
-/** 100-batch state-size soak for the five bounded-state streaming
-  * families (VERDICT r7 #8): the FIFO-cap / O(1)-register claims are
+/** 100-batch state-size soak for the bounded-state streaming families
+  * (VERDICT r7 #8; TTL registries VERDICT r8 #8): the FIFO-cap / O(1)-register claims are
   * law-tested for VALUES, but state growth over a long feed was argued,
   * not measured. This harness drives each family with 100 micro-batches
   * from a fixed key/cell/bucket universe (MemoryStream, one batch per
@@ -122,6 +122,28 @@ object StateSoak {
       })
     }
 
+    // TTL registries (VERDICT r8 #8): FRESH keys every batch — without
+    // eviction these two registries (KeepFirst's seen-set and the
+    // decontamination hit-count shape) track stream length, the one
+    // state family the bounded-cap proofs above cannot cover. The TTL is
+    // EVENT-TIME (watermark-driven), so eviction is deterministic: batch
+    // b's keys carry event time b seconds, ttl = 5 event-seconds, and
+    // the watermark lags one batch — keys of batch j evict exactly at
+    // batch j+7, so live rows plateau at a constant ~70 of the 1000 keys
+    // fed and the strict rows(100) == rows(50) assertion applies as-is.
+    val ttlMs = 5000L
+    def evTs(b: Int) = new java.sql.Timestamp(b * 1000L)
+    curves("keepfirst_ttl") = soak[TsKeyedDoc, KeyedDoc]("keepfirst_ttl")(
+      src => KeepFirst.withTtl(src.toDS(), ttlMs = ttlMs)) { (src, b) =>
+      src.addData((0 until 10).map(i =>
+        TsKeyedDoc(b * 100L + i, i, "en", 10, evTs(b))))
+    }
+
+    curves("decon_ttl") = soak[TsKeyHit, KeyCount]("decon_ttl")(
+      src => TtlCounter(src.toDS(), ttlMs = ttlMs)) { (src, b) =>
+      src.addData((0 until 10).map(i => TsKeyHit(b * 100L + i, evTs(b))))
+    }
+
     // ---- report + assert ------------------------------------------------
     val marks = Seq(1, 10, 30, 50, 75, 100)
     println(f"${"family"}%-10s ${marks.map(m => f"b$m%-8s").mkString} mem50→mem100")
@@ -134,18 +156,28 @@ object StateSoak {
         f"${m50 / 1024}%.0f→${m100 / 1024}%.0f KiB (${m100 / math.max(m50, 1.0)}%.2fx)")
       if (c.rows(99) != c.rows(49))
         failed ::= s"$name: state rows grew after batch 50 (${c.rows(49)} -> ${c.rows(99)})"
+      // TTL registries additionally must have EVICTED: the feed is 1000
+      // fresh keys; a no-op TTL would plateau-fail above anyway by batch
+      // 100 vs 50, but assert the live fraction explicitly so a
+      // subtly-wrong timer (e.g. never firing) cannot hide behind two
+      // equal still-growing snapshots
+      if (name.endsWith("_ttl") && c.rows(99) > 200)
+        failed ::= s"$name: TTL eviction not biting (${c.rows(99)}/1000 keys live at batch 100)"
       // RocksDB's memoryUsedBytes counts SST files + memtable + version
       // history, which grows with commit count until compaction reclaims
       // it asynchronously — live state here is 10 doubles. Rows stay
       // strict for every family; the memory plateau bound is 25% for the
       // HDFS provider (real byte-counted state) and only a runaway guard
       // (4x) for RocksDB.
-      val memAllow = if (rocksFamilies(name)) 4.0 else 1.25
+      val memAllow =
+        if (rocksFamilies(name)) 4.0
+        else if (name.endsWith("_ttl")) 2.0 // wall-clock eviction jitter
+        else 1.25
       if (m100 > m50 * memAllow)
         failed ::= f"$name: state memory grew ${m100 / m50}%.2fx after batch 50"
     }
     require(failed.isEmpty, "state soak failures:\n" + failed.mkString("\n"))
-    println("[soak] all five families flat over 100 batches")
+    println("[soak] all families bounded over 100 batches (capped flat; TTL registries evicting)")
     spark.stop()
   }
 }

@@ -251,6 +251,66 @@ class StreamingSpec extends SparkSpec {
       KeyedDoc(300L, 9, "en", 50))
   }
 
+  private def evTs(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("KeepFirst.withTtl: an event-time-idle key evicts at the watermark " +
+    "and a later duplicate re-emits (first-within-ttl semantics); a " +
+    "within-ttl duplicate refreshes the timer and stays suppressed") {
+    val mem = MemoryStream[TsKeyedDoc](spark)
+    val q = KeepFirst.withTtl(mem.toDS(), ttlMs = 1000L).writeStream
+      .queryName("kf_ttl_tw").format("memory").outputMode("append").start()
+    try {
+      // event times start above 0: a row at the initial watermark (0)
+      // is filtered as late before the operator sees it
+      mem.addData(TsKeyedDoc(100L, 3, "en", 30, evTs(1000))); q.processAllAvailable()
+      // within ttl of the first sighting: suppressed, timer -> 2400
+      mem.addData(TsKeyedDoc(100L, 7, "de", 30, evTs(1400))); q.processAllAvailable()
+      // far-future rows advance the watermark past 1500 (watermark lags
+      // one batch, so the second carrier performs the sweep)
+      mem.addData(TsKeyedDoc(200L, 5, "fr", 40, evTs(10000))); q.processAllAvailable()
+      mem.addData(TsKeyedDoc(300L, 6, "fr", 40, evTs(11000))); q.processAllAvailable()
+      // post-eviction duplicate: re-emits
+      mem.addData(TsKeyedDoc(100L, 9, "xx", 30, evTs(12000))); q.processAllAvailable()
+    } finally q.stop()
+    spark.table("kf_ttl_tw").orderBy("ord")
+      .as[KeyedDoc].collect().toSeq shouldBe Seq(
+      KeyedDoc(100L, 3, "en", 30),
+      KeyedDoc(200L, 5, "fr", 40),
+      KeyedDoc(300L, 6, "fr", 40),
+      KeyedDoc(100L, 9, "xx", 30))
+  }
+
+  test("TtlCounter: exact running counts with ttl off; with ttl an " +
+    "event-time-idle key's count expires and restarts from 1") {
+    // ttl off ≡ the batch per-key count, emitted as a running prefix
+    val m0 = MemoryStream[TsKeyHit](spark)
+    val q0 = TtlCounter(m0.toDS()).writeStream
+      .queryName("tc_tw").format("memory").outputMode("append").start()
+    try {
+      m0.addData(TsKeyHit(1, evTs(0)), TsKeyHit(1, evTs(1)), TsKeyHit(2, evTs(2)))
+      q0.processAllAvailable()
+      m0.addData(TsKeyHit(1, evTs(3)), TsKeyHit(2, evTs(4)))
+      q0.processAllAvailable()
+    } finally q0.stop()
+    spark.table("tc_tw").orderBy("k", "n")
+      .as[KeyCount].collect().toSeq shouldBe Seq(
+      KeyCount(1, 2), KeyCount(1, 3), KeyCount(2, 1), KeyCount(2, 2))
+
+    val m1 = MemoryStream[TsKeyHit](spark)
+    val q1 = TtlCounter(m1.toDS(), ttlMs = 1000L).writeStream
+      .queryName("tc_ttl_tw").format("memory").outputMode("append").start()
+    try {
+      m1.addData(TsKeyHit(1, evTs(1000)), TsKeyHit(1, evTs(1100)))
+      q1.processAllAvailable() // n=2, timer -> 2100
+      m1.addData(TsKeyHit(8, evTs(5000))); q1.processAllAvailable() // watermark carrier
+      m1.addData(TsKeyHit(9, evTs(6000))); q1.processAllAvailable() // sweep: k=1 evicts
+      m1.addData(TsKeyHit(1, evTs(7000))); q1.processAllAvailable() // restarted count
+    } finally q1.stop()
+    spark.table("tc_ttl_tw").orderBy("k", "n")
+      .as[KeyCount].collect().toSeq shouldBe Seq(
+      KeyCount(1, 1), KeyCount(1, 2), KeyCount(8, 1), KeyCount(9, 1))
+  }
+
   test("ScdCompact: change-log intervals close on value change; an " +
     "interval OPEN at a batch boundary extends through the next batch") {
     val b1 = Seq(
