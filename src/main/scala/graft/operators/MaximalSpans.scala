@@ -92,6 +92,27 @@ object MaximalSpans {
     *         start, one row per maximal repeated span, unordered
     */
   def spans(d: DataFrame, minLen: Int, cap: Int, parts: Int): DataFrame = {
+    // left-maximality: suppress p when the candidate at p-1 extends it
+    val wd = Window.partitionBy("doc_id").orderBy("i")
+    lrsFrame(d, minLen, cap, parts)
+      .withColumn("pi", lag(col("i"), 1).over(wd))
+      .withColumn("pl", lag(col("lrs"), 1).over(wd))
+      .filter(col("lrs") >= minLen &&
+        (col("pi").isNull || col("pi") =!= col("i") - 1 ||
+          col("pl") < least(col("lrs") + 1, lit(cap))))
+      .select(col("doc_id"), col("i").cast("long").as("start"),
+        col("lrs").cast("long").as("len"))
+  }
+
+  /** The per-candidate longest-repeated-prefix frame — steps 1–3 of the
+    * pipeline above, BEFORE the left-maximality filter: (doc_id, i, lrs)
+    * for every candidate position. [[spans]] derives the maximal span
+    * list from it; coverage consumers (the exact-substring CUT) need the
+    * unfiltered frame, because inside a cap-saturated run every position
+    * carries lrs = cap and it is their UNION — not the clipped emitted
+    * head — that covers the full repeated region.
+    */
+  def lrsFrame(d: DataFrame, minLen: Int, cap: Int, parts: Int): DataFrame = {
     require(minLen >= 2 && cap >= minLen, s"need 2 <= minLen <= cap, got ($minLen, $cap)")
     val s = d.sparkSession
     import s.implicits._
@@ -158,23 +179,39 @@ object MaximalSpans {
       k += 1
     }
     val patchB = s.sparkContext.broadcast(patch.toMap)
-    val lrsDs = scanned.map { r =>
+    scanned.map { r =>
       val pm = patchB.value
       var v = r.lrs0
       if (r.first) v = math.max(v, pm.getOrElse((r.pid, true), 0))
       if (r.last) v = math.max(v, pm.getOrElse((r.pid, false), 0))
       (r.doc_id, r.i, v)
     }.toDF("doc_id", "i", "lrs")
+  }
 
-    // 4. left-maximality: suppress p when the candidate at p-1 extends it
+  /** Exact-substring CUT under the maximal-span policy — the removal
+    * size of Lee et al. 2021's dedup pass at span granularity: per doc,
+    * the number of tokens covered by the UNION of all repeated spans of
+    * >= minLen tokens. Computed from [[lrsFrame]]: each candidate
+    * position p with lrs(p) >= minLen covers [p, p+lrs(p)); the interval
+    * union is one running-max-end window per doc (variable span lengths,
+    * so the fixed-length lag trick of the 8-gram cut does not apply —
+    * this is the general gaps-and-islands form, still exact integers and
+    * doc-bounded partitions).
+    *
+    * @return (doc_id, n_pos, n_tokens_cut): covering candidate position
+    *         count and exact covered-token count, one row per doc with
+    *         at least one repeated span
+    */
+  def cut(d: DataFrame, minLen: Int, cap: Int, parts: Int): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("i")
-    lrsDs
-      .withColumn("pi", lag(col("i"), 1).over(wd))
-      .withColumn("pl", lag(col("lrs"), 1).over(wd))
-      .filter(col("lrs") >= minLen &&
-        (col("pi").isNull || col("pi") =!= col("i") - 1 ||
-          col("pl") < least(col("lrs") + 1, lit(cap))))
-      .select(col("doc_id"), col("i").cast("long").as("start"),
-        col("lrs").cast("long").as("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lrsFrame(d, minLen, cap, parts)
+      .filter(col("lrs") >= minLen)
+      .withColumn("pe", max(col("i") + col("lrs")).over(wd))
+      .withColumn("c", greatest(lit(0),
+        col("i") + col("lrs") - greatest(col("i"), coalesce(col("pe"), col("i")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("c")).cast("long").as("n_tokens_cut"))
   }
 }

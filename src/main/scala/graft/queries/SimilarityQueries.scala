@@ -31,6 +31,80 @@ object SimilarityQueries {
     */
   private val PLANES = 5
 
+  /** emb_linear_probe parameters, shared by the Spark loop and the
+    * generated oracle so the two cannot drift: class count (fixture
+    * labels are 0..9), dimension, input quantization, training rounds.
+    */
+  private val ProbeK = 10
+  private val ProbeD = 64
+  private val ProbeQ = 1000
+  private val ProbeSteps = 8
+
+  /** Unrolled DuckDB replay of [[graft.operators.LinearProbe.probe]]:
+    * `steps` batch-perceptron stages — score/argmax (row_number with the
+    * same s DESC, c ASC tie-break as the Scala strict-> loop),
+    * misclassified signed-delta aggregation, weight update — then one
+    * evaluation stage under the final weights. Weights ride as
+    * (c, j, v) rows; every product/sum is int64. AS MATERIALIZED on
+    * every multi-referenced CTE (the DuckDB inlining trap, see
+    * pagerankConvSql).
+    */
+  private def linearProbeSql(k: Int, d: Int, q: Int, steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $embSql,
+       e AS MATERIALIZED (
+         SELECT vec_id, label::INT AS label,
+           [floor(x / sqrt(n2) * $q)::BIGINT for x in v] AS xq
+         FROM emb),
+       w0 AS (
+         SELECT c.c::INT AS c, j.j::INT AS j, 0::BIGINT AS v
+         FROM range(0, $k) c(c), range(1, ${d + 1}) j(j))"""
+    for (t <- 1 to steps) sb ++= s""",
+       s$t AS (
+         SELECT e.vec_id, e.label, w.c,
+           sum(w.v * e.xq[w.j])::BIGINT AS s
+         FROM e CROSS JOIN w${t - 1} w GROUP BY 1, 2, 3),
+       p$t AS MATERIALIZED (
+         SELECT vec_id, label, c AS pred FROM (
+           SELECT vec_id, label, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+           FROM s$t) WHERE rk = 1),
+       wr$t AS MATERIALIZED (
+         SELECT e.xq, p.label, p.pred
+         FROM e JOIN p$t p USING (vec_id) WHERE p.pred <> p.label),
+       d$t AS (
+         SELECT c, j, sum(v)::BIGINT AS dv FROM (
+           SELECT label AS c, j.j::INT AS j, xq[j.j] AS v
+           FROM wr$t, range(1, ${d + 1}) j(j)
+           UNION ALL
+           SELECT pred AS c, j.j::INT AS j, -xq[j.j] AS v
+           FROM wr$t, range(1, ${d + 1}) j(j)) GROUP BY c, j),
+       w$t AS MATERIALIZED (
+         SELECT w.c, w.j, w.v + coalesce(d.dv, 0)::BIGINT AS v
+         FROM w${t - 1} w LEFT JOIN d$t d USING (c, j))"""
+    val sumV = (1 to steps).map(t => s"w$t.v").mkString(" + ")
+    val joins = (2 to steps).map(t => s"JOIN w$t USING (c, j)").mkString(" ")
+    sb ++= s""",
+       wavg AS MATERIALIZED (
+         SELECT w1.c, w1.j, ($sumV)::BIGINT AS v
+         FROM w1 $joins),
+       sE AS (
+         SELECT e.vec_id, e.label, w.c,
+           sum(w.v * e.xq[w.j])::BIGINT AS s
+         FROM e CROSS JOIN wavg w GROUP BY 1, 2, 3),
+       pE AS (
+         SELECT vec_id, label, c AS pred FROM (
+           SELECT vec_id, label, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+           FROM sE) WHERE rk = 1)
+       SELECT label::BIGINT AS label, count(*) AS n,
+         sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+         (sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1000
+           // count(*))::BIGINT AS acc_pm
+       FROM pE GROUP BY label ORDER BY label"""
+    sb.toString
+  }
+
   /** Embeddings with double-cast vector + squared norm. Registers the
     * native [[graft.plans.DotD]] codegen dot product (every similarity
     * query builds its frame through here, so `dot` below can rely on it).
@@ -1605,6 +1679,36 @@ object SimilarityQueries {
              FROM own w JOIN oth o USING (vec_id)
              WHERE floor((w.own - o.other) * 1e6) < 0
              ORDER BY margin_q, o.vec_id LIMIT 50""")),
+
+    // Linear-probe quality classification (operators.LinearProbe): the
+    // fastText-style linear-classifier shape every LLM data pipeline
+    // uses for quality filtering, trained here as a multiclass BATCH
+    // perceptron on the labeled embeddings — all-integer (quantized
+    // inputs, integer weights, argmax with lowest-class tie-break), so
+    // the K training rounds and the final per-class accuracies are
+    // exactly reproducible across partitionings and engines. The oracle
+    // replays the full training loop as unrolled CTE stages generated
+    // from the SAME constants (the PrConvKMax pattern): per step a
+    // score/argmax stage, a misclassified-delta aggregation, and the
+    // weight update — a divergence in any round's weights fails the
+    // hash. Scale: per step one corpus pass + a k×d-bounded collect
+    // (KMeans/PageRank loop discipline).
+    QueryDef(
+      "emb_linear_probe",
+      (s, dir) => {
+        // UNIT vectors before quantization: norm spread otherwise
+        // dominates the perceptron margin (accuracy 0.16 raw vs ~0.20 —
+        // the nearest-centroid linear ceiling of this fixture —
+        // normalized). x/sqrt(n2) is a double each engine computes
+        // identically (n2 = the dotd sequential fold, the emb/embSql
+        // contract), so floor(·Q) stays cross-engine exact.
+        val e = emb(s, dir)
+          .select(col("label").cast("int").as("label"),
+            transform(col("v"),
+              x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("xq"))
+        graft.operators.LinearProbe.probe(e, ProbeK, ProbeD, ProbeSteps)
+      },
+      Some(linearProbeSql(ProbeK, ProbeD, ProbeQ, ProbeSteps))),
 
     // SemDeDup semantic deduplication (Abbas et al. 2023): coarse k-means
     // cells bound the pair blowup, within-cell cosine >= theta marks

@@ -40,12 +40,12 @@ object TextQueries {
                   (j) -> $a[j] IS DISTINCT FROM $b[j])[1],
                 least(len($a), len($b)) + 1)::int - 1 END"""
 
-  /** DuckDB replay of [[graft.operators.MaximalSpans.spans]] over
-    * `documents`: same 60-bit token alphabet, same candidate filter,
-    * one global capped-suffix sort with neighbor LCPs, same capped
-    * left-maximality rule.
+  /** Shared CTE chain (tok → h → pos → rep → cand → srt → lr) replaying
+    * [[graft.operators.MaximalSpans.lrsFrame]] in DuckDB: same 60-bit
+    * token alphabet, same candidate filter, one global capped-suffix
+    * sort with neighbor LCPs. Consumed by both maximal-span oracles.
     */
-  private def maximalSpansSql: String = {
+  private def maximalLrsCtes: String = {
     val L = MaxSpanMin; val cap = MaxSpanCap
     s"""WITH tok AS (
          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -70,7 +70,15 @@ object TextQueries {
        lr AS (
          SELECT doc_id, i,
            greatest(${lcpSql("w", "pw")}, ${lcpSql("w", "nw")}) AS lrs
-         FROM srt),
+         FROM srt)"""
+  }
+
+  /** DuckDB replay of [[graft.operators.MaximalSpans.spans]]: the shared
+    * lrs chain plus the capped left-maximality rule.
+    */
+  private def maximalSpansSql: String = {
+    val L = MaxSpanMin; val cap = MaxSpanCap
+    s"""$maximalLrsCtes,
        fin AS (
          SELECT doc_id, i, lrs,
            lag(i) OVER wd AS pi, lag(lrs) OVER wd AS pl
@@ -80,6 +88,25 @@ object TextQueries {
        FROM fin
        WHERE pi IS NULL OR pi <> i - 1 OR pl < least(lrs + 1, $cap)
        ORDER BY doc_id, start"""
+  }
+
+  /** DuckDB replay of [[graft.operators.MaximalSpans.cut]]: the shared
+    * lrs chain plus the variable-length interval union (running max end
+    * per doc).
+    */
+  private def maximalCutSql: String = {
+    val L = MaxSpanMin
+    s"""$maximalLrsCtes,
+       fil AS (SELECT doc_id, i, lrs FROM lr WHERE lrs >= $L),
+       cov AS (
+         SELECT doc_id, i, lrs,
+           max(i + lrs) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         FROM fil)
+       SELECT doc_id, count(*) AS n_pos,
+         sum(greatest(0, i + lrs - greatest(i, coalesce(pe, i))))::bigint
+           AS n_tokens_cut
+       FROM cov GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Unrolled DuckDB replay of
@@ -1322,6 +1349,31 @@ object TextQueries {
           .orderBy("doc_id", "start")
       },
       Some(maximalSpansSql)),
+
+    // Exact-substring CUT under the MAXIMAL-span policy — the removal
+    // size of the Lee et al. dedup pass with variable-length spans (the
+    // true-to-paper counterpart of doc_span_cut's fixed 8-token form):
+    // per doc, tokens covered by the union of [p, p+lrs(p)) over every
+    // candidate with lrs >= 8. Uses MaximalSpans.lrsFrame — NOT the
+    // emitted clipped span list — so cap-saturated runs are covered in
+    // full (every position in the run carries lrs = cap and the union
+    // closes over it). Variable lengths make the interval union the
+    // general gaps-and-islands running-max-end window (per-doc
+    // partitions, exact integers).
+    QueryDef(
+      "doc_maximal_cut",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= MaxSpanMin)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"),
+            transform(col("t"), tok => Q.hash60(tok)).as("h0"))
+        graft.operators.MaximalSpans
+          .cut(d, MaxSpanMin, MaxSpanCap,
+            s.sessionState.conf.numShufflePartitions)
+          .orderBy("doc_id")
+      },
+      Some(maximalCutSql)),
 
     // Sparse weighted-cosine document similarity — the SPARSE counterpart
     // to the dense ANN suite (`knn_*`): documents as tf·idf-weighted token

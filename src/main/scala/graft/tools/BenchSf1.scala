@@ -42,6 +42,15 @@ object BenchSf1 {
     "doc_maximal_spans")
 
   def main(args: Array[String]): Unit = {
+    // sf1 volumes in one local[32] JVM need a big heap — on the default
+    // 8g the first r10 attempt measured a uniform 3-8x Spark-leg
+    // slowdown (GC throttle) while the DuckDB leg matched r8; the
+    // artifact would have looked like a plan regression that wasn't.
+    val heap = Runtime.getRuntime.maxMemory()
+    require(heap >= 20L * 1024 * 1024 * 1024,
+      f"BenchSf1 needs SPARK_DRIVER_MEM=24g (heap is ${heap / 1e9}%.1f GB) — " +
+        "an undersized heap GC-throttles the Spark leg and fabricates " +
+        "a regression")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
     val fix = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_fixture")

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.LinearProbe
+
+/** Laws for [[LinearProbe]]: the distributed batch-perceptron trainer
+  * must equal a plain sequential reference implementation exactly
+  * (integer weights, round by round), be partition-independent, and
+  * fail loudly outside its label envelope.
+  */
+class LinearProbeSpec extends SparkSpec {
+
+  private val K = 4
+  private val D = 6
+  private val Steps = 3
+
+  // deterministic pseudo-random separable-ish fixture: class c clusters
+  // around axis c with integer noise
+  private val data: Seq[(Int, Array[Long])] =
+    (0 until 120).map { i =>
+      val c = i % K
+      val x = Array.tabulate(D)(j =>
+        (if (j == c) 50L else 0L) + ((i * 31 + j * 17) % 13) - 6L)
+      (c, x)
+    }
+
+  /** Sequential reference: identical algorithm (batch updates, averaged
+    * iterates), no Spark.
+    */
+  private def refTrain(steps: Int): Array[Array[Long]] = {
+    var w = Array.fill(K, D)(0L)
+    val acc = Array.fill(K, D)(0L)
+    for (_ <- 1 to steps) {
+      val next = w.map(_.clone())
+      data.foreach { case (label, x) =>
+        val pred = LinearProbe.predict(w, x)
+        if (pred != label) {
+          val wl = next(label); val wp = next(pred)
+          for (j <- 0 until D) {
+            wl(j) += x(j)
+            wp(j) -= x(j)
+          }
+        }
+      }
+      w = next
+      for (c <- 0 until K; j <- 0 until D) acc(c)(j) += w(c)(j)
+    }
+    acc
+  }
+
+  private def df(parts: Int) = {
+    val rows = data.map { case (c, x) => (c, x.toSeq) }
+    spark.createDataFrame(rows).toDF("label", "xq").repartition(parts)
+  }
+
+  test("distributed trainer equals the sequential reference, weight for weight") {
+    val got = LinearProbe.train(df(5), K, D, Steps)
+    val want = refTrain(Steps)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("training and scoring are partition-independent") {
+    val a = LinearProbe.probe(df(1), K, D, Steps).collect().map(_.toSeq).toSeq
+    val b = LinearProbe.probe(df(7), K, D, Steps).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("probe accuracy is non-trivial on the separable fixture") {
+    val acc = LinearProbe.probe(df(4), K, D, Steps)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(acc.size == K)
+    assert(acc.values.forall(_ >= 500), s"expected separable classes, got $acc")
+  }
+
+  test("labels outside [0, k) fail loudly") {
+    val bad = spark.createDataFrame(Seq((K + 3, (1 to D).map(_.toLong))))
+      .toDF("label", "xq")
+    val e = intercept[Exception] {
+      LinearProbe.train(bad, K, D, 1)
+    }
+    assert(e.getMessage != null)
+  }
+}

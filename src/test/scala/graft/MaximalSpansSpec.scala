@@ -98,6 +98,37 @@ class MaximalSpansSpec extends SparkSpec {
     assert(run(parts = 1) == run(parts = 7))
   }
 
+  test("cut equals brute-force interval coverage of all lrs >= minLen spans") {
+    // brute lrs per position (capped), as in `brute` above
+    val sufs = for {
+      (d, t) <- corpus.toSeq; i <- 1 to t.length
+    } yield (d, i, t.slice(i - 1, math.min(t.length, i - 1 + Cap)).toSeq)
+    def lcp(a: Seq[String], b: Seq[String]) =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val lrs = sufs.map { case (d, i, w) =>
+      (d, i) -> sufs.iterator
+        .filter { case (d2, i2, _) => !(d2 == d && i2 == i) }
+        .map(s => lcp(w, s._3)).max
+    }.toMap
+    val expected = corpus.keys.toSeq.sorted.flatMap { d =>
+      val n = corpus(d).length
+      val hits = (1 to n).filter(i => lrs((d, i)) >= MinLen)
+      if (hits.isEmpty) None
+      else {
+        val covered = (1 to n).count(t =>
+          hits.exists(p => p <= t && t < p + lrs((d, p))))
+        Some((d, hits.size.toLong, covered.toLong))
+      }
+    }.toSet
+    val got = MaximalSpans.cut(df, MinLen, Cap, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // the union must close over the cap-saturated run: covered tokens in
+    // the 20-token shared passage exceed the clipped span length
+    val doc1 = got.find(_._1 == 1L).get
+    assert(doc1._3 > Cap, s"cap-saturated run not fully covered: $doc1")
+  }
+
   test("empty when nothing repeats") {
     val d = spark.createDataFrame(Seq(
       (1L, (1L to 30L).toSeq), (2L, (100L to 130L).toSeq))).toDF("doc_id", "h0")
