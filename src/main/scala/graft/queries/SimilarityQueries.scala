@@ -1710,6 +1710,67 @@ object SimilarityQueries {
       },
       Some(linearProbeSql(ProbeK, ProbeD, ProbeQ, ProbeSteps))),
 
+    // STREAMING quality-probe scoring — the deployment shape of the
+    // linear filter above: the probe trains OFFLINE on the batch corpus
+    // (frozen per JVM, StreamFixtures.frozen — ships to the ingest job
+    // as a broadcast constant, the same pattern as the frozen codebooks/
+    // benchmark indexes), and the live embedding ingest is scored
+    // map-side against it, per-class counts accumulating across
+    // micro-batches in complete mode. Two time-ordered batches prove the
+    // accumulation crosses batch boundaries. Oracle: identical to
+    // emb_linear_probe — a pure count cannot depend on arrival order,
+    // and the stream-side quantization reuses the exact batch expression
+    // (dotd norm, floor(x/sqrt(n2)·Q)).
+    QueryDef(
+      "stream_quality_probe",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        graft.plans.DotD.register(s)
+        val w = StreamFixtures.frozen("probe_w|" + dir) {
+          val e = emb(s, dir).select(col("label").cast("int").as("label"),
+            transform(col("v"),
+              x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("xq"))
+          graft.operators.LinearProbe.train(e, ProbeK, ProbeD, ProbeSteps)
+        }
+        val bw = s.sparkContext.broadcast(w)
+        val fx = StreamFixtures.embHalves(s, dir)
+        val schema = StreamFixtures.embHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_qp_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val agg = s.readStream.schema(schema).parquet(srcDir)
+          .withColumn("v", transform(col("embedding"), _.cast("double")))
+          .withColumn("n2", call_function("dotd", col("v"), col("v")))
+          .select(col("label").cast("int").as("_1"),
+            transform(col("v"),
+              x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("_2"))
+          .as[(Int, Seq[Long])]
+          .map { case (l, xq) =>
+            (l.toLong,
+              if (graft.operators.LinearProbe.predict(bw.value, xq.toArray) == l) 1L
+              else 0L)
+          }
+          .toDF("label", "ok")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
+        val name = "stream_qp_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable() // batch 1: low-id half
+          StreamFixtures.feed(fx, "hi", srcDir)
+          StreamHarness.settle(q) // batch 2: counts accumulate
+        } finally q.stop()
+        val res = s.table(name)
+          .withColumn("acc_pm", expr("n_correct * 1000 DIV n"))
+          .select(col("label").cast("long").as("label"), col("n"),
+            col("n_correct"), col("acc_pm"))
+          .orderBy("label").localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(linearProbeSql(ProbeK, ProbeD, ProbeQ, ProbeSteps))),
+
     // SemDeDup semantic deduplication (Abbas et al. 2023): coarse k-means
     // cells bound the pair blowup, within-cell cosine >= theta marks
     // near-duplicate groups, and the member LEAST similar to its centroid

@@ -207,6 +207,19 @@ object StreamFixtures {
   def docsHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(docsHalves(s, dir) + "/lo").schema
 
+  def embHalves(s: SparkSession, dir: String): String = cache.synchronized {
+    cache.getOrElseUpdate("emb_halves|" + dir, {
+      val d = s.read.parquet(s"$dir/embeddings.parquet")
+      val mid = d.agg((min("vec_id") + max("vec_id")) / 2).head().getDouble(0)
+      val root = Files.createTempDirectory("graft_fx_emb_").toString
+      d.filter(col("vec_id") <= mid).coalesce(1).write.parquet(s"$root/lo")
+      d.filter(col("vec_id") > mid).coalesce(1).write.parquet(s"$root/hi")
+      root
+    })
+  }
+  def embHalvesSchema(s: SparkSession, dir: String) =
+    s.read.parquet(embHalves(s, dir) + "/lo").schema
+
   /** Copy the parquet files of fixture half `half` ("lo"/"hi") into the
     * per-run streaming source directory `destDir`, prefixing filenames so
     * both halves can coexist.
