@@ -62,6 +62,22 @@ object LinearProbe {
     val ds: Dataset[Ex] = emb.select(col("label").cast("int").as("label"),
       col("xq")).as[Ex].cache()
     try {
+      // Enforce the documented exactness envelope LOUDLY (ADVICE r10):
+      // |w_c(j)| ≤ steps·n·max|xq| (each misclassified row adds ±xq once
+      // per step), so the score term Σ_d w·x is bounded by
+      // d·steps·n·max|xq|². Outside that, Spark's Long would wrap
+      // silently while the DuckDB oracle's ::BIGINT cast errors — a
+      // confusing cross-engine divergence instead of a clear failure.
+      // One cheap agg over the (already cached) corpus buys the check.
+      val (nRows, maxAbs) = {
+        val r = ds.select(count(lit(1)),
+          coalesce(max(expr("aggregate(xq, 0L, (m, v) -> greatest(m, abs(v)))")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val worst = BigInt(d) * steps * nRows * maxAbs * maxAbs
+      require(worst <= Long.MaxValue,
+        s"integer-exactness envelope exceeded: d=$d × steps=$steps × n=$nRows × max|xq|²=${maxAbs}² " +
+          s"= $worst > 2^63-1 — scores would wrap; lower Q or steps (LinearProbe scaladoc)")
       var w = Array.fill(k, d)(0L)
       val iters = Seq.newBuilder[Array[Array[Long]]]
       for (_ <- 1 to steps) {
@@ -79,8 +95,9 @@ object LinearProbe {
           .groupBy("c", "pos").agg(sum("col").as("dv"))
           .collect() // k×d-bounded driver state (the loop discipline)
         val next = w.map(_.clone())
-        deltas.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) += r.getLong(2)
+        deltas.foreach { r => // addExact: driver-side k×d, belt to the entry guard
+          val c = r.getInt(0); val j = r.getInt(1)
+          next(c)(j) = Math.addExact(next(c)(j), r.getLong(2))
         }
         w = next
         iters += w

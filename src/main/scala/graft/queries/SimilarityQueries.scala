@@ -55,7 +55,7 @@ object SimilarityQueries {
        e AS MATERIALIZED (
          SELECT vec_id, label::INT AS label,
            [floor(x / sqrt(n2) * $q)::BIGINT for x in v] AS xq
-         FROM emb),
+         FROM emb WHERE n2 > 0),
        w0 AS (
          SELECT c.c::INT AS c, j.j::INT AS j, 0::BIGINT AS v
          FROM range(0, $k) c(c), range(1, ${d + 1}) j(j))"""
@@ -1701,8 +1701,11 @@ object SimilarityQueries {
         // the nearest-centroid linear ceiling of this fixture —
         // normalized). x/sqrt(n2) is a double each engine computes
         // identically (n2 = the dotd sequential fold, the emb/embSql
-        // contract), so floor(·Q) stays cross-engine exact.
-        val e = emb(s, dir)
+        // contract), so floor(·Q) stays cross-engine exact. n2 > 0 on
+        // BOTH sides (ADVICE r10, same class as stream_semdedup's r9
+        // fix): a zero-norm vector is floor(NaN)→0L in Spark but a
+        // NaN::BIGINT cast ERROR in DuckDB.
+        val e = emb(s, dir).filter(col("n2") > 0)
           .select(col("label").cast("int").as("label"),
             transform(col("v"),
               x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("xq"))
@@ -1727,7 +1730,8 @@ object SimilarityQueries {
         import s.implicits._
         graft.plans.DotD.register(s)
         val w = StreamFixtures.frozen("probe_w|" + dir) {
-          val e = emb(s, dir).select(col("label").cast("int").as("label"),
+          val e = emb(s, dir).filter(col("n2") > 0) // zero-norm guard, as batch
+            .select(col("label").cast("int").as("label"),
             transform(col("v"),
               x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("xq"))
           graft.operators.LinearProbe.train(e, ProbeK, ProbeD, ProbeSteps)
@@ -1741,6 +1745,7 @@ object SimilarityQueries {
         val agg = s.readStream.schema(schema).parquet(srcDir)
           .withColumn("v", transform(col("embedding"), _.cast("double")))
           .withColumn("n2", call_function("dotd", col("v"), col("v")))
+          .filter(col("n2") > 0) // zero-norm guard: identical to the batch side
           .select(col("label").cast("int").as("_1"),
             transform(col("v"),
               x => floor(x / sqrt(col("n2")) * ProbeQ).cast("long")).as("_2"))

@@ -111,15 +111,27 @@ object LocalNioCheckpointFileManager {
   // a property of the mounted filesystem, so one entry per mount is both
   // bounded and semantically right. Any failure mode other than success
   // disables the NIO no-overwrite path for that filesystem.
+  //
+  // A per-directory memo sits in FRONT of the per-FileStore cache so the
+  // hot path (one call per checkpoint-file rename) is a single map hit —
+  // createDirectories + getFileStore are syscalls, and a persistently
+  // failing path would otherwise re-pay them (and the exception) on every
+  // operation. Failures are memoized too. Bounded: one entry per distinct
+  // checkpoint/state directory the query touches for the JVM lifetime —
+  // the same cardinality the r9 per-directory cache had.
   private val linkSupport =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.FileStore, java.lang.Boolean]()
+  private val dirMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
 
   private[streaming] def supportsHardLinks(dir: java.nio.file.Path): Boolean =
-    try {
-      Files.createDirectories(dir)
-      val store = Files.getFileStore(dir)
-      linkSupport.computeIfAbsent(store, _ => probeHardLinks(dir)).booleanValue
-    } catch { case _: Exception => false }
+    dirMemo.computeIfAbsent(dir, d =>
+      try {
+        Files.createDirectories(d)
+        val store = Files.getFileStore(d)
+        linkSupport.computeIfAbsent(store, _ => probeHardLinks(d))
+      } catch { case _: Exception => java.lang.Boolean.FALSE }
+    ).booleanValue
 
   private def probeHardLinks(d: java.nio.file.Path): Boolean =
     try {

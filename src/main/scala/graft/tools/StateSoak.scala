@@ -171,7 +171,12 @@ object StateSoak {
       // (4x) for RocksDB.
       val memAllow =
         if (rocksFamilies(name)) 4.0
-        else if (name.endsWith("_ttl")) 2.0 // wall-clock eviction jitter
+        // TTL eviction is EVENT-TIME and deterministic (Streams.scala
+        // withTtl/TtlCounter docs) — the 2x headroom covers the state
+        // store's snapshot/commit overhead varying across eviction
+        // batches (delta files straddle the m50 sample point), not any
+        // eviction nondeterminism. Row counts above stay strict.
+        else if (name.endsWith("_ttl")) 2.0
         else 1.25
       if (m100 > m50 * memAllow)
         failed ::= f"$name: state memory grew ${m100 / m50}%.2fx after batch 50"
