@@ -177,6 +177,16 @@ object Bench {
       // CORRECTNESS_r{N} at END of round N, so during round N the max on
       // disk is N-1); re-runs within a round overwrite idempotently.
       roundSnapshotName().foreach(p => Files.writeString(Paths.get(p), json))
+      // BENCH_FULL_r{N} twin (VERDICT r10 #8): the driver's end-of-round
+      // capture OVERWRITES BENCH_r{N}.json with a 2000-char stdout tail
+      // (r07-r10 are unparseable at HEAD; r09/r10's full data had to be
+      // mined from git), and the end-of-round driver-invoked Bench run
+      // additionally mislabels itself N+1 (CORRECTNESS_r{N} exists by
+      // then, flipping the anchor). This name is one the driver never
+      // writes, so the round's last full consolidated artifact —
+      // complete queries/runs/duck_detail maps — survives to HEAD.
+      roundSnapshotName().foreach(p =>
+        Files.writeString(Paths.get(p.replace("BENCH_r", "BENCH_FULL_r")), json))
     }
     sys.props.get("graft.benchOut")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
