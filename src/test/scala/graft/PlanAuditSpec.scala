@@ -37,10 +37,13 @@ class PlanAuditSpec extends SparkSpec {
   test("q5_nation_revenue: dimension joins broadcast, never shuffle") {
     val plan = finalPlan("q5_nation_revenue")
     withClue(plan) {
-      // nation + region explicitly broadcast
-      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
-      // and the broadcast dims never appear behind a shuffle join
-      plan should not include "SortMergeJoin [n_nationkey"
+      // ALL four joins broadcast at fixture scale — the r10 bench
+      // regression investigation (BASELINE.md round-11) proved the plan
+      // byte-identical to r9's modulo expression ids; pin the full shape
+      // so any future broadcast-threshold/AQE drift fails HERE, not as
+      // an unexplained bench delta
+      "BroadcastHashJoin".r.findAllIn(plan).size should be >= 4
+      plan should not include "SortMergeJoin"
     }
   }
 
