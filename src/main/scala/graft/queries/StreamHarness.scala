@@ -207,6 +207,32 @@ object StreamFixtures {
   def docsHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(docsHalves(s, dir) + "/lo").schema
 
+  /** The documents table split into the FOUR deterministic batches of the
+    * TTL-registry gate (`stream_clean_corpus_ttl`): grp = doc_id % 3 →
+    * b1/b2/b3 with constant event times T1 &lt; T2 &lt; T3, plus b4 = the
+    * grp-0 docs REPLAYED at T4 — the deployment shape of re-ingesting an
+    * old shard after the dedup registry TTL'd its keys out. The time
+    * constants live in [[TtlGate]] next to the inequalities that make the
+    * eviction schedule deterministic.
+    */
+  def docsTtlBatches(s: SparkSession, dir: String): String = cache.synchronized {
+    cache.getOrElseUpdate("docs_ttl|" + dir, {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val root = Files.createTempDirectory("graft_fx_docsttl_").toString
+      def part(grp: Int, tsMs: Long, name: String): Unit =
+        d.filter(col("doc_id") % 3 === grp)
+          .withColumn("ts", expr(s"timestamp_millis(${tsMs}L)"))
+          .coalesce(1).write.parquet(s"$root/$name")
+      part(0, TtlGate.T1, "b1"); part(1, TtlGate.T2, "b2")
+      part(2, TtlGate.T3, "b3"); part(0, TtlGate.T4, "b4")
+      root
+    })
+  }
+
+  /** Schema of the TTL-gate batches (documents + event-time ts). */
+  def docsTtlBatchesSchema(s: SparkSession, dir: String) =
+    s.read.parquet(docsTtlBatches(s, dir) + "/b1").schema
+
   def embHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("emb_halves|" + dir, {
       val d = s.read.parquet(s"$dir/embeddings.parquet")
@@ -262,4 +288,33 @@ object StreamFixtures {
   def deleteRecursively(root: String): Unit =
     Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
+}
+
+/** Time constants of the TTL-registry cross-engine gate
+  * (`stream_clean_corpus_ttl`). The event-time schedule is chosen so the
+  * watermark-driven eviction sequence is FULLY determined (and therefore
+  * SQL-replayable) — the inequalities, asserted at query build:
+  *
+  *   - `T2 > T1 + TtlMs`: after batch 2 the watermark (= T2) passes the
+  *     batch-1 keys' timeout (T1 + ttl), so every key seen ONLY in batch 1
+  *     evicts before batch 4 — its batch-4 replay RE-EMITS.
+  *   - `T3 < T2 + TtlMs`: keys refreshed by a batch-2 duplicate survive
+  *     through batch 3's watermark — their batch-4 replay stays
+  *     SUPPRESSED (the sliding-TTL refresh path).
+  *   - `T4 > T3` and `T4 < T3 + TtlMs`: keys sighted (or refreshed) in
+  *     batch 3 are alive at batch 4.
+  *
+  * With those, the emitted set has a closed form the DuckDB oracle states
+  * directly: every key emits its first-batch minimum-(doc_id, lang) row
+  * once, and keys whose docs ALL sit in batch 1 (grp 0) emit that row a
+  * second time at the batch-4 replay.
+  */
+object TtlGate {
+  val TtlMs = 600000L
+  val T1 = 1000000L
+  val T2 = 2000000L
+  val T3 = 2500000L
+  val T4 = 3000000L
+  require(T2 > T1 + TtlMs && T3 < T2 + TtlMs && T4 > T3 && T4 < T3 + TtlMs,
+    "TtlGate schedule inequalities violated — the oracle's closed form no longer holds")
 }

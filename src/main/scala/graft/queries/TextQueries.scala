@@ -1015,6 +1015,81 @@ object TextQueries {
              sum(n_tokens::decimal(38,6))::bigint AS total_tokens
            FROM survivors GROUP BY lang ORDER BY lang""")),
 
+    // TTL-REGISTRY corpus cleaning (VERDICT r10 #5 — the eviction path
+    // itself under the cross-engine gate): same gate → dedup → stats
+    // pipeline, but the dedup registry is KeepFirst.withTtl — the
+    // bounded-state deployment shape (state ≤ keys active within any ttl
+    // window, soak-proven). Four event-time batches drive a DETERMINISTIC
+    // eviction schedule (constants + inequalities in StreamFixtures
+    // .TtlGate): batch 1 = grp-0 docs at T1, batch 2 = grp-1 at T2
+    // (watermark passes T1+ttl → idle batch-1 keys EVICT), batch 3 =
+    // grp-2 at T3, batch 4 = the grp-0 docs REPLAYED at T4 — keys seen
+    // only in batch 1 RE-EMIT (eviction + re-emission across batches, the
+    // gate's point); keys a batch-2/3 duplicate refreshed stay suppressed
+    // (the sliding-TTL refresh path). Closed form in the oracle: each
+    // key's first-batch min-(doc_id, lang) row once, plus a second copy
+    // for keys whose docs all sit in batch 1.
+    QueryDef(
+      "stream_clean_corpus_ttl",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.docsTtlBatches(s, dir)
+        val schema = StreamFixtures.docsTtlBatchesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_scct_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "b1", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+          .select(Q.hash60(col("text")).as("h"), col("doc_id").as("ord"),
+            col("lang"), col("n_tokens").cast("long").as("nTokens"),
+            col("ts"))
+          .as[graft.streaming.TsKeyedDoc]
+        val name = "stream_scct_" + System.nanoTime()
+        val q = graft.streaming.KeepFirst.withTtl(src, TtlGate.TtlMs)
+          .writeStream.queryName(name).format("memory")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // b1: grp-0 keys seed the registry
+          StreamFixtures.feed(fx, "b2", srcDir)
+          StreamHarness.settle(q) // b2: wm→T2 > T1+ttl — idle b1 keys evict
+          StreamFixtures.feed(fx, "b3", srcDir)
+          StreamHarness.settle(q) // b3: refreshed keys survive (T3 < T2+ttl)
+          StreamFixtures.feed(fx, "b4", srcDir)
+          StreamHarness.settle(q) // b4: grp-0 replay — evicted keys re-emit
+        } finally q.stop()
+        val res = s.table(name)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            Q.dsum(col("nTokens")).cast("long").as("total_tokens"))
+          .orderBy("lang")
+          .localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(s"""WITH quality AS MATERIALIZED (
+             SELECT doc_id, lang,
+               len(string_split(text, ' '))::bigint AS n_tokens,
+               (doc_id % 3)::int AS grp, ${Q.hash60Sql("text")} AS h
+             FROM documents
+             WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+           keys AS (SELECT h, min(grp) AS g1, max(grp) AS gmax
+                    FROM quality GROUP BY h),
+           firstrow AS MATERIALIZED (
+             SELECT lang, n_tokens, gmax FROM (
+               SELECT q.lang, q.n_tokens, k.gmax,
+                 row_number() OVER (PARTITION BY q.h
+                   ORDER BY q.doc_id, q.lang) AS rn
+               FROM quality q JOIN keys k USING (h) WHERE q.grp = k.g1)
+             WHERE rn = 1),
+           emitted AS (
+             SELECT lang, n_tokens FROM firstrow
+             UNION ALL
+             SELECT lang, n_tokens FROM firstrow WHERE gmax = 0)
+           SELECT lang, count(*)::bigint AS n_docs,
+             sum(n_tokens::decimal(38,6))::bigint AS total_tokens
+           FROM emitted GROUP BY lang ORDER BY lang""")),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic stand-in (byte length / prefix hash) —
     // the real image/audio decode would be a mapPartitions over the same
