@@ -59,6 +59,17 @@ object Dsir {
       f => pmod(Q.hash60(concat(lit("dsir|"), f)), lit(buckets.toLong)))
   }
 
+  /** Dense per-document count vector over the hashed feature space —
+    * the bridge from [[featureBuckets]] to fixed-width integer consumers
+    * ([[LinearProbe]]'s xq contract in `doc_quality_probe`). `bks` MUST
+    * be a PROJECTED column holding featureBuckets output (the no-CSE-in-
+    * lambda rule: inlining it here would re-hash the document `buckets`
+    * times).
+    */
+  def denseCounts(bks: Column, buckets: Int): Column =
+    transform(sequence(lit(0), lit(buckets - 1)),
+      j => size(filter(bks, x => x === j)).cast("long"))
+
   /** Select the `keepNum/keepDen` fraction of `corpus` with the highest
     * Gumbel-perturbed importance weight toward the `isTarget` subset.
     *

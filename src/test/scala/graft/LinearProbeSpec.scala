@@ -71,6 +71,33 @@ class LinearProbeSpec extends SparkSpec {
     assert(acc.values.forall(_ >= 500), s"expected separable classes, got $acc")
   }
 
+  test("hashed-text path learns a vocabulary-carried label (doc_quality_probe shape)") {
+    // Synthetic corpus where the label IS in the vocabulary: class c
+    // writes from a disjoint word set. The exact doc_quality_probe
+    // pipeline — Dsir.featureBuckets → Dsir.denseCounts → probe — must
+    // then classify nearly perfectly; this is the counterpoint to the
+    // gated query's honesty note (the driver fixture's lang labels are
+    // text-independent, so THERE the probe collapses — the operator, not
+    // the fixture, is what this test certifies).
+    import org.apache.spark.sql.functions._
+    val kC = 3; val b = 64; val steps = 6
+    val docs = (0 until 90).map { i =>
+      val c = i % kC
+      val words = (0 until 12).map(j => s"w${c}_${(i * 7 + j) % 9}")
+      (c, words.mkString(" "))
+    }
+    val e = spark.createDataFrame(docs).toDF("label", "text")
+      .select(col("label"), split(col("text"), " ").as("t"))
+      .select(col("label"),
+        graft.operators.Dsir.featureBuckets(col("t"), b).as("bks"))
+      .select(col("label"),
+        graft.operators.Dsir.denseCounts(col("bks"), b).as("xq"))
+    val acc = LinearProbe.probe(e, kC, b, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(acc.size == kC)
+    assert(acc.values.forall(_ >= 950), s"expected near-perfect separation, got $acc")
+  }
+
   test("labels outside [0, k) fail loudly") {
     val bad = spark.createDataFrame(Seq((K + 3, (1 to D).map(_.toLong))))
       .toDF("label", "xq")
