@@ -179,6 +179,31 @@ object ScaleCurve {
           (pmod(xxhash64(col("id"), lit(99)), lit(1000)) + 1).as("wn"))
         graft.operators.BPE.train(vocab, rounds = n.toInt).size.toLong
       }
+      // Unigram-LM hard-EM TRAINING at n DISTINCT WORDS (opt-in only —
+      // here n is a vocab size:
+      //   SPARK_GRAFT_SCALE_OPS=unigram_vocab runMain graft.tools.ScaleCurve
+      //     20000 50000 100000 200000
+      // fixed Params: maxPiece 4, 3 EM rounds, 4096-piece target). The
+      // measured claim (VERDICT r10 #6 follow-through): the driver EM is
+      // LINEAR in Σ word lengths — per round each word costs one
+      // O(len × maxPiece) integer DP — so the 10⁷-word natural-language
+      // vocab plateau trains in driver-minutes while the corpus-sized
+      // passes (pre-agg, encode) stay distributed.
+      if (only("unigram_vocab")) time("unigram_vocab", n) {
+        val vocab = spark.range(n).select(
+          concat_ws("", (0 until 12).map(i =>
+            chr(pmod(xxhash64(col("id"), lit(i)), lit(10)) + 97)): _*)
+            .substr(lit(1),
+              (pmod(xxhash64(col("id"), lit(77)), lit(9)) + 4).cast("int"))
+            .as("w"),
+          (pmod(xxhash64(col("id"), lit(99)), lit(1000)) + 1).as("wn"))
+          // synthetic ids collide at these sizes: the trainer contract is
+          // a DISTINCT word-frequency frame
+          .groupBy("w").agg(sum("wn").as("wn"))
+        graft.operators.UnigramLM.train(vocab,
+          graft.operators.UnigramLM.Params(maxPiece = 4, seedMulti = 8192,
+            rounds = 3, vocabTarget = 4096, maxWordLen = 12)).size.toLong
+      }
       // Repeated-span mining at n span rows (n/100 docs × 100 spans):
       // every doc pair shares its first 10 span hashes (planted repeats).
       // The measured claim (VERDICT r5 #5): the whole pipeline is narrow
