@@ -46,6 +46,8 @@ object Verify {
     val fl = failures.result()
     if (fl.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/FAILURES.txt"), fl.mkString("\n"))
+    else // a passing (re-)run must clear a prior run's stale marker
+      Files.deleteIfExists(Paths.get(s"$outDir/FAILURES.txt"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Oracle.dumpJson(SparkEntry.oracleSql))
     spark.stop()

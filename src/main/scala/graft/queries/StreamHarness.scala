@@ -249,13 +249,27 @@ object StreamFixtures {
   /** Copy the parquet files of fixture half `half` ("lo"/"hi") into the
     * per-run streaming source directory `destDir`, prefixing filenames so
     * both halves can coexist.
+    *
+    * ATOMIC publish (round-11 sf1 gate finding): a plain `Files.copy`
+    * into the watched directory let the file source list a HALF-COPIED
+    * parquet — FAILED_READ_FILE on the fed batch. The window is the copy
+    * duration, negligible at sf0.01 file sizes and real at 10×
+    * (stream_cohort_retention / stream_session_paths failed on their
+    * 16 MB events half exactly there). Copy to a dot-prefixed temp name
+    * (hidden from Spark's file-source listing filter) and ATOMIC_MOVE to
+    * the final name — the file either isn't listed or is complete.
     */
   def feed(fixtureRoot: String, half: String, destDir: String): Unit = {
     Files.createDirectories(Paths.get(destDir))
     Files.list(Paths.get(fixtureRoot, half)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach { p =>
-        Files.copy(p, Paths.get(destDir, half + "_" + p.getFileName.toString))
+        val name = half + "_" + p.getFileName.toString
+        val tmp = Paths.get(destDir, "." + name + ".tmp")
+        Files.copy(p, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, Paths.get(destDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
   }
 
