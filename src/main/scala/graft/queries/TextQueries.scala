@@ -1097,7 +1097,15 @@ object TextQueries {
     // gate's point); keys a batch-2/3 duplicate refreshed stay suppressed
     // (the sliding-TTL refresh path). Closed form in the oracle: each
     // key's first-batch min-(doc_id, lang) row once, plus a second copy
-    // for keys whose docs all sit in batch 1.
+    // for keys whose docs all sit in batch 1, plus — the case the
+    // sf1-equivalent gate caught (round 11): keys sighted in batches
+    // {1, 3} but NOT 2 are already evicted when batch 3 arrives (the
+    // watermark advanced past T1+ttl at batch 2), so their batch-3
+    // duplicate RE-EMITS too (min-(doc_id, lang) among the grp-2 rows;
+    // refreshed to T3+ttl, their batch-4 replay stays suppressed). Such
+    // {grp0, grp2}-only duplicate keys first exist at 10× volume — the
+    // ScaleFixture copy stride shifts doc_id mod 3 — which is why the
+    // sf0.001–0.1 gates could not see the hole.
     QueryDef(
       "stream_clean_corpus_ttl",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
@@ -1142,8 +1150,10 @@ object TextQueries {
                (doc_id % 3)::int AS grp, ${Q.hash60Sql("text")} AS h
              FROM documents
              WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
-           keys AS (SELECT h, min(grp) AS g1, max(grp) AS gmax
-                    FROM quality GROUP BY h),
+           keys AS (SELECT h, min(grp) AS g1, max(grp) AS gmax,
+               max(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS h1,
+               max(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS h2
+             FROM quality GROUP BY h),
            firstrow AS MATERIALIZED (
              SELECT lang, n_tokens, gmax FROM (
                SELECT q.lang, q.n_tokens, k.gmax,
@@ -1151,10 +1161,20 @@ object TextQueries {
                    ORDER BY q.doc_id, q.lang) AS rn
                FROM quality q JOIN keys k USING (h) WHERE q.grp = k.g1)
              WHERE rn = 1),
+           reemit3 AS (
+             SELECT lang, n_tokens FROM (
+               SELECT q.lang, q.n_tokens,
+                 row_number() OVER (PARTITION BY q.h
+                   ORDER BY q.doc_id, q.lang) AS rn
+               FROM quality q JOIN keys k USING (h)
+               WHERE k.g1 = 0 AND k.h1 = 0 AND k.h2 = 1 AND q.grp = 2)
+             WHERE rn = 1),
            emitted AS (
              SELECT lang, n_tokens FROM firstrow
              UNION ALL
-             SELECT lang, n_tokens FROM firstrow WHERE gmax = 0)
+             SELECT lang, n_tokens FROM firstrow WHERE gmax = 0
+             UNION ALL
+             SELECT lang, n_tokens FROM reemit3)
            SELECT lang, count(*)::bigint AS n_docs,
              sum(n_tokens::decimal(38,6))::bigint AS total_tokens
            FROM emitted GROUP BY lang ORDER BY lang""")),
