@@ -44,6 +44,31 @@ object Q {
   /** DuckDB twin of [[hash60]] as SQL text. */
   def hash60Sql(expr: String): String = s"('0x'||substr(md5($expr),1,15))::bigint"
 
+  /** JVM mirror of [[hash60]] for typed hot paths (training loops whose
+    * interpreted higher-order-function featurization dominates): md5 hex,
+    * first 15 chars, base-16 — bit-identical to the Column form (parity
+    * spec-pinned in LinearProbeSpec). ThreadLocal digest: the call sites
+    * are per-row map functions.
+    */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  def hash60Jvm(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the top 7.5 bytes of the digest, big-endian
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val b = d(i / 2)
+      val nib = if (i % 2 == 0) (b >> 4) & 0xf else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** DuckDB replay of
     * [[graft.operators.Packing.firstFitDecreasingSharded]]'s placement
     * machine, as the CTE chain `it → step → placed` (caller supplies a

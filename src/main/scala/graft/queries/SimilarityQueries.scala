@@ -1821,19 +1821,23 @@ object SimilarityQueries {
     QueryDef(
       "doc_quality_probe",
       (s, dir) => {
+        import s.implicits._
         val base = Q.documents(s, dir)
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         val langs = base.select("lang").distinct().orderBy("lang")
           .collect().map(_.getString(0))
         require(langs.length <= QProbeK,
           s"${langs.length} langs exceed the fixed class count $QProbeK")
-        val langId = map(langs.zipWithIndex.flatMap { case (l, i) =>
-          Seq(lit(l), lit(i)) }: _*)
-        val e = base.select(
-          element_at(langId, col("lang")).cast("int").as("label"),
-          graft.operators.Dsir.featureBuckets(col("t"), QProbeB).as("bks"))
-          .select(col("label"),
-            graft.operators.Dsir.denseCounts(col("bks"), QProbeB).as("xq"))
+        val bl = s.sparkContext.broadcast(langs.zipWithIndex.toMap)
+        // typed JVM featurization (Dsir.denseCountsJvm — parity with the
+        // Column path spec-pinned); persisted so the 8 training passes
+        // and the scoring pass share ONE featurization (released by the
+        // action owner per the QueryDef cache-lifecycle contract)
+        val e = base.select(col("lang"), col("t")).as[(String, Seq[String])]
+          .map { case (lang, t) => (bl.value(lang),
+            graft.operators.Dsir.denseCountsJvm(t, QProbeB)) }
+          .toDF("label", "xq")
+          .persist()
         graft.operators.LinearProbe.probe(e, QProbeK, QProbeB, ProbeSteps)
       },
       Some(linearProbeProtocolSql(

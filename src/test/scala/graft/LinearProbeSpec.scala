@@ -98,6 +98,34 @@ class LinearProbeSpec extends SparkSpec {
     assert(acc.values.forall(_ >= 950), s"expected near-perfect separation, got $acc")
   }
 
+  test("JVM featurization mirrors the Column path bit for bit") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Q
+    // hash60Jvm == hash60 Column on assorted strings (incl. empties,
+    // unicode, the dsir feature shapes)
+    val strs = Seq("", "a", "dsir|u:hash", "dsir|b:row column", "naïve-ü",
+      "w0_3 w1_7", "x" * 200)
+    val sdf = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+    val viaCol = sdf.select(Q.hash60(col("s"))).collect().map(_.getLong(0))
+    assert(viaCol.toSeq == strs.map(Q.hash60Jvm))
+    // denseCountsJvm == featureBuckets → denseCounts on realistic docs
+    val docs = (0 until 40).map(i =>
+      (0 until 15).map(j => s"w${(i * 7 + j) % 11}").mkString(" "))
+    val ddf = spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+      .select(split(col("text"), " ").as("t"))
+      .select(col("t"),
+        graft.operators.Dsir.featureBuckets(col("t"), 64).as("bks"))
+      .select(col("t"),
+        graft.operators.Dsir.denseCounts(col("bks"), 64).as("xq"))
+    ddf.collect().foreach { r =>
+      val toks = r.getSeq[String](0)
+      val viaColumn = r.getSeq[Long](1)
+      assert(viaColumn ==
+        graft.operators.Dsir.denseCountsJvm(toks, 64).toSeq,
+        s"mismatch for '${toks.mkString(" ")}'")
+    }
+  }
+
   test("labels outside [0, k) fail loudly") {
     val bad = spark.createDataFrame(Seq((K + 3, (1 to D).map(_.toLong))))
       .toDF("label", "xq")
