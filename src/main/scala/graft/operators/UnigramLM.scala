@@ -207,16 +207,23 @@ object UnigramLM {
       sequence(lit(1), length(word)),
       array(struct(lit(0L).as("q"), lit(0).as("n"))),
       (acc, i) => {
-        // candidates l = 1..maxPiece, ascending: strict better keeps the
-        // smallest l on full (q, n) ties — viterbiSegments' order
-        val best = (1 to p.maxPiece).foldLeft(nullState) { (b, l) =>
+        // candidates l = 1..maxPiece as an ARRAY, reduced by a second
+        // aggregate: a when-chain foldLeft would re-embed the running
+        // `best` ~3× per candidate (condition + branch), an expression
+        // tree EXPONENTIAL in maxPiece (measured: 15 MB task binaries,
+        // 7.8 s for a 31-word encode); the lambda form is one constant-
+        // size compare evaluated per element. Fold order l ascending +
+        // strict better keeps the smallest l on full (q, n) ties —
+        // viterbiSegments' order.
+        val cands = array((1 to p.maxPiece).map { l =>
           val prev = element_at(acc, i - lit(l) + 1) // acc(k+1) = dp(k)
           val s = element_at(m, word.substr(i - lit(l) + 1, lit(l)))
-          val cand = when(i >= l && prev.isNotNull && s.isNotNull,
+          when(i >= l && prev.isNotNull && s.isNotNull,
             struct((prev("q") + s).as("q"), (prev("n") + 1).as("n")))
-          when(cand.isNotNull && (b.isNull || cand("q") > b("q") ||
-            (cand("q") === b("q") && cand("n") < b("n"))), cand).otherwise(b)
-        }
+        }: _*)
+        val best = aggregate(cands, nullState, (b, c) =>
+          when(c.isNotNull && (b.isNull || c("q") > b("q") ||
+            (c("q") === b("q") && c("n") < b("n"))), c).otherwise(b))
         concat(acc, array(best))
       })
     element_at(dp, length(word) + lit(1))
