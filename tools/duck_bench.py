@@ -33,8 +33,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> None:
-    sfdir, oracle_path = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --single: one cold run per query, no warmup — the pre-r11 protocol,
+    # kept for the sf1-equivalent artifact (BENCH_SF1_r{N}) whose judge
+    # bar is comparability with the r8 single-run table, and whose duck
+    # leg at 10x volume would cost hours under warm+min-of-N.
+    argv = [a for a in sys.argv[1:] if a != "--single"]
+    single = "--single" in sys.argv[1:]
+    sfdir, oracle_path = argv[0], argv[1]
+    only = set(argv[2:])
     sqls = json.load(open(oracle_path))
     con = duckdb.connect()
     con.execute("SET threads TO 1")
@@ -47,13 +53,16 @@ def main() -> None:
     for name, sql in sorted(sqls.items()):
         if only and name not in only:
             continue
-        con.execute(sql).fetchall()  # warmup: untimed, as the Spark leg
 
         def timed() -> float:
             t0 = time.monotonic()
             con.execute(sql).fetchall()
             return round(time.monotonic() - t0, 3)
 
+        if single:
+            times[name] = timed()
+            continue
+        con.execute(sql).fetchall()  # warmup: untimed, as the Spark leg
         runs = [timed()]
         if runs[0] > 1.0:
             runs += [timed(), timed()]
