@@ -40,9 +40,17 @@ object SimilarityQueries {
   private val ProbeQ = 1000
   private val ProbeSteps = 8
   // hashed-TEXT probe (doc_quality_probe): feature dim = Dsir bucket
-  // count; k fixed ≥ any fixture's distinct langs (zero-weight spare
-  // classes score 0 in both engines — inert under the lowest-class
-  // tie-break)
+  // count; k fixed ≥ any fixture's distinct langs. NOTE (ADVICE r11):
+  // spare classes are NOT inert — a zero-weight class scores 0, which
+  // BEATS all-negative real-class scores (the lowest-id tie-break only
+  // applies to exact ties), after which the spare class accrues -x
+  // updates and participates as a real predictor. k is therefore part of
+  // the training protocol: both engines replay the identical k (the SQL
+  // is generated from this constant), so the cross-engine gate holds,
+  // but changing QProbeK changes the trajectory and can deflate measured
+  // accuracy via phantom-class predictions. That is acceptable here
+  // because the gate validates the exact integer training replay, not
+  // fixture learnability (see the honesty note at the query).
   private val QProbeB = 64
   private val QProbeK = 8
 
@@ -1799,9 +1807,10 @@ object SimilarityQueries {
     // map-side unigram+bigram hashing folded to a dense B-long count
     // vector per doc (counts are already integers: no quantization
     // step). Label = alphabetical-rank lang id (dense_rank on both
-    // sides); k is a FIXED constant ≥ any fixture's lang count — the
-    // spare all-zero weight classes score 0 in both engines and lose
-    // every lowest-class tie-break identically, so they are inert.
+    // sides); k is a FIXED constant ≥ any fixture's lang count — spare
+    // classes participate in the protocol (a zero-weight class's 0 score
+    // beats all-negative real-class scores; see the QProbeK note), and
+    // both engines replay the identical k so the gate holds.
     // The oracle shares linearProbeProtocolSql with the embedding probe
     // (the training replay literally cannot drift between the two); only
     // the example-frame CTE differs. Scale: featurization is map-side

@@ -608,9 +608,12 @@ object TextQueries {
     // BPE ENCODE — the other half of the tokenizer: apply the trained
     // merge table to the corpus (train on this corpus, then tokenize it —
     // the standard self-tokenization pipeline step). Scale shape: the
-    // k-bounded merge table (8 driver-resident rules) folds into ONE
-    // nested-replace projection over the DISTINCT-WORD frame
-    // (BPE.encode — map-only, whole-stage codegen), and per-doc token
+    // k-bounded merge table (8 driver-resident rules) is applied by the
+    // typed-JVM segmenter (BPE.nToksJvm — VERDICT r11 #1: the
+    // nested-replace plan expression was interpreted per distinct word
+    // and pinned this query's DuckDB ratio flat across scale; the JVM
+    // twin is bit-parity-pinned against it in BpeSpec) over the
+    // DISTINCT-WORD frame — map-only, zero shuffles — and per-doc token
     // counts come from joining that ~10⁷-row (at 100 TB) word→n_toks map
     // back to doc word occurrences via broadcast — merges are NEVER
     // applied per corpus token. One shuffle total (the groupBy(doc_id)
@@ -619,14 +622,17 @@ object TextQueries {
     QueryDef(
       "doc_bpe_encode",
       (s, dir) => {
+        import s.implicits._
         val words = docs(s, dir)
           .select(explode(split(lower(col("text")), " ")).as("w"))
           .filter(col("w").rlike("^[a-z0-9]+$"))
           .groupBy("w").agg(count(lit(1)).as("wn"))
           .persist() // train's one vocab collect + encode both consume it
         val merges = graft.operators.BPE.train(words, rounds = 8)
-        val wordToks = graft.operators.BPE.encode(words, merges)
-          .select(col("w"), col("n_toks"))
+        val rules = graft.operators.BPE.compileRules(merges)
+        val wordToks = words.select(col("w")).as[String]
+          .map(w => (w, graft.operators.BPE.nToksJvm(w, rules)))
+          .toDF("w", "n_toks")
         docs(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
           .filter(col("w").rlike("^[a-z0-9]+$"))
@@ -718,13 +724,16 @@ object TextQueries {
     // the merge table is trained batch-side on the historical corpus
     // (the same 8-round loop as doc_bpe_train) and FROZEN as `rounds`
     // driver-resident rules; arriving documents are then tokenized
-    // STATELESSLY inside the micro-batch map — segExpr folds the whole
-    // merge chain into one nested-replace expression applied per word
-    // in-row (no distinct-word frame exists at ingest time; that is the
-    // deliberate batch-vs-ingest trade this pair documents). Zero
-    // streaming state; docs with no tokenizable word are dropped exactly
-    // like the batch join does. Oracle: identical to doc_bpe_encode —
-    // the stream sees the same corpus the batch pass encodes.
+    // STATELESSLY inside the micro-batch map — the typed-JVM segmenter
+    // (BPE.nToksJvm, bit-parity-pinned against the plan-expression form
+    // in BpeSpec; VERDICT r11 #1) runs per word in-row, with a
+    // per-partition word→count memo so repeated words pay the merge walk
+    // once per task, not once per occurrence (no distinct-word frame
+    // exists at ingest time; that is the deliberate batch-vs-ingest trade
+    // this pair documents). Zero streaming state; docs with no
+    // tokenizable word are dropped exactly like the batch join does.
+    // Oracle: identical to doc_bpe_encode — the stream sees the same
+    // corpus the batch pass encodes.
     QueryDef(
       "stream_bpe_encode",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
@@ -738,18 +747,39 @@ object TextQueries {
           graft.operators.BPE.train(words, rounds = 8)
         }
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        // scanWide: the nested-replace tokenize is the CPU cost here —
-        // fan the single-split fixture scan across cores before it
+        // scanWide: the JVM tokenize is the CPU cost here — fan the
+        // single-split fixture scan across cores before it
         val src = StreamHarness.scanWide(s, s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir))
-        val wordsC = filter(split(lower(col("text")), " "),
-          w => w.rlike("^[a-z0-9]+$"))
-        val nToks = aggregate(wordsC, lit(0L), (acc, w) =>
-          acc + size(regexp_extract_all(
-            graft.operators.BPE.segExpr(w, merges), lit("[^|]+"), lit(0)))
-            .cast("long"))
-        val out = src.select(col("doc_id"), nToks.as("n_tokens"))
-          .filter(col("n_tokens") > 0)
+        val rules = graft.operators.BPE.compileRules(merges)
+        val out = {
+          import s.implicits._
+          src.select(col("doc_id"), col("text")).as[(Long, String)]
+            .mapPartitions { it =>
+              // word→count memo, bounded by the partition's distinct
+              // vocabulary (language-bounded, never corpus-sized)
+              val memo = new java.util.HashMap[String, java.lang.Long]()
+              it.flatMap { case (id, text) =>
+                val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+                var n = 0L
+                var i = 0
+                while (i < ws.length) {
+                  val w = ws(i)
+                  if (graft.operators.BPE.wordOk(w)) {
+                    var c = memo.get(w)
+                    if (c == null) {
+                      c = java.lang.Long.valueOf(
+                        graft.operators.BPE.nToksJvm(w, rules))
+                      memo.put(w, c)
+                    }
+                    n += c.longValue
+                  }
+                  i += 1
+                }
+                if (n > 0L) Iterator.single((id, n)) else Iterator.empty
+              }
+            }.toDF("doc_id", "n_tokens")
+        }
         val name = "stream_bpe_" + System.nanoTime()
         val sq = out.writeStream.queryName(name).format("memory")
           .outputMode("append").start()
@@ -1110,6 +1140,17 @@ object TextQueries {
       "stream_clean_corpus_ttl",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         import s.implicits._
+        // ADVICE r11: the oracle's closed form (the {grp0,grp2}-only
+        // re-emit at batch 3) requires the NO-DATA micro-batch after
+        // batch 2 to fire EventTimeTimeout evictions before batch 3's
+        // data arrives. Fail loudly on harness config drift instead of
+        // as an unexplained hash divergence.
+        require(s.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true").toBoolean,
+          "stream_clean_corpus_ttl needs " +
+            "spark.sql.streaming.noDataMicroBatches.enabled=true: the " +
+            "TtlGate closed form counts on an idle micro-batch firing " +
+            "evictions between event-time batches")
         val fx = StreamFixtures.docsTtlBatches(s, dir)
         val schema = StreamFixtures.docsTtlBatchesSchema(s, dir)
         val root = StreamFixtures.scratchDir("graft_scct_")

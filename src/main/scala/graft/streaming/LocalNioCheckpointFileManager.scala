@@ -116,22 +116,28 @@ object LocalNioCheckpointFileManager {
   // hot path (one call per checkpoint-file rename) is a single map hit —
   // createDirectories + getFileStore are syscalls, and a persistently
   // failing path would otherwise re-pay them (and the exception) on every
-  // operation. Failures are memoized too. Bounded: one entry per distinct
-  // checkpoint/state directory the query touches for the JVM lifetime —
-  // the same cardinality the r9 per-directory cache had.
+  // operation. Only SUCCESSFUL probes are memoized (ADVICE r11): a
+  // transient createDirectories/getFileStore error (ENOSPC blip, racing
+  // dir creation) falls through uncached and is re-probed next call,
+  // instead of pinning that directory to the slow fallback for the JVM
+  // lifetime — which also keeps the memo's cardinality to directories
+  // that actually resolved, never an unbounded set of failed paths.
   private val linkSupport =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.FileStore, java.lang.Boolean]()
   private val dirMemo =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
 
-  private[streaming] def supportsHardLinks(dir: java.nio.file.Path): Boolean =
-    dirMemo.computeIfAbsent(dir, d =>
-      try {
-        Files.createDirectories(d)
-        val store = Files.getFileStore(d)
-        linkSupport.computeIfAbsent(store, _ => probeHardLinks(d))
-      } catch { case _: Exception => java.lang.Boolean.FALSE }
-    ).booleanValue
+  private[streaming] def supportsHardLinks(dir: java.nio.file.Path): Boolean = {
+    val hit = dirMemo.get(dir)
+    if (hit != null) return hit.booleanValue
+    try {
+      Files.createDirectories(dir)
+      val store = Files.getFileStore(dir)
+      val ok = linkSupport.computeIfAbsent(store, _ => probeHardLinks(dir))
+      dirMemo.put(dir, ok)
+      ok.booleanValue
+    } catch { case _: Exception => false } // transient: NOT memoized
+  }
 
   private def probeHardLinks(d: java.nio.file.Path): Boolean =
     try {

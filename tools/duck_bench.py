@@ -63,10 +63,13 @@ def main() -> None:
             times[name] = timed()
             continue
         con.execute(sql).fetchall()  # warmup: untimed, as the Spark leg
-        runs = [timed()]
+        # ADVICE r11: every query gets >= 2 timed runs (min-of-N like the
+        # Spark leg); expensive ones get a third up front, and the spread
+        # check can extend any of them to 5.
+        runs = [timed(), timed()]
         if runs[0] > 1.0:
-            runs += [timed(), timed()]
-        while 1 < len(runs) < 5 and max(runs) > 2.0 * min(runs):
+            runs.append(timed())
+        while len(runs) < 5 and max(runs) > 2.0 * min(runs):
             runs.append(timed())
         times[name] = min(runs)
         if len(runs) > 1:
