@@ -1909,6 +1909,72 @@ object SimilarityQueries {
                  AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
              ORDER BY a.vec_id""")),
 
+    // SEMANTIC benchmark decontamination (VERDICT r11 #6): the n-gram
+    // decontaminator (doc_decontaminate) misses PARAPHRASED leakage —
+    // production pipelines pair it with an embedding-similarity screen.
+    // Every 20th vector plays the held-out benchmark (the
+    // doc_decontaminate split convention); a corpus vector is flagged
+    // when its cosine to ANY benchmark vector reaches theta. Composition
+    // of the two existing scale shapes: SemDedup's coarse-cell routing
+    // bounds the candidate set (corpus row meets only benchmark vectors
+    // in ITS cell — never all-pairs; cells track the corpus like the IVF
+    // rule), and the cell-keyed benchmark index reaches every corpus
+    // partition as a BROADCAST (benchmark sets are tiny next to a 100 TB
+    // corpus — the exact regime where the raw-index broadcast is right,
+    // unlike doc_decontaminate_bloom's too-big-to-broadcast n-gram case).
+    // theta = 0.3 (the corpus' ~99th pairwise percentile) keeps the flag
+    // set sparse-but-nonempty: the fixture's planted duplicate structure
+    // puts near-identical pairs across the %20 split, so paraphrase
+    // contamination is genuinely exercised at every SF. Zero-norm
+    // vectors are screened on BOTH sides (NaN cosines order differently
+    // across engines; the r10 `n2 > 0` convention).
+    QueryDef(
+      "emb_decontaminate",
+      (s, dir) => {
+        val K = 8
+        val e = emb(s, dir).withColumnRenamed("vec_id", "id")
+        val cents = e.filter(col("id") < K)
+          .select(col("id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // persist: assignment feeds both the benchmark index and the
+        // corpus side of the screen
+        val assigned = graft.operators.SemDedup.assign(e, cents).persist()
+        val bench = assigned
+          .filter(col("id") % 20 === 0 && col("n2") > 0)
+          .select(col("id").as("b_id"), col("v").as("bv"),
+            col("n2").as("bn2"), col("cell"))
+        assigned
+          .filter(col("id") % 20 =!= 0 && col("n2") > 0)
+          .join(broadcast(bench), "cell")
+          .filter(call_function("dotd", col("v"), col("bv")) /
+            (sqrt(col("n2")) * sqrt(col("bn2"))) >= 0.3)
+          .groupBy(col("id").as("vec_id"))
+          .agg(count(lit(1)).as("n_bench_hits"),
+            min(col("b_id")).as("first_bench_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embSql,
+             cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
+             scored AS (
+               SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
+                 ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) AS ccos
+               FROM emb, cents),
+             assigned AS MATERIALIZED (
+               SELECT vec_id, v, n2, c_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, c_id) AS rk FROM scored)
+               WHERE rk = 1),
+             bench AS (
+               SELECT vec_id AS b_id, v AS bv, n2 AS bn2, cell
+               FROM assigned WHERE vec_id % 20 = 0 AND n2 > 0),
+             corp AS (
+               SELECT vec_id, v, n2, cell
+               FROM assigned WHERE vec_id % 20 <> 0 AND n2 > 0)
+             SELECT c.vec_id, count(*) AS n_bench_hits,
+               min(b.b_id) AS first_bench_id
+             FROM corp c JOIN bench b USING (cell)
+             WHERE ${dotSql("c.v", "b.bv")} / (sqrt(c.n2) * sqrt(b.bn2)) >= 0.3
+             GROUP BY c.vec_id ORDER BY c.vec_id""")),
+
     // STREAMING SemDeDup — semantic dedup-against-history on a live
     // embedding ingest. The coarse codebook is a CONSTANT of the query
     // (collected before the stream starts, the LSH-plane pattern) SIZED

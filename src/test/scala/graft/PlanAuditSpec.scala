@@ -225,6 +225,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("emb_decontaminate: the benchmark index broadcasts cell-keyed; " +
+    "candidates are cell-routed, never all-pairs") {
+    val plan = finalPlan("emb_decontaminate")
+    withClue(plan) {
+      // the cell-routed benchmark screen: corpus meets benchmark vectors
+      // through a BroadcastHashJoin ON THE CELL KEY (bounded candidates)
+      plan should include("BroadcastHashJoin [cell")
+      // nested-loop joins exist only for the 8-row centroid assignment —
+      // every printed occurrence must be that broadcast shape (AQE
+      // re-prints the subtree, so counting is brittle); the bench×corpus
+      // screen itself must never be a cartesian
+      "BroadcastNestedLoopJoin \\w+, \\w+".r.findAllIn(plan).toSeq
+        .foreach(_ should include("BuildRight, Inner"))
+      plan should not include "CartesianProduct"
+    }
+  }
+
   test("doc_mixture_sample: rate table broadcasts back to the corpus; " +
     "full-data rows shuffle only for the per-source aggregations") {
     val df = SparkEntry.queries("doc_mixture_sample")(spark, dir)
@@ -362,20 +379,18 @@ class PlanAuditSpec extends SparkSpec {
     withClue(plan) {
       // the word→n_toks map joins back to doc word occurrences broadcast
       plan should include("BroadcastHashJoin [w")
-      // the nested-replace encode projection sits ABOVE the w-keyed
-      // word-frequency aggregate (i.e. runs once per DISTINCT word);
-      // the corpus side of the join carries NO replace expressions
-      val repIdx = plan.indexOf("replace(replace(")
+      // the typed-JVM segmenter (BPE.nToksJvm, r12) runs as a MapElements
+      // stage ABOVE the w-keyed word-frequency aggregate — once per
+      // DISTINCT word, never per corpus token
+      val mapIdx = plan.indexOf("MapElements")
       val aggIdx = plan.lastIndexOf("hashpartitioning(w")
-      repIdx should be >= 0
+      mapIdx should be >= 0
       aggIdx should be >= 0
-      repIdx should be < aggIdx // top-down: encode above the word agg
-      // one replace chain (each chain bottoms out in ONE char-segmentation
-      // regexp_replace over w); AQE prints the broadcast subtree's
-      // projection a second time with the same plan_id, so ≤2 printed
-      // occurrences = a single physical chain — the corpus-token side
-      // never re-applies merges
-      "regexp_replace\\(w#".r.findAllIn(plan).size should be <= 2
+      mapIdx should be < aggIdx // top-down: encode above the word agg
+      // the interpreted nested-replace chain is GONE from the plan (the
+      // r11 flat-ratio defect); no side re-applies merges as expressions
+      plan should not include "replace(replace("
+      "regexp_replace\\(w#".r.findAllIn(plan).size shouldBe 0
     }
   }
 
