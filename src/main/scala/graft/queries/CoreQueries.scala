@@ -1251,24 +1251,34 @@ object CoreQueries {
       "stream_session_window",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
-        val agg = src
-          .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
-          .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
-        val name = "stream_sw_" + System.nanoTime()
-        val sq = agg.writeStream.queryName(name).format("memory")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try sq.processAllAvailable() finally sq.stop()
-        s.table(name)
-          .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("wstart"),
-            col("n"), col("sum_value"))
-          .orderBy("user_id", "wstart")
+        // pre-merge sessions within each input partition BEFORE the
+        // key shuffle: the shuffle then moves ~sessions, not ~events
+        // (StreamProfile at sf1: addBatch 13-16.5 s → 5.4-6 s, r12).
+        // Semantics identical — the oracle gate holds unchanged.
+        s.conf.set(
+          "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+          "true")
+        try {
+          val schema = s.read.parquet(s"$dir/events.parquet").schema
+          val src = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
+          val agg = src
+            .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
+            .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
+          val name = "stream_sw_" + System.nanoTime()
+          val sq = agg.writeStream.queryName(name).format("memory")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try sq.processAllAvailable() finally sq.stop()
+          s.table(name)
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("wstart"),
+              col("n"), col("sum_value"))
+            .orderBy("user_id", "wstart")
+        } finally s.conf.unset(
+          "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
       },
       Some("""SELECT user_id, min(t) AS wstart, count(*) AS n,
              sum(value::decimal(38,6))::double AS sum_value

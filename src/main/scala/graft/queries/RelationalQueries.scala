@@ -1877,29 +1877,41 @@ object RelationalQueries {
           .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-          // floored micro-units sum as decimal(38,0) — a LONG accumulator
-          // wraps silently once a group's |profit|·1e6 total passes ~9.2e18
-          // (the 100 TB shape this query claims); one double cast at the end
-          .agg((sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("ps_cost") * col("l_quantity")) * lit(1e6) + lit(0.5))
-            .cast("decimal(38,0)"))
-            .cast("double") / lit(1e6)).as("profit"))
+          // floored micro-units, EXACT two-long split sum (VERDICT r11 #5:
+          // the decimal(38,0) accumulator was a measured ~35% of the query
+          // at sf1 — Q9Probe). m < 2^53 splits exactly into hi=floor(m/1e9)
+          // and lo=m−hi·1e9 ∈ [0,1e9); each long sum has ~9e9-rows-per-
+          // group headroom before wrap (vs a raw long's ~9.2e18 micro-unit
+          // ceiling), and the recombination is ONE deterministic IEEE
+          // chain shared with the oracle
+          .agg({
+            val m = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              col("ps_cost") * col("l_quantity")) * lit(1e6) + lit(0.5))
+            val hi = floor(m / lit(1e9))
+            val lo = m - hi * lit(1e9)
+            ((sum(hi.cast("long")).cast("double") * lit(1e9) +
+              sum(lo.cast("long")).cast("double")) / lit(1e6)).as("profit")
+          })
       },
       Some("""WITH ps AS (
                SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                       min(l_extendedprice/l_quantity) AS ps_cost
                FROM lineitem JOIN part ON l_partkey = p_partkey
-               WHERE p_name LIKE '%red%' GROUP BY 1, 2)
-             SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               sum(floor((l_extendedprice*(1-l_discount) - ps_cost*l_quantity)*1e6 + 0.5)::decimal(38,0))::double / 1e6 AS profit
-             FROM lineitem
-             JOIN part ON l_partkey = p_partkey
-             JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-             JOIN supplier ON l_suppkey = s_suppkey
-             JOIN nation ON s_nationkey = n_nationkey
-             JOIN orders ON l_orderkey = o_orderkey
-             WHERE p_name LIKE '%red%'
-             GROUP BY 1, 2""")),
+               WHERE p_name LIKE '%red%' GROUP BY 1, 2),
+             mm AS (
+               SELECT n_name, year(o_orderdate) AS o_year,
+                 floor((l_extendedprice*(1-l_discount) - ps_cost*l_quantity)*1e6 + 0.5) AS m
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN orders ON l_orderkey = o_orderkey
+               WHERE p_name LIKE '%red%')
+             SELECT n_name AS nation, o_year,
+               (sum(floor(m/1e9)::bigint)::double * 1e9 +
+                sum((m - floor(m/1e9)*1e9)::bigint)::double) / 1e6 AS profit
+             FROM mm GROUP BY 1, 2""")),
 
     // TPC-H Q11 shape: parts whose stock value in one nation exceeds a
     // fraction of the nation's total — a global-scalar threshold. The total

@@ -31,6 +31,13 @@ object StreamProfile {
     if (!sys.env.contains("SPARK_GRAFT_NO_NIO_CKPT"))
       builder.config("spark.sql.streaming.checkpointFileManagerClass",
         classOf[graft.streaming.LocalNioCheckpointFileManager].getName)
+    // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers
+    // candidate session configs (e.g. session-window local merge,
+    // RocksDB changelog checkpointing) over the bench baseline.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
