@@ -1252,9 +1252,11 @@ object CoreQueries {
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // pre-merge sessions within each input partition BEFORE the
-        // key shuffle: the shuffle then moves ~sessions, not ~events
-        // (StreamProfile at sf1: addBatch 13-16.5 s → 5.4-6 s, r12).
-        // Semantics identical — the oracle gate holds unchanged.
+        // key shuffle: the shuffle then moves ~sessions (~912k at sf1),
+        // not ~events (5M) — the quantity that matters on a real
+        // cluster's network; a single-JVM local shuffle shows parity
+        // (SCALE.md r12 has the honest A/B). Semantics identical — the
+        // oracle gate holds unchanged.
         s.conf.set(
           "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
           "true")
