@@ -2052,14 +2052,15 @@ object SimilarityQueries {
              cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb
                WHERE vec_id < greatest(8, (SELECT count(*) FROM emb) // 256)),
              scored AS (
-               SELECT emb.vec_id, emb.v, emb.n2, cents.c_id,
+               SELECT emb.vec_id, cents.c_id,
                  ${dotSql("cv", "v")} / (sqrt(cn2) * sqrt(n2)) AS ccos
                FROM emb, cents),
              assigned AS (
-               SELECT vec_id, v, n2, c_id AS cell FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, c_id) AS rk FROM scored)
-               WHERE rk = 1),
+               SELECT s.vec_id, emb.v, emb.n2, s.c_id AS cell FROM (
+                 SELECT vec_id, c_id FROM (
+                   SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, c_id) AS rk FROM scored)
+                 WHERE rk = 1) s JOIN emb USING (vec_id)),
              pairs AS (
                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
