@@ -81,6 +81,56 @@ object DedupQueries {
   private val shingleHashesSql: String =
     s"list_transform(shingles, s -> ${Q.hash60Sql("s")} % $M)"
 
+  /** Typed-JVM twin of shingled() + shingleHashes + minhash(i) for the
+    * BATCH pairs path (r12, the r11 doc_quality_probe discipline): one
+    * pass per doc computes the distinct 3-gram shingles, and the H
+    * minhash minima over hash60(s)%M base hashes — replacing
+    * ~(1+H)·|shingles| interpreted HOF lambda evaluations per doc
+    * (codegen does not CSE inside transform/array_min lambdas; the md5
+    * chain alone was ~4.8M interpreted calls at sf1). Parity pin: the
+    * DuckDB oracle replays the COLUMN-form formulas (minhashSql) verbatim
+    * and the streaming twin still runs the Column path against the same
+    * oracle — the cross-engine hash gate therefore holds JVM ≡ Column at
+    * every SF.
+    */
+  private def sigBaseJvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hA = (0 until H).map(hashA).toArray
+    val hB = (0 until H).map(hashB).toArray
+    val nH = H
+    val mM = M
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < 3) Iterator.empty
+          else {
+            // first-occurrence distinct = array_distinct semantics
+            val seen = new java.util.LinkedHashSet[String]
+            var i = 0
+            while (i + 2 < toks.length) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              i += 1
+            }
+            val sh = seen.toArray(new Array[String](seen.size))
+            val mh = Array.fill(nH)(Long.MaxValue)
+            var k = 0
+            while (k < sh.length) {
+              val h = Q.hash60Jvm(sh(k)) % mM
+              var j = 0
+              while (j < nH) {
+                val v = (h * hA(j) + hB(j)) % mM
+                if (v < mh(j)) mh(j) = v
+                j += 1
+              }
+              k += 1
+            }
+            Iterator.single((id, sh.toSeq, mh.toSeq))
+          }
+        }
+      }.toDF("doc_id", "shingles", "mhs")
+  }
+
   /** Verified near-dup pairs (id_a, id_b, jaccard ≥ 0.8) via MinHash+LSH.
     * persist: base and the band table are each consumed by BOTH sides of a
     * self-join plus the verify joins — a few MB at any SF shard, vs
@@ -88,11 +138,10 @@ object DedupQueries {
     * conversion defeats ReusedExchange here).
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir).persist()
-    val sigs = base
-      .select(col("doc_id"), shingleHashes.as("hs"))
-      .select(
-        col("doc_id") +: (0 until H).map(i => minhash(i).as(s"mh$i")): _*)
+    val base0 = sigBaseJvm(s, dir).persist()
+    val base = base0.select(col("doc_id"), col("shingles"))
+    val sigs = base0.select(
+      col("doc_id") +: (0 until H).map(i => col("mhs")(i).as(s"mh$i")): _*)
     // Narrow band rows: (doc_id, band, bh) plus the FIRST three band
     // hashes carried for the first-agreeing-band predicate — candidate
     // generation never shuffles the shingle arrays, and (same move as
