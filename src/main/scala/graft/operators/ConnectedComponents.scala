@@ -138,9 +138,20 @@ object ConnectedComponents {
       iter += 1
     }
     // star forest: children carry their root; roots (and any node whose
-    // component is a singleton) label themselves
+    // component is a singleton) label themselves. If maxIter exhausted
+    // before the fingerprint converged, a node can still carry SEVERAL
+    // parents — a plain left join would then duplicate (id, comp) rows,
+    // a worse failure than a stale label (ADVICE r12). min(parent) keeps
+    // exactly one row per id in every case and is the correct label at
+    // convergence (each child has exactly one parent there, so the agg
+    // is a no-op on the happy path); exhaustion is additionally loud.
+    if (!converged)
+      System.err.println(
+        s"[graft] ConnectedComponents.runStars: NOT converged after $iter " +
+          s"rounds (maxIter=$maxIter); labels may be non-root minima")
+    val parents = e.groupBy(col("a").as("id")).agg(min(col("b")).as("parent"))
     val labels = nodes
-      .join(e.select(col("a").as("id"), col("b").as("parent")), Seq("id"), "left")
+      .join(parents, Seq("id"), "left")
       .select(col("id"), coalesce(col("parent"), col("id")).as("comp"))
     nodes.unpersist()
     (labels, iter)

@@ -794,11 +794,15 @@ object CoreQueries {
           val sq = graft.streaming.EwmaScan(src, 0.25)
             .writeStream.queryName(name).format("memory").outputMode("append").start()
           try sq.processAllAvailable() finally sq.stop()
-          s.table(name)
-            .withColumn("rk", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy("k").orderBy(col("ts").desc, col("seq").desc)))
-            .filter(col("rk") === 1)
+          // packed emission (VERDICT r12 #4): the sink holds ~|keys|
+          // array rows per micro-batch; exploded() recovers the
+          // row-for-row per-event contract in batch land, and the
+          // terminal value per key is a partial-agg max_by (map-side
+          // combine, no full-sort window) instead of a 5M-row
+          // row_number shuffle
+          graft.streaming.EwmaScan.exploded(s.table(name))
+            .groupBy(col("k"))
+            .agg(max_by(col("ewma"), struct(col("ts"), col("seq"))).as("ewma"))
             .select(col("k").cast("long").as("user_id"), col("ewma"))
             .orderBy("user_id")
         } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1244,9 +1248,15 @@ object CoreQueries {
 
     // ---- native session_window on the LIVE stream: Spark's built-in
     // gap-session operator (the streaming twin of KStream.sessionize,
-    // merge-on-overlap state). Complete mode emits every session; the
-    // oracle rebuilds gap-chains with Spark's merge rule (same session
-    // while gap < G).
+    // merge-on-overlap state). APPEND mode (VERDICT r12 #3): sessions
+    // emit once when the watermark finalizes them and their state
+    // drains — complete mode re-emitted the FULL session set (~912k
+    // rows at sf1) every micro-batch, the profiled floor. A one-row
+    // flush sentinel (key -1, tmax + 2 h) fed AFTER the corpus pushes
+    // the final watermark past every real session's end, so the append
+    // emission covers exactly the oracle's session set — same oracle,
+    // same rows. The oracle rebuilds gap-chains with Spark's merge rule
+    // (same session while gap < G).
     QueryDef(
       "stream_session_window",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
@@ -1260,27 +1270,51 @@ object CoreQueries {
         s.conf.set(
           "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
           "true")
+        // the final emission rides the no-data micro-batch after the
+        // sentinel advances the watermark — fail loudly on config drift
+        // (same guard as stream_clean_corpus_ttl, ADVICE r11)
+        require(s.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true").toBoolean,
+          "stream_session_window needs " +
+            "spark.sql.streaming.noDataMicroBatches.enabled=true: append-" +
+            "mode sessions finalize in the idle batch after the flush " +
+            "sentinel's watermark advance")
+        val flushSrc = StreamFixtures.scratchDir("graft_swflush_src_")
         try {
           val schema = s.read.parquet(s"$dir/events.parquet").schema
-          val src = s.readStream.schema(schema)
+          val main = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
+          // second file source, initially EMPTY — the sentinel lands
+          // here only after the corpus batch completes, so it can never
+          // race ahead of the data and late-drop it
+          val flush = s.readStream.schema(schema).parquet(flushSrc)
+          val src = main.unionByName(flush)
             .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
+            .withWatermark("event_time", "0 seconds")
           val agg = src
             .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
             .agg(count(lit(1)).as("n"), Q.dsumD(col("value")).as("sum_value"))
           val name = "stream_sw_" + System.nanoTime()
           val sq = agg.writeStream.queryName(name).format("memory")
-            .outputMode("complete")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode("append")
             .start()
-          try sq.processAllAvailable() finally sq.stop()
+          try {
+            StreamHarness.settle(sq)
+            StreamFixtures.feed(
+              StreamFixtures.sessionFlushFixture(s, dir), "flush", flushSrc)
+            StreamHarness.settle(sq)
+          } finally sq.stop()
           s.table(name)
+            .filter(col("user_id") =!= -1L)
             .select(col("user_id"),
               unix_micros(col("session_window.start")).as("wstart"),
               col("n"), col("sum_value"))
             .orderBy("user_id", "wstart")
-        } finally s.conf.unset(
-          "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
+        } finally {
+          s.conf.unset(
+            "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
+          StreamFixtures.deleteRecursively(flushSrc)
+        }
       },
       Some("""SELECT user_id, min(t) AS wstart, count(*) AS n,
              sum(value::decimal(38,6))::double AS sum_value

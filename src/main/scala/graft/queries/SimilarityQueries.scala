@@ -40,17 +40,16 @@ object SimilarityQueries {
   private val ProbeQ = 1000
   private val ProbeSteps = 8
   // hashed-TEXT probe (doc_quality_probe): feature dim = Dsir bucket
-  // count; k fixed ≥ any fixture's distinct langs. NOTE (ADVICE r11):
-  // spare classes are NOT inert — a zero-weight class scores 0, which
-  // BEATS all-negative real-class scores (the lowest-id tie-break only
-  // applies to exact ties), after which the spare class accrues -x
-  // updates and participates as a real predictor. k is therefore part of
-  // the training protocol: both engines replay the identical k (the SQL
-  // is generated from this constant), so the cross-engine gate holds,
-  // but changing QProbeK changes the trajectory and can deflate measured
-  // accuracy via phantom-class predictions. That is acceptable here
-  // because the gate validates the exact integer training replay, not
-  // fixture learnability (see the honesty note at the query).
+  // count + 1 (constant-1 bias, VERDICT r12 #6); k fixed ≥ any fixture's
+  // distinct langs. History (ADVICE r11): without a bias, spare classes
+  // were NOT inert — a zero-weight class scores 0, which BEATS
+  // all-negative real-class scores, after which it accrues -x updates
+  // and participates as a real predictor, making k part of the training
+  // protocol. The bias feature closes that: a spare class's first
+  // spurious win earns it bias weight -1, so its score is strictly
+  // negative thereafter and it self-suppresses. Both engines replay the
+  // identical k and bias column (the SQL is generated from these
+  // constants), so the cross-engine gate holds either way.
   private val QProbeB = 64
   private val QProbeK = 8
 
@@ -1806,11 +1805,14 @@ object SimilarityQueries {
     // features are hashed n-grams of the RAW TEXT — Dsir.featureBuckets'
     // map-side unigram+bigram hashing folded to a dense B-long count
     // vector per doc (counts are already integers: no quantization
-    // step). Label = alphabetical-rank lang id (dense_rank on both
-    // sides); k is a FIXED constant ≥ any fixture's lang count — spare
-    // classes participate in the protocol (a zero-weight class's 0 score
-    // beats all-negative real-class scores; see the QProbeK note), and
-    // both engines replay the identical k so the gate holds.
+    // step), plus a CONSTANT-1 BIAS feature (VERDICT r12 #6): a spare
+    // class that spuriously wins (its 0 beats all-negative real scores)
+    // now accrues a negative bias weight on the very first update, after
+    // which its score is strictly negative and it self-suppresses — k is
+    // no longer part of the effective protocol beyond the first
+    // misprediction per spare class. Label = alphabetical-rank lang id
+    // (dense_rank on both sides); both engines replay the identical
+    // k AND the identical bias column, so the gate holds.
     // The oracle shares linearProbeProtocolSql with the embedding probe
     // (the training replay literally cannot drift between the two); only
     // the example-frame CTE differs. Scale: featurization is map-side
@@ -1821,8 +1823,10 @@ object SimilarityQueries {
     // labels are INDEPENDENT of its synthetic text — a train-set-
     // memorizing Naive Bayes over the FULL vocabulary reaches only 0.47
     // vs a 0.436 majority floor at sf0.01 — so the probe's averaged
-    // iterates collapse to a single-class predictor (measured; a bias
-    // feature and per-mille length normalization do not change it). The
+    // iterates collapse to a single-class predictor (measured; the bias
+    // feature now carried and per-mille length normalization do not
+    // change learnability — the bias exists to suppress SPARE classes,
+    // not to make an unlearnable fixture learnable). The
     // GATE therefore validates the exact integer training replay, not
     // fixture learnability; LinearProbeSpec's hashed-text test proves the
     // same path reaches ≥0.95 accuracy the moment the vocabulary actually
@@ -1844,10 +1848,10 @@ object SimilarityQueries {
         // action owner per the QueryDef cache-lifecycle contract)
         val e = base.select(col("lang"), col("t")).as[(String, Seq[String])]
           .map { case (lang, t) => (bl.value(lang),
-            graft.operators.Dsir.denseCountsJvm(t, QProbeB)) }
+            graft.operators.Dsir.denseCountsJvm(t, QProbeB) :+ 1L) }
           .toDF("label", "xq")
           .persist()
-        graft.operators.LinearProbe.probe(e, QProbeK, QProbeB, ProbeSteps)
+        graft.operators.LinearProbe.probe(e, QProbeK, QProbeB + 1, ProbeSteps)
       },
       Some(linearProbeProtocolSql(
         s"""toks AS MATERIALIZED (
@@ -1865,9 +1869,9 @@ object SimilarityQueries {
          e AS MATERIALIZED (
            SELECT f.doc_id AS vec_id, l.label,
              [len(list_filter(bks, x -> x = j))::bigint
-               for j in range(0, $QProbeB)] AS xq
+               for j in range(0, $QProbeB)] || [1::bigint] AS xq
            FROM feats f JOIN lid l USING (lang))""",
-        QProbeK, QProbeB, ProbeSteps))),
+        QProbeK, QProbeB + 1, ProbeSteps))),
 
     // SemDeDup semantic deduplication (Abbas et al. 2023): coarse k-means
     // cells bound the pair blowup, within-cell cosine >= theta marks

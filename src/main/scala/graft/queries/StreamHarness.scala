@@ -246,6 +246,39 @@ object StreamFixtures {
   def embHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(embHalves(s, dir) + "/lo").schema
 
+  /** One-row session-window FLUSH sentinel (VERDICT r12 #3): raw events
+    * schema, key -1, event time tmax + 2·gap. Fed AFTER the corpus it
+    * advances the global watermark past every real session's end
+    * (≤ tmax + gap), so APPEND-mode `session_window` emits each session
+    * exactly once and drains its state — replacing complete-mode's
+    * re-emission of the full session set every micro-batch. The
+    * sentinel's own session never finalizes, so it never reaches the
+    * sink. This is the deployment shape too: a keyed ingest topic
+    * carries punctuation/heartbeat events that advance event time.
+    */
+  def sessionFlushFixture(s: SparkSession, dir: String): String = cache.synchronized {
+    cache.getOrElseUpdate("sw_flush|" + dir, {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tmaxUs =
+        raw.agg(max(graft.core.Tables.tsUsExpr(raw.schema))).head().getLong(0)
+      val flushUs = tmaxUs + 7200000000L // +2 h: strictly past every end
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(flushUs * 1000L) // ns
+        case t => timestamp_micros(lit(flushUs)).cast(t)
+      }
+      val row = raw.limit(1).select(raw.schema.fields.map { f =>
+        f.name match {
+          case "ts" => tsCol.as("ts")
+          case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
+      val root = Files.createTempDirectory("graft_fx_swflush_").toString
+      row.coalesce(1).write.parquet(s"$root/flush")
+      root
+    })
+  }
+
   /** Copy the parquet files of fixture half `half` ("lo"/"hi") into the
     * per-run streaming source directory `destDir`, prefixing filenames so
     * both halves can coexist.

@@ -117,17 +117,59 @@ object TextQueries {
     * document corpus (the generic state machine lives in
     * [[Q.ffdStepCtes]]).
     */
-  private def ffdPackSql(k: Int, cap: Int): String =
+  private def ffdPackSql(k: Int, cap: Int, shard: Option[Int] = None): String = {
+    val filt = shard.map(sh => s" WHERE shard = $sh").getOrElse("")
     s"""WITH RECURSIVE it0 AS (
-               SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
-                      doc_id AS id, len(string_split(text, ' '))::bigint AS len
-               FROM documents),
+               SELECT * FROM (
+                 SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
+                        doc_id AS id, len(string_split(text, ' '))::bigint AS len
+                 FROM documents) t0$filt),
              ${Q.ffdStepCtes(k, cap)}
              SELECT shard, bin, count(*)::bigint AS n_docs,
                sum(len)::bigint AS n_tokens,
                ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
                sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
              FROM placed GROUP BY shard, bin ORDER BY shard, bin"""
+  }
+
+  /** DuckDB replay of next-fit packing (the doc_seq_pack/stream_seq_pack
+    * recursive step machine), parameterized by the within-shard order
+    * (len-desc for NFD, id for arrival-order streaming) and an optional
+    * single-shard restriction. The shard restriction exists for the
+    * 100×-equivalent spot gate (VERDICT r12 #2): the recursion's DEPTH —
+    * the scale-critical dimension, items per shard — is unchanged (the
+    * 32-way shard hash is uniform), while the oracle replays 1 chain
+    * instead of 32, keeping the DuckDB leg's run time inside a round.
+    */
+  private def nfdPackSql(order: String, shard: Option[Int] = None): String = {
+    val filt = shard.map(sh => s" WHERE shard = $sh").getOrElse("")
+    s"""WITH RECURSIVE it0 AS (
+               SELECT * FROM (
+                 SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
+                        doc_id AS id, len(string_split(text, ' ')) AS len
+                 FROM documents) t0$filt),
+             it AS (
+               SELECT shard, id, len,
+                 row_number() OVER (PARTITION BY shard ORDER BY $order) AS rn
+               FROM it0 WHERE len <= 512),
+             step(shard, rn, bin, fill) AS (
+               SELECT shard, 1::bigint, 0::bigint, len::bigint
+               FROM it WHERE rn = 1
+               UNION ALL
+               SELECT i.shard, i.rn::bigint,
+                 CASE WHEN s.fill + i.len > 512 THEN s.bin + 1 ELSE s.bin END,
+                 CASE WHEN s.fill + i.len > 512 THEN i.len::bigint
+                      ELSE s.fill + i.len END
+               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
+             placed AS (
+               SELECT st.shard, st.bin, i.id, i.len, st.fill - i.len AS start
+               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn)
+             SELECT shard, bin, count(*)::bigint AS n_docs,
+               sum(len)::bigint AS n_tokens,
+               ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
+               sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
+             FROM placed GROUP BY shard, bin ORDER BY shard, bin"""
+  }
 
   /** Per-JVM memoized media-blob fixtures (the StreamFixtures pattern,
     * VERDICT r2 "What's wrong" #2): synthetic clip GENERATION runs once
@@ -760,7 +802,13 @@ object TextQueries {
               // vocabulary (language-bounded, never corpus-sized)
               val memo = new java.util.HashMap[String, java.lang.Long]()
               it.flatMap { case (id, text) =>
-                val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+                // lowercase via UTF8String — the SAME routine Spark's
+                // lower() uses on the batch path, so stream vs batch can
+                // never diverge on non-ASCII input under a tr/az default
+                // locale (ADVICE r12; Locale.ROOT only matched the ASCII
+                // fast path)
+                val ws = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(text).toLowerCase.toString.split(" ", -1)
                 var n = 0L
                 var i = 0
                 while (i < ws.length) {
@@ -2234,31 +2282,7 @@ object TextQueries {
             sum(expr("CAST(len AS BIGINT) * (len - 1) DIV 2")).as("pos_sum"))
           .orderBy("shard", "bin")
       },
-      Some(s"""WITH RECURSIVE it0 AS (
-               SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
-                      doc_id AS id, len(string_split(text, ' ')) AS len
-               FROM documents),
-             it AS (
-               SELECT shard, id, len,
-                 row_number() OVER (PARTITION BY shard ORDER BY len DESC, id) AS rn
-               FROM it0 WHERE len <= 512),
-             step(shard, rn, bin, fill) AS (
-               SELECT shard, 1::bigint, 0::bigint, len::bigint
-               FROM it WHERE rn = 1
-               UNION ALL
-               SELECT i.shard, i.rn::bigint,
-                 CASE WHEN s.fill + i.len > 512 THEN s.bin + 1 ELSE s.bin END,
-                 CASE WHEN s.fill + i.len > 512 THEN i.len::bigint
-                      ELSE s.fill + i.len END
-               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
-             placed AS (
-               SELECT st.shard, st.bin, i.id, i.len, st.fill - i.len AS start
-               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn)
-             SELECT shard, bin, count(*)::bigint AS n_docs,
-               sum(len)::bigint AS n_tokens,
-               ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
-               sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
-             FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
+      Some(nfdPackSql("len DESC, id"))),
 
     // First-fit-decreasing packing with a bounded open-bin ring (VERDICT
     // r6 #7): same sharded corpus as doc_seq_pack, but each shard keeps 4
@@ -2334,31 +2358,78 @@ object TextQueries {
         StreamFixtures.deleteRecursively(root)
         res
       },
-      Some(s"""WITH RECURSIVE it0 AS (
-               SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
-                      doc_id AS id, len(string_split(text, ' ')) AS len
-               FROM documents),
-             it AS (
-               SELECT shard, id, len,
-                 row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
-               FROM it0 WHERE len <= 512),
-             step(shard, rn, bin, fill) AS (
-               SELECT shard, 1::bigint, 0::bigint, len::bigint
-               FROM it WHERE rn = 1
-               UNION ALL
-               SELECT i.shard, i.rn::bigint,
-                 CASE WHEN s.fill + i.len > 512 THEN s.bin + 1 ELSE s.bin END,
-                 CASE WHEN s.fill + i.len > 512 THEN i.len::bigint
-                      ELSE s.fill + i.len END
-               FROM step s JOIN it i ON i.shard = s.shard AND i.rn = s.rn + 1),
-             placed AS (
-               SELECT st.shard, st.bin, i.id, i.len, st.fill - i.len AS start
-               FROM step st JOIN it i ON i.shard = st.shard AND i.rn = st.rn)
-             SELECT shard, bin, count(*)::bigint AS n_docs,
-               sum(len)::bigint AS n_tokens,
-               ${Q.hash60Sql("string_agg(start::varchar, ' ' ORDER BY start)")} AS bounds_fp,
-               sum(len::bigint * (len - 1) // 2)::bigint AS pos_sum
-             FROM placed GROUP BY shard, bin ORDER BY shard, bin""")),
+      Some(nfdPackSql("id"))),
+
+    // 100×-gate twins of doc_seq_pack_ffd / stream_seq_pack (VERDICT r12
+    // #2): the SAME operators, restricted to ONE of the 32 hash shards.
+    // Items per shard — the recursion depth, the dimension that grows
+    // with corpus scale — is identical to the full query's (uniform
+    // shard hash); only the independent-chain COUNT is sampled, which is
+    // what made the r12 oracle legs grind past the round boundary (the
+    // DuckDB recursive join re-scans the full item frame per step ×32
+    // chains). Gated tri-scale like everything else; at 100× these are
+    // the feasible oracle legs for the packing family.
+    QueryDef(
+      "doc_seq_pack_ffd_s0",
+      (s, dir) => {
+        val items = docs(s, dir).select(
+          pmod(Q.hash60(concat(lit("pack|"), col("doc_id"))), lit(32))
+            .cast("int").as("shard"),
+          col("doc_id").as("id"),
+          size(split(col("text"), " ")).as("len"))
+          .filter(col("shard") === 0)
+        graft.operators.Packing
+          .firstFitDecreasingSharded(items, FfdCap, FfdRing)
+          .groupBy("shard", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("long").as("n_tokens"),
+            Q.hash60(concat_ws(" ",
+              transform(sort_array(collect_list(struct(col("start"), col("id")))),
+                x => x.getField("start").cast("string")))).as("bounds_fp"),
+            sum(expr("CAST(len AS BIGINT) * (len - 1) DIV 2")).as("pos_sum"))
+          .orderBy("shard", "bin")
+      },
+      Some(ffdPackSql(FfdRing, FfdCap, Some(0)))),
+
+    QueryDef(
+      "stream_seq_pack_s0",
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        import s.implicits._
+        val fx = StreamFixtures.docsHalves(s, dir)
+        val schema = StreamFixtures.docsHalvesSchema(s, dir)
+        val root = StreamFixtures.scratchDir("graft_spk0_")
+        val srcDir = s"$root/src"
+        StreamFixtures.feed(fx, "lo", srcDir)
+        val src = s.readStream.schema(schema).parquet(srcDir)
+          .select(
+            pmod(Q.hash60(concat(lit("pack|"), col("doc_id"))), lit(32))
+              .cast("int").as("shard"),
+            col("doc_id").as("id"),
+            size(split(col("text"), " ")).as("len"))
+          .filter(col("shard") === 0)
+          .as[graft.streaming.PackItem]
+        val packed = graft.streaming.StreamPacking.nextFit(src, 512).toDF()
+        val agg = packed.groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("long").as("n_tokens"),
+            Q.hash60(concat_ws(" ",
+              transform(sort_array(collect_list(struct(col("start"), col("id")))),
+                x => x.getField("start").cast("string")))).as("bounds_fp"),
+            sum(expr("CAST(len AS BIGINT) * (len - 1) DIV 2")).as("pos_sum"))
+        val name = "stream_spk0_" + System.nanoTime()
+        val q = agg.writeStream.queryName(name).format("memory")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable() // batch 1: low-id half
+          StreamFixtures.feed(fx, "hi", srcDir)
+          StreamHarness.settle(q) // batch 2: open bins keep filling
+        } finally q.stop()
+        val res = s.table(name).orderBy("shard", "bin").localCheckpoint(true)
+        StreamFixtures.deleteRecursively(root)
+        res
+      },
+      Some(nfdPackSql("id", Some(0)))),
 
     // ---- Audio pipeline: the REAL WAV codec under the driver gate -----
     // Spark synthesizes deterministic PCM, encodes genuine WAV containers,

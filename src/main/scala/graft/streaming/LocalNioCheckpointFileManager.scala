@@ -139,13 +139,22 @@ object LocalNioCheckpointFileManager {
     } catch { case _: Exception => false } // transient: NOT memoized
   }
 
-  private def probeHardLinks(d: java.nio.file.Path): Boolean =
+  // Only a DEFINITIVE "links unsupported" verdict returns false here —
+  // UnsupportedOperationException, or the createLink syscall itself being
+  // rejected by the filesystem (EPERM/EXDEV surface as
+  // FileSystemException). Probe-SETUP failures (createTempFile ENOSPC,
+  // delete races) PROPAGATE so computeIfAbsent caches nothing and the
+  // next call re-probes (ADVICE r12: a transient setup blip must not pin
+  // the slow fallback per FileStore for the JVM lifetime).
+  private def probeHardLinks(d: java.nio.file.Path): Boolean = {
+    val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
     try {
-      val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
-      try {
-        val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
-        try { Files.createLink(lnk, probe); Files.delete(lnk); true }
-        catch { case _: Exception => false }
-      } finally Files.deleteIfExists(probe)
-    } catch { case _: Exception => false }
+      val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
+      try { Files.createLink(lnk, probe); Files.delete(lnk); true }
+      catch {
+        case _: UnsupportedOperationException => false
+        case _: java.nio.file.FileSystemException => false
+      }
+    } finally Files.deleteIfExists(probe)
+  }
 }

@@ -169,13 +169,24 @@ object CountSlices {
   * order-dependent EWMA cell, ReduceFuncs.scala:33-47) on a live stream —
   * built on Spark 4's `transformWithState` (the modern arbitrary-state
   * API; requires the RocksDB state store provider). ValueState holds the
-  * per-key running value; each event emits `λ·v + (1−λ)·prev`.
+  * per-key running value; each event produces `λ·v + (1−λ)·prev`.
+  *
+  * Emissions are PACKED per key per micro-batch as parallel primitive
+  * arrays (VERDICT r12 #4): the sink carries ~|keys| rows per batch
+  * instead of ~|events| typed objects — at sf1 the 5M-row typed
+  * emission was 4.5 s of the query's 7.5 s — while every per-event
+  * (ts, seq, ewma) triple is still present, in (ts, seq) order, so
+  * [[EwmaScan.exploded]] recovers the row-for-row CUMULATIVE contract
+  * post-sink with one columnar generate. State is unchanged: ONE double
+  * per key (primitive arrays encode via Spark's fast array encoders,
+  * no per-element InternalRow).
   * Batch twin: `functions.Reducers.ewma` per prefix.
   */
-final case class EwmaOut(k: String, ts: Long, seq: Long, ewma: Double)
+final case class EwmaBatchOut(
+    k: String, ts: Array[Long], seq: Array[Long], ewma: Array[Double])
 
 class EwmaProcessor(lambda: Double)
-    extends StatefulProcessor[String, KeyedEvent, EwmaOut] {
+    extends StatefulProcessor[String, KeyedEvent, EwmaBatchOut] {
 
   @transient private var state: ValueState[Double] = _
 
@@ -186,26 +197,49 @@ class EwmaProcessor(lambda: Double)
   override def handleInputRows(
       key: String,
       rows: Iterator[KeyedEvent],
-      timerValues: TimerValues): Iterator[EwmaOut] = {
-    val out = Seq.newBuilder[EwmaOut]
-    rows.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
-      val next =
-        if (!state.exists()) e.v
-        else lambda * e.v + (1 - lambda) * state.get()
-      state.update(next)
-      out += EwmaOut(key, e.ts, e.seq, next)
+      timerValues: TimerValues): Iterator[EwmaBatchOut] = {
+    val es = rows.toArray
+    if (es.isEmpty) return Iterator.empty
+    scala.util.Sorting.stableSort(
+      es, (x: KeyedEvent, y: KeyedEvent) =>
+        x.ts < y.ts || (x.ts == y.ts && x.seq < y.seq))
+    val n = es.length
+    val ts = new Array[Long](n)
+    val sq = new Array[Long](n)
+    val ew = new Array[Double](n)
+    var has = state.exists()
+    var prev = if (has) state.get() else 0.0
+    var i = 0
+    while (i < n) {
+      val e = es(i)
+      val next = if (!has) { has = true; e.v }
+                 else lambda * e.v + (1 - lambda) * prev
+      prev = next
+      ts(i) = e.ts; sq(i) = e.seq; ew(i) = next
+      i += 1
     }
-    out.result().iterator
+    state.update(prev)
+    Iterator.single(EwmaBatchOut(key, ts, sq, ew))
   }
 }
 
 object EwmaScan {
-  def apply(events: Dataset[KeyedEvent], lambda: Double): Dataset[EwmaOut] = {
+  def apply(events: Dataset[KeyedEvent], lambda: Double): Dataset[EwmaBatchOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.k)
       .transformWithState(new EwmaProcessor(lambda), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Recover the per-event CUMULATIVE rows (k, ts, seq, ewma) from the
+    * packed sink table — one columnar generate, batch-land.
+    */
+  def exploded(packed: DataFrame): DataFrame =
+    packed
+      .select(col("k"),
+        explode(arrays_zip(col("ts"), col("seq"), col("ewma"))).as("r"))
+      .select(col("k"), col("r.ts").as("ts"), col("r.seq").as("seq"),
+        col("r.ewma").as("ewma"))
 }
 
 /** Trigger-stream slicing on a live stream (scespet's stream-as-trigger

@@ -83,7 +83,7 @@ object StateSoak {
     val curves = scala.collection.mutable.LinkedHashMap[String, Curve]()
     val rocksFamilies = Set("ewma")
 
-    curves("ewma") = soak[KeyedEvent, EwmaOut]("ewma", rocksdb = true)(
+    curves("ewma") = soak[KeyedEvent, EwmaBatchOut]("ewma", rocksdb = true)(
       src => EwmaScan(src.toDS(), 0.2)) { (src, b) =>
       src.addData((0 until 10).flatMap(k => (0 until 5).map(i =>
         KeyedEvent(s"k$k", b * 1000L + i, b * 100L + i, (b * 31 + k * 7 + i) % 100 / 10.0))))

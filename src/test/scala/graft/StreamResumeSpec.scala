@@ -114,7 +114,7 @@ class StreamResumeSpec extends SparkSpec {
       feed("h2"); incarnation()
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val got = s.read.parquet(s"$root/out")
+    val got = graft.streaming.EwmaScan.exploded(s.read.parquet(s"$root/out"))
       .orderBy("seq").select("seq", "ewma").as[(Long, Double)].collect().toSeq
     val expect = all.map(_.v)
       .scanLeft(Option.empty[Double]) {

@@ -560,7 +560,9 @@ class StreamingSpec extends SparkSpec {
       mem.addData(events.drop(3): _*)
       runToCompletion(
         EwmaScan(mem.toDS(), 0.25).writeStream.outputMode("append"), "ewmascan")
-      val got = spark.table("ewmascan").orderBy("seq")
+      // packed emission: recover the per-event rows, then the original
+      // per-event assertion holds unchanged
+      val got = EwmaScan.exploded(spark.table("ewmascan")).orderBy("seq")
         .select("ewma").as[Double].collect().toSeq
       val expect = vals.tail.scanLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
       got shouldBe expect
