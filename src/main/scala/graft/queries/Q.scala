@@ -102,7 +102,7 @@ object Q {
     }.mkString(",\n                 ")
     val pbin = slots.map(j => s"WHEN ${ff(j)} THEN s.b$j").mkString(" ")
     val pstart = slots.map(j => s"WHEN ${ff(j)} THEN s.f$j").mkString(" ")
-    s"""it AS (
+    s"""it AS MATERIALIZED (
                SELECT shard, id, len,
                  row_number() OVER (PARTITION BY shard ORDER BY len DESC, id) AS rn
                FROM it0 WHERE len <= $cap),

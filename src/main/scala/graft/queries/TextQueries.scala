@@ -140,6 +140,12 @@ object TextQueries {
     * the scale-critical dimension, items per shard — is unchanged (the
     * 32-way shard hash is uniform), while the oracle replays 1 chain
     * instead of 32, keeping the DuckDB leg's run time inside a round.
+    *
+    * `it` is AS MATERIALIZED: the recursive term references it once PER
+    * ITERATION, and un-hinted DuckDB inlines the whole upstream chain —
+    * re-scanning documents and re-hashing every doc id each of the
+    * ~depth iterations (the md5 work × 15k steps is what let the r12
+    * full-corpus oracle legs grind for hours at 100×).
     */
   private def nfdPackSql(order: String, shard: Option[Int] = None): String = {
     val filt = shard.map(sh => s" WHERE shard = $sh").getOrElse("")
@@ -148,7 +154,7 @@ object TextQueries {
                  SELECT ${Q.hash60Sql("'pack|' || doc_id")} % 32 AS shard,
                         doc_id AS id, len(string_split(text, ' ')) AS len
                  FROM documents) t0$filt),
-             it AS (
+             it AS MATERIALIZED (
                SELECT shard, id, len,
                  row_number() OVER (PARTITION BY shard ORDER BY $order) AS rn
                FROM it0 WHERE len <= 512),
