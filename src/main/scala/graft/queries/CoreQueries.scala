@@ -1252,11 +1252,12 @@ object CoreQueries {
     // emit once when the watermark finalizes them and their state
     // drains — complete mode re-emitted the FULL session set (~912k
     // rows at sf1) every micro-batch, the profiled floor. A one-row
-    // flush sentinel (key -1, tmax + 2 h) fed AFTER the corpus pushes
-    // the final watermark past every real session's end, so the append
+    // flush sentinel (key -1, tmax + 2 h) on a second source pushes the
+    // final watermark past every real session's end, so the append
     // emission covers exactly the oracle's session set — same oracle,
-    // same rows. The oracle rebuilds gap-chains with Spark's merge rule
-    // (same session while gap < G).
+    // same rows — and the store DRAINS (state rows 912k → 1 at sf1).
+    // The oracle rebuilds gap-chains with Spark's merge rule (same
+    // session while gap < G).
     QueryDef(
       "stream_session_window",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
@@ -1282,11 +1283,22 @@ object CoreQueries {
         val flushSrc = StreamFixtures.scratchDir("graft_swflush_src_")
         try {
           val schema = s.read.parquet(s"$dir/events.parquet").schema
-          val main = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-          // second file source, initially EMPTY — the sentinel lands
-          // here only after the corpus batch completes, so it can never
-          // race ahead of the data and late-drop it
+          // scanWide: the fixture is single-file single-row-group
+          // parquet, so the 5M-row parse + per-partition session
+          // pre-merge otherwise run on ONE core (profiled: ~4 s of the
+          // 6.3 s batch-0 addBatch at sf1; the state-store timers sum
+          // to ~0.9 s/partition-wall). Kafka partitioning gives this
+          // fan-out for free in deployment.
+          val main = StreamHarness.scanWide(s, s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          // the sentinel is staged BEFORE start, so batch 0 admits the
+          // corpus and the flush row TOGETHER (offsets are collected
+          // from all sources per trigger): the watermark only advances
+          // AFTER a batch, so nothing can be late-dropped, and the
+          // single no-data batch that follows finalizes and emits every
+          // real session and drains the store in one pass
+          StreamFixtures.feed(
+            StreamFixtures.sessionFlushFixture(s, dir), "flush", flushSrc)
           val flush = s.readStream.schema(schema).parquet(flushSrc)
           val src = main.unionByName(flush)
             .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
@@ -1298,12 +1310,7 @@ object CoreQueries {
           val sq = agg.writeStream.queryName(name).format("memory")
             .outputMode("append")
             .start()
-          try {
-            StreamHarness.settle(sq)
-            StreamFixtures.feed(
-              StreamFixtures.sessionFlushFixture(s, dir), "flush", flushSrc)
-            StreamHarness.settle(sq)
-          } finally sq.stop()
+          try StreamHarness.settle(sq) finally sq.stop()
           s.table(name)
             .filter(col("user_id") =!= -1L)
             .select(col("user_id"),

@@ -247,14 +247,17 @@ object StreamFixtures {
     s.read.parquet(embHalves(s, dir) + "/lo").schema
 
   /** One-row session-window FLUSH sentinel (VERDICT r12 #3): raw events
-    * schema, key -1, event time tmax + 2·gap. Fed AFTER the corpus it
-    * advances the global watermark past every real session's end
-    * (≤ tmax + gap), so APPEND-mode `session_window` emits each session
-    * exactly once and drains its state — replacing complete-mode's
-    * re-emission of the full session set every micro-batch. The
-    * sentinel's own session never finalizes, so it never reaches the
-    * sink. This is the deployment shape too: a keyed ingest topic
-    * carries punctuation/heartbeat events that advance event time.
+    * schema, key -1, event time tmax + 2·gap. It advances the global
+    * watermark past every real session's end (≤ tmax + gap), so
+    * APPEND-mode `session_window` emits each session exactly once and
+    * drains its state — replacing complete-mode's re-emission of the
+    * full session set every micro-batch. Staging it in the SAME first
+    * batch as the corpus is safe: the watermark only advances AFTER a
+    * batch completes, so the sentinel can never late-drop the data it
+    * rides with. The sentinel's own session never finalizes, so it
+    * never reaches the sink. This is the deployment shape too: a keyed
+    * ingest topic carries punctuation/heartbeat events that advance
+    * event time.
     */
   def sessionFlushFixture(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("sw_flush|" + dir, {
