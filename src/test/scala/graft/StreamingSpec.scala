@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.streaming._
+import scala.jdk.CollectionConverters._
 
 /** Streaming ↔ batch semantic parity: the same events through the
   * Structured Streaming operators and the batch WindowKernel must produce
@@ -567,6 +568,66 @@ class StreamingSpec extends SparkSpec {
       val expect = vals.tail.scanLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
       got shouldBe expect
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("packed EWMA emission law: sink rows scale with KEYS per batch, " +
+    "exploded rows with events") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 5 keys × 8 events in 2 batches: the packed sink must hold
+      // ≤ keys·batches rows (the VERDICT r12 #4 claim — emission cost
+      // no longer scales with events), while exploded() recovers every
+      // per-event row
+      val events = for (k <- 0 until 5; i <- 0 until 8)
+        yield KeyedEvent(s"k$k", i.toLong * 1000L, (k * 8 + i).toLong, (i + k).toDouble)
+      val mem = MemoryStream[KeyedEvent](spark)
+      mem.addData(events.filter(_.ts < 4000L): _*)
+      mem.addData(events.filter(_.ts >= 4000L): _*)
+      runToCompletion(
+        EwmaScan(mem.toDS(), 0.25).writeStream.outputMode("append"), "ewmapack")
+      val packed = spark.table("ewmapack")
+      assert(packed.count() <= 5L * 2, "packed sink must carry ~|keys| rows per batch")
+      val rows = EwmaScan.exploded(packed)
+      rows.count() shouldBe events.size.toLong
+      // per-event values still the exact recurrence, per key
+      val got = rows.orderBy("k", "ts").select("k", "ewma")
+        .as[(String, Double)].collect().toSeq
+      val expect = (0 until 5).flatMap { k =>
+        val vs = (0 until 8).map(i => (i + k).toDouble)
+        vs.tail.scanLeft(vs.head)((a, x) => 0.25 * x + 0.75 * a).map((s"k$k", _))
+      }
+      got shouldBe expect
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("append-mode session window emits each session EXACTLY once and " +
+    "drains its state (the complete-mode re-emission fix)") {
+    // synthetic events.parquet with KNOWN gap sessions; the catalog
+    // query itself (file sources + flush sentinel) runs against it
+    val dir = java.nio.file.Files.createTempDirectory("graft_swlaw_").toString
+    // user 1: two sessions (gap 2h between event 2 and 3); user 2: one
+    val rows = Seq(
+      (1L, 0L, 1L, "click", 1.0, ""),
+      (2L, 600L * 1000000L, 1L, "click", 2.0, ""),        // +10 min: same session
+      (3L, 9000L * 1000000L, 1L, "click", 4.0, ""),       // +2.5 h: new session
+      (4L, 0L, 2L, "click", 8.0, ""))
+      .toDF("event_id", "raw_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("raw_us"))).drop("raw_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the fixture contract is a single FILE named events.parquet (the
+    // source's pathGlobFilter matches leaf names): write to a scratch
+    // dir, then move the lone part file into place
+    rows.coalesce(1).write.parquet(s"$dir/_stage")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_stage"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).next()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "events.parquet"))
+    val res = graft.SparkEntry.queries("stream_session_window")(spark, dir)
+      .select("user_id", "wstart", "n").as[(Long, Long, Long)].collect().toSeq
+    // exactly one row per (user, session) — no sentinel row, no
+    // complete-mode duplicates across batches
+    res shouldBe Seq((1L, 0L, 2L), (1L, 9000000000L, 1L), (2L, 0L, 1L))
+    graft.queries.StreamFixtures.deleteRecursively(dir)
   }
 
   test("streaming take join matches batch AsOf.take (emit only on left fires)") {
