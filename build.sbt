@@ -33,4 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // sbt-134 watch (VERDICT r13 #7): `sbt test` once exited 134 from a
+  // native std::bad_alloc AFTER "All tests passed" (r12 HEAD, never
+  // reproduced). If it recurs, the JVM fatal-error log names the raising
+  // native library without a repro hunt.
+  "-XX:ErrorFile=/tmp/graft_hs_err_%p.log",
 )
+// Raw fork stderr for tests too: a native abort during JVM shutdown
+// prints to stderr outside the JUnit/ScalaTest reporters — StdoutOutput
+// keeps it visible instead of dropping it with sbt's logger.
+Test / outputStrategy := Some(StdoutOutput)

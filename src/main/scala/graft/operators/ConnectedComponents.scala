@@ -30,11 +30,13 @@ object ConnectedComponents {
     * runs. The cutover mirrors how Spark itself treats broadcast joins:
     * collect small, shuffle big.
     */
-  def run(edges: DataFrame, maxIter: Int = 20, localThreshold: Long = 2000000L): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20, localThreshold: Long = 2000000L,
+          strict: Boolean = true): DataFrame = {
     val e = edges.persist()
     val isLong = e.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (isLong && e.count() <= localThreshold) runLocal(e) else runDistributed(e, maxIter)
+    if (isLong && e.count() <= localThreshold) runLocal(e)
+    else runDistributed(e, maxIter, strict)
   }
 
   /** Driver-side union-find with min-root bookkeeping. */
@@ -61,11 +63,25 @@ object ConnectedComponents {
     spark.createDataset(out).toDF("id", "comp")
   }
 
-  private def runDistributed(edges: DataFrame, maxIter: Int): DataFrame =
-    runStars(edges, maxIter)._1
+  // Strict by default (ADVICE r13): a maxIter-exhausted labeling can
+  // split one true component into several min(parent) labels with no
+  // programmatic signal; silently-wrong dedup clusters are worse than a
+  // loud failure, so exhaustion THROWS unless the caller opts out.
+  private def runDistributed(edges: DataFrame, maxIter: Int,
+                             strict: Boolean): DataFrame = {
+    val (labels, iter, converged) = runStars(edges, maxIter)
+    if (!converged && strict)
+      throw new IllegalStateException(
+        s"ConnectedComponents.runStars did NOT converge after $iter rounds " +
+          s"(maxIter=$maxIter); labels may split true components. Raise " +
+          "maxIter or pass strict=false to accept non-root minima.")
+    labels
+  }
 
-  /** Alternating large-star/small-star, returning (labels, rounds) — the
-    * round count is exposed so the log-round law is testable.
+  /** Alternating large-star/small-star, returning (labels, rounds,
+    * converged) — the round count is exposed so the log-round law is
+    * testable; the converged flag so callers can fail on exhaustion
+    * instead of parsing stderr (ADVICE r13).
     *
     * Invariant maintained between rounds: the edge set is oriented
     * `a > b` and represents the same partition of nodes into components
@@ -79,7 +95,7 @@ object ConnectedComponents {
     * sum(xxhash64(a,b))) of the oriented edge set — the standard
     * fixed-point test; one extra aggregation per round, no extra join.
     */
-  private[graft] def runStars(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private[graft] def runStars(edges: DataFrame, maxIter: Int): (DataFrame, Int, Boolean) = {
     val nodes = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id")))
       .distinct()
@@ -154,6 +170,6 @@ object ConnectedComponents {
       .join(parents, Seq("id"), "left")
       .select(col("id"), coalesce(col("parent"), col("id")).as("comp"))
     nodes.unpersist()
-    (labels, iter)
+    (labels, iter, converged)
   }
 }

@@ -1310,7 +1310,18 @@ object CoreQueries {
           val sq = agg.writeStream.queryName(name).format("memory")
             .outputMode("append")
             .start()
-          try StreamHarness.settle(sq) finally sq.stop()
+          try {
+            StreamHarness.settle(sq)
+            // the sentinel rides WITH the corpus in batch 0, so nothing
+            // may ever be late-dropped; if admission ever spans batches
+            // (fixture/source drift) this catches the silent loss
+            // (ADVICE r13, same spirit as the noDataMicroBatches guard)
+            val dropped = StreamHarness.watermarkDrops(sq)
+            require(dropped == 0L,
+              s"stream_session_window: $dropped rows late-dropped by the " +
+                "watermark — corpus and flush sentinel were not admitted " +
+                "in the same micro-batch; sessions were silently lost")
+          } finally sq.stop()
           s.table(name)
             .filter(col("user_id") =!= -1L)
             .select(col("user_id"),

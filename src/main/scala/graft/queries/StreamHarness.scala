@@ -100,6 +100,19 @@ object StreamHarness {
     q.processAllAvailable()
   }
 
+  /** Total rows dropped as too-late across every recorded micro-batch of
+    * `q` (sum of stateOperators.numRowsDroppedByWatermark). The flush-
+    * sentinel pattern is only correct when the corpus and the sentinel
+    * are admitted in the SAME first batch; if file admission ever spans
+    * batches (multi-file fixture + maxFilesPerTrigger, a future source
+    * change), the watermark jumps past the corpus after batch 0 and
+    * every later real event is silently late-dropped (ADVICE r13).
+    * Callers assert this is 0 after settle() so that failure is loud. */
+  def watermarkDrops(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
+
   /** Fan a micro-batch's scan output across all cores before CPU-heavy
     * per-row ingest work (minhash signatures, nested-replace BPE encode,
     * n-gram hashing). The fixture sources are single-file, single-row-
@@ -262,8 +275,17 @@ object StreamFixtures {
   def sessionFlushFixture(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("sw_flush|" + dir, {
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val tmaxUs =
-        raw.agg(max(graft.core.Tables.tsUsExpr(raw.schema))).head().getLong(0)
+      // The sentinel RESERVES user_id = -1 and the query filters it back
+      // out; a corpus that legitimately contains -1 would silently lose
+      // that user's sessions from the Spark leg only (ADVICE r13) — fail
+      // loudly here instead. Same agg pass as the tmax scan.
+      val hdr = raw.agg(max(graft.core.Tables.tsUsExpr(raw.schema)),
+        sum(when(col("user_id") === -1L, 1L).otherwise(0L))).head()
+      require(hdr.isNullAt(1) || hdr.getLong(1) == 0L,
+        s"sessionFlushFixture: corpus $dir/events.parquet contains " +
+          s"${hdr.getLong(1)} rows with user_id = -1 — the reserved flush-" +
+          "sentinel key; stream_session_window would silently drop them")
+      val tmaxUs = hdr.getLong(0)
       val flushUs = tmaxUs + 7200000000L // +2 h: strictly past every end
       val tsCol = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => lit(flushUs * 1000L) // ns

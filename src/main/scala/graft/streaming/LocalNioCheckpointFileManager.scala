@@ -150,8 +150,14 @@ object LocalNioCheckpointFileManager {
     val probe = Files.createTempFile(d, ".graft-linkprobe", ".tmp")
     try {
       val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
-      try { Files.createLink(lnk, probe); Files.delete(lnk); true }
-      catch {
+      try {
+        Files.createLink(lnk, probe)
+        // verdict is decided HERE: createLink succeeded ⇒ links work.
+        // Cleanup failure must not flip it to a JVM-lifetime "links
+        // unsupported" memo (ADVICE r13) — swallow and leave the .lnk.
+        try Files.deleteIfExists(lnk) catch { case _: Exception => () }
+        true
+      } catch {
         case _: UnsupportedOperationException => false
         case _: java.nio.file.FileSystemException => false
       }

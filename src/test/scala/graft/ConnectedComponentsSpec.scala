@@ -39,20 +39,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     // rounds here; alternating large-star/small-star must close it in
     // O(log d). 512 = 2^9; allow slack for the alternation constant.
     val chain = (1L until 512L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = ConnectedComponents.runStars(chain, maxIter = 30)
+    val (labels, rounds, converged) = ConnectedComponents.runStars(chain, maxIter = 30)
     labels
       .agg(org.apache.spark.sql.functions.countDistinct(col("comp")),
         org.apache.spark.sql.functions.min(col("comp")),
         org.apache.spark.sql.functions.count(col("id")))
       .as[(Long, Long, Long)].collect().head shouldBe ((1L, 1L, 512L))
     rounds should be <= 14
+    converged shouldBe true
   }
 
   test("star rounds handle mixed shapes (triangle + chain + singleton pair)") {
     val edges = (Seq((10L, 11L), (11L, 12L), (12L, 10L)) ++ // triangle
       (20L until 27L).map(i => (i, i + 1)) ++               // chain
       Seq((40L, 41L))).toDF("a", "b")
-    val (labels, _) = ConnectedComponents.runStars(edges, maxIter = 30)
+    val (labels, _, _) = ConnectedComponents.runStars(edges, maxIter = 30)
     val got = labels.orderBy("id").as[(Long, Long)].collect().toSeq
     val want = Seq(10L -> 10L, 11L -> 10L, 12L -> 10L) ++
       (20L to 27L).map(_ -> 20L) ++ Seq(40L -> 40L, 41L -> 40L)
