@@ -29,14 +29,24 @@ import java.nio.file.{Files, Paths}
   *     steady-state cost, and one quiet run among five defeats a slam that
   *     median-of-3 cannot.
   *
-  * Head-to-head in the same window: after the Spark pass the harness dumps
-  * the oracle SQL and runs `tools/duck_bench.py` (single-threaded DuckDB
-  * over the identical parquet) SEQUENTIALLY in the same process window, and
-  * embeds {"spark": S, "duck": D, "ratio": R} in the artifact — the
-  * spark/duck pair is measured under the same host conditions, so the ratio
-  * is meaningful even on a contended machine (both engines see the load).
-  * `spark` counts only oracle-backed queries so the two totals cover the
-  * identical query set. Set SPARK_GRAFT_SKIP_DUCK=1 to skip the DuckDB leg.
+  * Head-to-head, PAIRED protocol (VERDICT r13 #2): a persistent
+  * `duck_bench.py --serve` worker times each query's oracle leg (single-
+  * threaded DuckDB over the identical parquet) immediately after that
+  * query's Spark leg — strictly sequentially; the Spark driver thread
+  * blocks on the worker's reply, so the legs never overlap. Each
+  * (spark, duck) pair is measured seconds apart in ONE host window,
+  * where the old two-monolithic-legs protocol let the VM's ±25-40%
+  * window drift dominate the ratio (r13 burned a day re-proving a
+  * "1.44× regression" was drift). The artifact embeds {"spark": S,
+  * "duck": D, "ratio": R} plus "paired_ratio_median" — the median of
+  * the per-query paired ratios, the drift-immune headline statistic (a
+  * slam inflates both sides of the pairs it lands on and cancels in
+  * their ratio; it cannot cancel across legs measured hours apart).
+  * `spark` counts only oracle-backed queries so the two totals cover
+  * the identical query set. If the worker dies mid-run the harness
+  * falls back to the old post-hoc monolithic duck leg, so the artifact
+  * always carries a duck side. SPARK_GRAFT_SKIP_DUCK=1 skips the DuckDB
+  * leg entirely; SPARK_GRAFT_PAIRED=0 forces the old post-hoc protocol.
   *
   * Handoff hardening (round-1 BENCH had `parsed: null` — the JSON line was
   * buried in sbt stdout): the JSON is ALSO written to `BENCH.json` in the
@@ -82,6 +92,16 @@ object Bench {
     // previous round's per-query seconds (working-dir BENCH.json is the
     // last committed artifact at round start) for the r-over-r guard
     val prior = priorQueryValues()
+    // PAIRED protocol (VERDICT r13 #2): a persistent duck worker times
+    // each query's oracle leg immediately after its Spark leg (strictly
+    // sequential — the driver thread blocks on the reply). Disable with
+    // SPARK_GRAFT_PAIRED=0 (or SKIP_DUCK) to get the Spark-only loop and
+    // the old post-hoc duck leg.
+    val skipDuck = sys.env.get("SPARK_GRAFT_SKIP_DUCK").exists(_.nonEmpty)
+    val paired = !skipDuck &&
+      !sys.env.get("SPARK_GRAFT_PAIRED").contains("0")
+    val duckServer = if (paired) Some(new DuckServer(sfDir)) else None
+    val duckPaired = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         // cleanup between runs: drop query-internal persists AND temp
@@ -126,6 +146,11 @@ object Bench {
         // a chance to be a quiet one
         while (runs.size > 1 && runs.size < 5 && runs.max / runs.min > 2.0)
           runs :+= timed()
+        // the query's DuckDB leg, NOW, in the same host window (paired
+        // protocol) — the Spark JVM idles on the blocking read, so the
+        // legs never overlap
+        for (srv <- duckServer if SparkEntry.oracleSql.contains(name);
+             d <- srv.time(name)) duckPaired(name) = d
         (name, Right((runs.min, runs)): Either[String, (Double, Vector[Double])])
       } catch {
         case e: Throwable =>
@@ -147,13 +172,29 @@ object Bench {
       "cache leak: SQL-cached relations survived the catalog run")
     spark.stop()
 
-    // Same-window head-to-head: DuckDB single-threaded over the identical
-    // oracle SQL + parquet, run sequentially right after the Spark pass.
+    // Head-to-head over the identical oracle SQL + parquet. Paired path:
+    // the per-query legs already ran interleaved above; use the worker's
+    // summary only when it covered the IDENTICAL query set (a dead worker
+    // or per-query oracle error leaves holes — a total over fewer queries
+    // is not comparable to sparkComparable), else fall back to the old
+    // post-hoc monolithic leg.
     val oracle = SparkEntry.oracleSql
-    val sparkComparable = ok.collect { case (n, d) if oracle.contains(n) => d }.sum
+    val okMap = ok.toMap
+    val comparableNames = ok.map(_._1).filter(oracle.contains)
+    val sparkComparable = comparableNames.map(okMap).sum
+    val pairedSummary = duckServer.flatMap(_.finish())
+    val pairedComplete = duckServer.isDefined &&
+      comparableNames.forall(duckPaired.contains)
     val duckRun: Option[(Double, String)] =
-      if (sys.env.get("SPARK_GRAFT_SKIP_DUCK").exists(_.nonEmpty)) None
-      else runDuck(sfDir, ok.map(_._1).filter(oracle.contains))
+      if (skipDuck) None
+      else if (pairedComplete) pairedSummary.orElse {
+        // summary line lost but every per-query reply arrived: rebuild
+        val qs = duckPaired.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val tot = duckPaired.values.sum
+        Some((tot, f"""{"total":$tot%.2f,"queries":$qs,"runs":{}}"""))
+      }
+      else runDuck(sfDir, comparableNames)
 
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -166,6 +207,28 @@ object Bench {
     // comparable round-over-round — flag it, and only claim a ratio when
     // every query ran (a query that errors is not "within 2x").
     val fullCatalog = failed.isEmpty && selected.size == SparkEntry.queries.size
+    // Paired headline statistic (VERDICT r13 #2): the median of the
+    // per-query spark/duck ratios, each pair measured seconds apart. A
+    // window slam inflates BOTH sides of the pairs it lands on, so the
+    // median of ratios is drift-immune in exactly the way the two
+    // monolithic totals are not. (Sub-ms duck legs are excluded: a 0.000
+    // rounded denominator is floor noise, not a measurement.)
+    val pairedStat =
+      if (pairedComplete) {
+        val ratios = comparableNames
+          .flatMap { n =>
+            val d = duckPaired(n)
+            if (d > 0.0) Some(okMap(n) / d) else None
+          }.sorted
+        val med =
+          if (ratios.isEmpty) ""
+          else {
+            val m = if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+            f""","paired_ratio_median":$m%.3f,"paired_pairs":${ratios.size}"""
+          }
+        s""","paired":true$med"""
+      } else ""
     val pair = duckRun match {
       case Some((d, detail)) if d > 0 =>
         val ratio =
@@ -173,7 +236,7 @@ object Bench {
         // duck_detail = duck_bench.py's own JSON ({"total","queries"}) so
         // oracle-side outliers (e.g. doc_bpe_train's unrolled CTE) are
         // visible per-query instead of silently flattering the total
-        f""","spark":$sparkComparable%.2f,"duck":$d%.2f$ratio,"duck_detail":$detail"""
+        f""","spark":$sparkComparable%.2f,"duck":$d%.2f$ratio$pairedStat,"duck_detail":$detail"""
       case _ => ""
     }
     val json =
@@ -267,10 +330,81 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Persistent `duck_bench.py --serve` worker for the PAIRED protocol
+    * (VERDICT r13 #2): each query's DuckDB leg runs seconds after its
+    * Spark leg, in the same host window, while the Spark driver thread
+    * blocks on the reply — strictly sequential, never concurrent. Two
+    * monolithic legs hours apart let the VM's ±25-40% window drift
+    * dominate the headline ratio (r13 spent a day re-proving a "1.44×
+    * regression" was drift); adjacent pairs subtract the window out.
+    * Any failure (missing script, worker death, malformed reply) flips
+    * `dead` and the caller falls back to the old post-hoc monolithic
+    * leg, so the artifact always carries a duck side.
+    */
+  private final class DuckServer(sfDir: String) {
+    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val oraclePath = Files.createTempFile("graft_oracle", ".json")
+    Files.writeString(oraclePath, Oracle.dumpJson(SparkEntry.oracleSql))
+    var dead = false
+    private val proc: Option[java.lang.Process] =
+      try {
+        val script =
+          sys.env.getOrElse("SPARK_GRAFT_DUCK_BENCH", "tools/duck_bench.py")
+        if (!Files.exists(Paths.get(script))) { dead = true; None }
+        else {
+          val single = if (sys.props.get("graft.duckSingle").isDefined)
+            Seq("--single") else Seq.empty
+          val cmd = Seq("python3", script, "--serve") ++ single ++
+            Seq(sfDir, oraclePath.toString)
+          Some(new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT)
+            .start())
+        }
+      } catch { case _: Throwable => dead = true; None }
+    private val rd = proc.map(p => new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream)))
+    private val wr = proc.map(p => new java.io.PrintWriter(p.getOutputStream, true))
+    // handshake: the worker prints {"ready": true} once its views exist
+    if (!dead) dead = !readJson().exists(_.path("ready").asBoolean(false))
+
+    private def readJson(): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try rd.flatMap(r => Option(r.readLine())).map(om.readTree)
+      catch { case _: Throwable => dead = true; None }
+
+    /** Time `name`'s oracle leg now (blocking); None on worker failure
+      * or oracle error — the pair is dropped, the worker keeps serving.
+      */
+    def time(name: String): Option[Double] =
+      if (dead) None
+      else {
+        wr.foreach(_.println(name))
+        readJson() match {
+          case Some(n) if n.has("sec") => Some(n.get("sec").asDouble())
+          case Some(_) => None // per-query oracle error: keep serving
+          case None => dead = true; None
+        }
+      }
+
+    /** Send EXIT and read the {"total","queries","runs"} summary line. */
+    def finish(): Option[(Double, String)] = {
+      val out =
+        if (dead) None
+        else {
+          wr.foreach(_.println("EXIT"))
+          readJson().filter(_.has("total"))
+            .map(n => (n.get("total").asDouble(), n.toString))
+        }
+      try { proc.foreach(_.waitFor()); Files.deleteIfExists(oraclePath) }
+      catch { case _: Throwable => () }
+      out
+    }
+  }
+
   /** Run tools/duck_bench.py on the same sfDir over the named oracle
     * queries; returns (total seconds, duck's full JSON line — including the
     * per-query map), or None if the leg can't run (missing python/duckdb
-    * must not invalidate the Spark artifact).
+    * must not invalidate the Spark artifact). Post-hoc monolithic
+    * protocol — the fallback when the paired DuckServer dies mid-run.
     */
   private def runDuck(sfDir: String, names: Seq[String]): Option[(Double, String)] =
     try {

@@ -2,7 +2,16 @@
 """Head-to-head baseline: run every oracle SQL from a Verify dump in DuckDB
 (single-threaded) over the same parquet tables.
 
-Usage: duck_bench.py SFDIR ORACLE_JSON [name ...]
+Usage: duck_bench.py [--single] [--serve] SFDIR ORACLE_JSON [name ...]
+
+--serve (VERDICT r13 #2, paired interleaved legs): instead of running a
+fixed list, print {"ready": true} and then serve query names line-by-line
+from stdin — for each, run the same timing protocol and print one JSON
+line {"query": name, "sec": s, "runs": [...]} (or {"query", "error"}).
+On "EXIT"/EOF, print the usual {"total", "queries", "runs"} summary over
+everything served and exit. graft.Bench drives this so each (spark, duck)
+pair is measured seconds apart in ONE window, instead of two monolithic
+legs hours apart whose ratio the ±25-40% VM drift dominates.
 
 Timing protocol — SYMMETRIC with graft.Bench's Spark leg (VERDICT r10 #4:
 the asymmetry of warm+min-of-N Spark vs one cold DuckDB run made single
@@ -37,8 +46,9 @@ def main() -> None:
     # kept for the sf1-equivalent artifact (BENCH_SF1_r{N}) whose judge
     # bar is comparability with the r8 single-run table, and whose duck
     # leg at 10x volume would cost hours under warm+min-of-N.
-    argv = [a for a in sys.argv[1:] if a != "--single"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     single = "--single" in sys.argv[1:]
+    serve = "--serve" in sys.argv[1:]
     sfdir, oracle_path = argv[0], argv[1]
     only = set(argv[2:])
     sqls = json.load(open(oracle_path))
@@ -48,20 +58,16 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     con.execute("SET TimeZone = 'UTC'")
-    times = {}
-    multi = {}
-    for name, sql in sorted(sqls.items()):
-        if only and name not in only:
-            continue
 
+    def measure(sql):
         def timed() -> float:
             t0 = time.monotonic()
             con.execute(sql).fetchall()
             return round(time.monotonic() - t0, 3)
 
         if single:
-            times[name] = timed()
-            continue
+            t = timed()
+            return t, [t]
         con.execute(sql).fetchall()  # warmup: untimed, as the Spark leg
         # ADVICE r11: every query gets >= 2 timed runs (min-of-N like the
         # Spark leg); expensive ones get a third up front, and the spread
@@ -71,11 +77,49 @@ def main() -> None:
             runs.append(timed())
         while len(runs) < 5 and max(runs) > 2.0 * min(runs):
             runs.append(timed())
-        times[name] = min(runs)
+        return min(runs), runs
+
+    times = {}
+    multi = {}
+
+    def record(name, sec, runs):
+        times[name] = sec
         if len(runs) > 1:
             multi[name] = runs
-    print(json.dumps({"total": round(sum(times.values()), 2),
-                      "queries": times, "runs": multi}))
+
+    def summary():
+        return json.dumps({"total": round(sum(times.values()), 2),
+                           "queries": times, "runs": multi})
+
+    if serve:
+        print(json.dumps({"ready": True}), flush=True)
+        for line in sys.stdin:
+            name = line.strip()
+            if not name or name == "EXIT":
+                break
+            sql = sqls.get(name)
+            if sql is None:
+                print(json.dumps({"query": name, "error": "no-oracle"}),
+                      flush=True)
+                continue
+            try:
+                sec, runs = measure(sql)
+            except Exception as e:  # keep serving; the pair is just lost
+                print(json.dumps({"query": name,
+                                  "error": type(e).__name__}), flush=True)
+                continue
+            record(name, sec, runs)
+            print(json.dumps({"query": name, "sec": sec, "runs": runs}),
+                  flush=True)
+        print(summary(), flush=True)
+        return
+
+    for name, sql in sorted(sqls.items()):
+        if only and name not in only:
+            continue
+        sec, runs = measure(sql)
+        record(name, sec, runs)
+    print(summary())
 
 
 if __name__ == "__main__":
