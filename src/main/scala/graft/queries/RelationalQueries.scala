@@ -1423,27 +1423,39 @@ object RelationalQueries {
     // have a successor (each key's live current version stays in state).
     QueryDef(
       "stream_scd2",
-      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+      (s, dir) => {
         import s.implicits._
-        val fx = StreamFixtures.ordersHalves(s, dir)
-        val schema = StreamFixtures.ordersHalvesSchema(s, dir)
-        val root = StreamFixtures.scratchDir("graft_sscd2_")
-        val srcDir = s"$root/src"
-        StreamFixtures.feed(fx, "lo", srcDir)
-        val src = s.readStream.schema(schema).parquet(srcDir)
-          .select(col("o_custkey").cast("string").as("k"),
-            unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
-            col("o_orderkey").as("seq"),
-            col("o_orderpriority").as("value"))
-          .as[graft.streaming.ScdEvent]
-        val name = "stream_scd2_" + System.nanoTime()
-        val q = graft.streaming.ScdCompact(src)
-          .writeStream.queryName(name).format("memory").outputMode("append").start()
-        try {
-          q.processAllAvailable() // batch 1: early half; tail intervals park
-          StreamFixtures.feed(fx, "hi", srcDir)
-          StreamHarness.settle(q) // batch 2: straddling intervals extend/close
-        } finally q.stop()
+        // streaming leg under the stream partition count; the final sort+
+        // checkpoint of ~islands rows runs OUTSIDE it, at the session's
+        // batch parallelism (at sf1 that sort is ~1.1M rows — 4-partition
+        // range sort was a measurable slice of the wall)
+        val (name, root) = StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+          val fx = StreamFixtures.ordersHalves(s, dir)
+          val schema = StreamFixtures.ordersHalvesSchema(s, dir)
+          val root = StreamFixtures.scratchDir("graft_sscd2_")
+          val srcDir = s"$root/src"
+          StreamFixtures.feed(fx, "lo", srcDir)
+          val nm = "stream_scd2_" + System.nanoTime()
+          // keyed multi-file halves + one scan partition per file: each
+          // micro-batch decodes file-parallel (VERDICT r13 #4 — the
+          // single-file halves ran each ~750k-row sf1 decode on one core)
+          StreamHarness.withSplitPerFile(s) {
+            val src = s.readStream.schema(schema).parquet(srcDir)
+              .select(col("o_custkey").cast("string").as("k"),
+                unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+                col("o_orderkey").as("seq"),
+                col("o_orderpriority").as("value"))
+              .as[graft.streaming.ScdEvent]
+            val q = graft.streaming.ScdCompact(src)
+              .writeStream.queryName(nm).format("memory").outputMode("append").start()
+            try {
+              q.processAllAvailable() // batch 1: early half; tail intervals park
+              StreamFixtures.feed(fx, "hi", srcDir)
+              StreamHarness.settle(q) // batch 2: straddling intervals extend/close
+            } finally q.stop()
+          }
+          (nm, root)
+        }
         val res = s.table(name)
           .select(col("k").cast("long").as("o_custkey"), col("island"),
             col("value").as("o_orderpriority"),

@@ -100,6 +100,26 @@ object StreamHarness {
     q.processAllAvailable()
   }
 
+  /** Run `body` with the file-scan bin-packer closing a partition at
+    * every file, restoring the session value afterwards. The pre-split
+    * keyed fixtures ([[StreamFixtures.eventsKeyed]]) are ~cores small
+    * files; under the defaults (maxPartitionBytes 128 MB, openCost 4 MB)
+    * the packer would coalesce them into one or two scan partitions and
+    * re-serialize the decode the split exists to parallelize. Setting
+    * maxPartitionBytes to the 4 MB open cost makes every file its own
+    * partition (any file's padded cost alone reaches the cap) — the
+    * micro-batch scan then decodes file-parallel, which is exactly the
+    * per-topic-partition parallelism a Kafka source gives. Scoped per
+    * query: the batch catalog keeps the default (its parquet is big
+    * enough to split on row groups).
+    */
+  def withSplitPerFile[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4m")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Total rows dropped as too-late across every recorded micro-batch of
     * `q` (sum of stateOperators.numRowsDroppedByWatermark). The flush-
     * sentinel pattern is only correct when the corpus and the sentinel
@@ -174,11 +194,19 @@ object StreamFixtures {
   def eventsHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(eventsHalves(s, dir) + "/lo").schema
 
-  /** The orders table split into two single-file halves by o_orderdate
-    * (change-log time) — the SCD2 streaming twin feeds these to prove an
-    * interval OPEN in batch-1 state extends across the batch boundary.
-    * Same-date rows always land in the same half, so per-key event order
-    * is respected across batches.
+  /** The orders table split into two halves by o_orderdate (change-log
+    * time) — the SCD2 streaming twin feeds these to prove an interval
+    * OPEN in batch-1 state extends across the batch boundary. Same-date
+    * rows always land in the same half, so per-key event order is
+    * respected across batches.
+    *
+    * Each half is hash-partitioned by o_custkey into one file per core
+    * (VERDICT r13 #4, same keyed-topic ingest shape as [[eventsKeyed]]):
+    * the r13 single-file halves serialized each micro-batch's ~750k-row
+    * sf1 decode on one core. Multi-file halves are safe here because the
+    * whole half is staged atomically before its trigger (one batch per
+    * feed regardless of file count) and ScdCompact sorts (ts, seq)
+    * within the batch; cross-batch per-key order is the date split.
     */
   def ordersHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("orders_halves|" + dir, {
@@ -189,9 +217,10 @@ object StreamFixtures {
       val mid = lo0.plusSeconds(
         java.time.Duration.between(lo0, hi0).getSeconds / 2)
       val root = Files.createTempDirectory("graft_fx_orders_").toString
-      o.filter(col("o_orderdate") <= lit(mid)).coalesce(1)
+      val n = s.sparkContext.defaultParallelism
+      o.filter(col("o_orderdate") <= lit(mid)).repartition(n, col("o_custkey"))
         .write.parquet(s"$root/lo")
-      o.filter(col("o_orderdate") > lit(mid)).coalesce(1)
+      o.filter(col("o_orderdate") > lit(mid)).repartition(n, col("o_custkey"))
         .write.parquet(s"$root/hi")
       root
     })
@@ -258,6 +287,33 @@ object StreamFixtures {
   }
   def embHalvesSchema(s: SparkSession, dir: String) =
     s.read.parquet(embHalves(s, dir) + "/lo").schema
+
+  /** The events table hash-partitioned by user_id into one parquet file
+    * per core under `keyed/` — the KEYED-TOPIC ingest shape (VERDICT r13
+    * #3). The single-file fixture serialized the 5M-row sf1 decode on one
+    * core (parquet can't split below a row group) and forced a
+    * round-robin exchange (`scanWide`) to fan the batch out; a deployed
+    * Kafka topic is partitioned by key, so parallel ingest is free and a
+    * user's events arrive partition-local. Pre-splitting by key gives the
+    * bench the same shape: the scan decodes N-way in parallel AND the
+    * per-partition session pre-merge sees each user's complete history,
+    * so the key shuffle moves finished sessions with no extra exchange.
+    * Explicit partition count (not AQE-coalesced); empty partitions write
+    * no file, so the file count is ≤ cores — callers must not assume N.
+    */
+  def eventsKeyed(s: SparkSession, dir: String): String = cache.synchronized {
+    cache.getOrElseUpdate("events_keyed|" + dir, {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val root = Files.createTempDirectory("graft_fx_evkeyed_").toString
+      raw.repartition(s.sparkContext.defaultParallelism, col("user_id"))
+        .write.parquet(s"$root/keyed")
+      root
+    })
+  }
+
+  /** Schema of the keyed events fixture (= raw events.parquet schema). */
+  def eventsKeyedSchema(s: SparkSession, dir: String) =
+    s.read.parquet(eventsKeyed(s, dir) + "/keyed").schema
 
   /** One-row session-window FLUSH sentinel (VERDICT r12 #3): raw events
     * schema, key -1, event time tmax + 2·gap. It advances the global
