@@ -1260,7 +1260,7 @@ object CoreQueries {
     // session while gap < G).
     QueryDef(
       "stream_session_window",
-      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+      (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.wideStreamPartitions(s)) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // pre-merge sessions within each input partition BEFORE the
         // key shuffle: the shuffle then moves ~sessions (~912k at sf1),
@@ -1280,7 +1280,6 @@ object CoreQueries {
             "spark.sql.streaming.noDataMicroBatches.enabled=true: append-" +
             "mode sessions finalize in the idle batch after the flush " +
             "sentinel's watermark advance")
-        val flushSrc = StreamFixtures.scratchDir("graft_swflush_src_")
         val mainSrc = StreamFixtures.scratchDir("graft_sw_src_")
         try {
           // keyed-topic ingest shape (VERDICT r13 #3): the corpus arrives
@@ -1297,17 +1296,18 @@ object CoreQueries {
           val fxRoot = StreamFixtures.eventsKeyed(s, dir)
           val schema = StreamFixtures.eventsKeyedSchema(s, dir)
           StreamFixtures.feed(fxRoot, "keyed", mainSrc)
-          val main = s.readStream.schema(schema).parquet(mainSrc)
-          // the sentinel is staged BEFORE start, so batch 0 admits the
-          // corpus and the flush row TOGETHER (offsets are collected
-          // from all sources per trigger): the watermark only advances
-          // AFTER a batch, so nothing can be late-dropped, and the
-          // single no-data batch that follows finalizes and emits every
-          // real session and drains the store in one pass
+          // the sentinel file is staged into the SAME source dir BEFORE
+          // start, so batch 0 admits the corpus and the flush row
+          // TOGETHER: the watermark only advances AFTER a batch, so
+          // nothing can be late-dropped, and the single no-data batch
+          // that follows finalizes and emits every real session and
+          // drains the store in one pass. (r12 needed a second source to
+          // stage the sentinel after batch 0; the r13 single-phase feed
+          // made that source pure overhead — one more listing + offset
+          // log + union node per trigger — so it is gone.)
           StreamFixtures.feed(
-            StreamFixtures.sessionFlushFixture(s, dir), "flush", flushSrc)
-          val flush = s.readStream.schema(schema).parquet(flushSrc)
-          val src = main.unionByName(flush)
+            StreamFixtures.sessionFlushFixture(s, dir), "flush", mainSrc)
+          val src = s.readStream.schema(schema).parquet(mainSrc)
             .withColumn("event_time", timestamp_micros(graft.core.Tables.tsUsExpr(schema)))
             .withWatermark("event_time", "0 seconds")
           val agg = src
@@ -1340,7 +1340,6 @@ object CoreQueries {
         } finally {
           s.conf.unset(
             "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
-          StreamFixtures.deleteRecursively(flushSrc)
           StreamFixtures.deleteRecursively(mainSrc)
         }
       },

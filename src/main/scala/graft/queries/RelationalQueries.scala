@@ -1429,7 +1429,7 @@ object RelationalQueries {
         // checkpoint of ~islands rows runs OUTSIDE it, at the session's
         // batch parallelism (at sf1 that sort is ~1.1M rows — 4-partition
         // range sort was a measurable slice of the wall)
-        val (name, root) = StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
+        val (name, root) = StreamHarness.withShufflePartitions(s, StreamHarness.wideStreamPartitions(s)) {
           val fx = StreamFixtures.ordersHalves(s, dir)
           val schema = StreamFixtures.ordersHalvesSchema(s, dir)
           val root = StreamFixtures.scratchDir("graft_sscd2_")
