@@ -215,19 +215,35 @@ object Bench {
     // rounded denominator is floor noise, not a measurement.)
     val pairedStat =
       if (pairedComplete) {
+        def medianOf(rs: Seq[Double]): Option[Double] =
+          if (rs.isEmpty) None
+          else Some(
+            if (rs.size % 2 == 1) rs(rs.size / 2)
+            else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
         val ratios = comparableNames
           .flatMap { n =>
             val d = duckPaired(n)
             if (d > 0.0) Some(okMap(n) / d) else None
           }.sorted
-        val med =
-          if (ratios.isEmpty) ""
-          else {
-            val m = if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
-            f""","paired_ratio_median":$m%.3f,"paired_pairs":${ratios.size}"""
-          }
-        s""","paired":true$med"""
+        // HEAVY median (duck leg >= 0.1 s): the all-pairs median is
+        // dominated by the ~165 sub-second catalog queries where Spark's
+        // fixed per-job floor (~0.2 s) divides DuckDB's ~10 ms — it
+        // measures the job-scheduling floor ratio, not engine
+        // throughput. Pairs with real oracle work are the comparable
+        // population; both medians are emitted so the floor toll stays
+        // visible instead of silently dropped.
+        val heavy = comparableNames
+          .flatMap { n =>
+            val d = duckPaired(n)
+            if (d >= 0.1) Some(okMap(n) / d) else None
+          }.sorted
+        val med = medianOf(ratios).map(m =>
+          f""","paired_ratio_median":$m%.3f,"paired_pairs":${ratios.size}""")
+          .getOrElse("")
+        val medH = medianOf(heavy).map(m =>
+          f""","paired_ratio_median_heavy":$m%.3f,"paired_heavy_pairs":${heavy.size}""")
+          .getOrElse("")
+        s""","paired":true$med$medH"""
       } else ""
     val pair = duckRun match {
       case Some((d, detail)) if d > 0 =>
