@@ -68,6 +68,15 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame) -> str:
 
 def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
+    # co-location knobs (1000x-gate finding): DuckDB sizes memory_limit
+    # off TOTAL RAM (~80%) regardless of co-resident engines — on a box
+    # shared with a 48g Spark JVM the kernel OOM-kills it; a capped limit
+    # spills to temp instead. GRAFT_DUCK_MEM, e.g. "48GB"; GRAFT_DUCK_TMP
+    # points the spill at the roomiest volume.
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit = '{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        con.execute(f"SET temp_directory = '{os.environ['GRAFT_DUCK_TMP']}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
