@@ -33,6 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 1000x-gate harness knob (CORRECTNESS_SF100_r14 find 5a): the
+  // memory-sink gate collects each streaming batch's results on the
+  // driver, and at 1000x volume one stream_semdedup task result was
+  // 1.2 GiB — over Spark's 1g default. Default unchanged; the scale
+  // gates raise it explicitly.
+  s"-Dspark.driver.maxResultSize=${sys.env.getOrElse("SPARK_DRIVER_MAXRESULT", "1g")}",
   // sbt-134 watch (VERDICT r13 #7): `sbt test` once exited 134 from a
   // native std::bad_alloc AFTER "All tests passed" (r12 HEAD, never
   // reproduced). If it recurs, the JVM fatal-error log names the raising
