@@ -68,6 +68,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeat hardening — see Verify.scala: a scale-load
+      // full-GC pause past 120 s wedges the context for no safety gain
+      .config("spark.network.timeout", "3600s")
+      .config("spark.executor.heartbeatInterval", "60s")
     // tmpfs scratch for streaming checkpoints (offset/commit logs + state
     // snapshots are many small fsync-ed files — on-disk /tmp charges each
     // of the ~27 stream queries a fixed IO toll; a RAM-backed scratch is
@@ -220,43 +224,70 @@ object Bench {
           else Some(
             if (rs.size % 2 == 1) rs(rs.size / 2)
             else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
-        val ratios = comparableNames
-          .flatMap { n =>
-            val d = duckPaired(n)
-            if (d > 0.0) Some(okMap(n) / d) else None
-          }.sorted
-        // HEAVY median (duck leg >= 0.1 s): the all-pairs median is
+        // one (name, spark, duck) tuple build feeds every paired
+        // statistic (ADVICE r14: the ratio flatMap was duplicated and the
+        // heavy cutoff was unrecoverable from the artifact — it is now
+        // emitted as paired_heavy_min_duck)
+        val heavyMinDuck = 0.1
+        val pairs = comparableNames
+          .map(n => (n, okMap(n), duckPaired(n)))
+          .filter(_._3 > 0.0) // sub-ms duck legs: floor noise, not data
+        val ratios = pairs.map { case (_, s, d) => s / d }.sorted
+        // HEAVY pairs (duck leg >= heavyMinDuck): the all-pairs median is
         // dominated by the ~165 sub-second catalog queries where Spark's
         // fixed per-job floor (~0.2 s) divides DuckDB's ~10 ms — it
         // measures the job-scheduling floor ratio, not engine
         // throughput. Pairs with real oracle work are the comparable
         // population; both medians are emitted so the floor toll stays
         // visible instead of silently dropped.
-        val heavy = comparableNames
-          .flatMap { n =>
-            val d = duckPaired(n)
-            if (d >= 0.1) Some(okMap(n) / d) else None
-          }.sorted
+        val heavy = pairs.filter(_._3 >= heavyMinDuck)
+        val heavyRatios = heavy.map { case (_, s, d) => s / d }.sorted
+        // Heavy SUBTOTAL ratio (VERDICT r14 #5) — the committed headline:
+        // across three same-code r14 windows the per-pair heavy MEDIAN
+        // swung 1.71→2.18 (a host slam inflates the 32-thread Spark leg
+        // of one pair more than its single-threaded duck leg, so per-pair
+        // ratios stay load-sensitive even measured seconds apart) while
+        // this subtotal ratio sat 0.92→1.02 — summing first amortizes the
+        // per-pair slam skew. Medians stay emitted for comparability.
+        val hs = heavy.map(_._2).sum
+        val hd = heavy.map(_._3).sum
         val med = medianOf(ratios).map(m =>
           f""","paired_ratio_median":$m%.3f,"paired_pairs":${ratios.size}""")
           .getOrElse("")
-        val medH = medianOf(heavy).map(m =>
-          f""","paired_ratio_median_heavy":$m%.3f,"paired_heavy_pairs":${heavy.size}""")
+        val medH = medianOf(heavyRatios).map(m =>
+          f""","paired_ratio_median_heavy":$m%.3f,"paired_heavy_pairs":${heavyRatios.size}""")
           .getOrElse("")
-        s""","paired":true$med$medH"""
+        val sub =
+          if (hd > 0.0)
+            f""","paired_heavy_subtotal_ratio":${hs / hd}%.3f,"paired_heavy_spark":$hs%.2f,"paired_heavy_duck":$hd%.2f"""
+          else ""
+        s""","paired":true$med$medH$sub,"paired_heavy_min_duck":$heavyMinDuck"""
       } else ""
-    val pair = duckRun match {
+    // pairStats (totals + paired statistics) is kept separate from
+    // duck_detail (the big per-query oracle map) so the compact stdout
+    // line below can carry every headline number without the maps
+    val (pairStats, pairDetail) = duckRun match {
       case Some((d, detail)) if d > 0 =>
         val ratio =
           if (fullCatalog) f""","ratio":${sparkComparable / d}%.3f""" else ""
         // duck_detail = duck_bench.py's own JSON ({"total","queries"}) so
         // oracle-side outliers (e.g. doc_bpe_train's unrolled CTE) are
         // visible per-query instead of silently flattering the total
-        f""","spark":$sparkComparable%.2f,"duck":$d%.2f$ratio$pairedStat,"duck_detail":$detail"""
-      case _ => ""
+        (f""","spark":$sparkComparable%.2f,"duck":$d%.2f$ratio$pairedStat""",
+          s""","duck_detail":$detail""")
+      case _ => ("", "")
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","full_catalog":$fullCatalog,"queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size}$pair,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","full_catalog":$fullCatalog,"queries":$qs,"runs":$rs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size}$pairStats$pairDetail,"sf":"$sfDir"}"""
+    // Compact twin for the driver's stdout-tail capture (VERDICT r14
+    // "what's wrong", cosmetic find): the full line above is ~6-10 KB —
+    // it can NEVER fit a 2000-char tail window, which is why BENCH_r14's
+    // driver capture shows `parsed: null`. This line carries every
+    // headline statistic but none of the per-query maps (<600 chars), so
+    // a backwards line scan of any tail finds a parseable artifact; the
+    // maps live in BENCH.json / BENCH_FULL_r{N}.json (canonical).
+    val jsonCompact =
+      s"""{"metric":"total","value":$total,"unit":"sec","full_catalog":$fullCatalog,"n_ok":${ok.size},"n_failed":${failed.size}$pairStats,"sf":"$sfDir","detail":"BENCH.json"}"""
     if (args.isEmpty) {
       Files.writeString(Paths.get("BENCH.json"), json)
       // self-contained per-round snapshot (VERDICT r5 #3): the driver's
@@ -280,9 +311,12 @@ object Bench {
     sys.props.get("graft.benchOut")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .foreach(p => Files.writeString(Paths.get(p), json))
-    // last stdout line, after Spark's own shutdown logging is done
+    // full line first (the ONE-JSON-line contract for whole-stdout
+    // consumers), compact twin LAST so a bounded tail capture still
+    // parses — see jsonCompact's comment
     System.out.flush()
     println(json)
+    println(jsonCompact)
     System.out.flush()
   }
 

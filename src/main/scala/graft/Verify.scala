@@ -21,6 +21,15 @@ object Verify {
       // streaming catalog under it here IS its correctness gate.
       .config("spark.sql.streaming.checkpointFileManagerClass",
         classOf[graft.streaming.LocalNioCheckpointFileManager].getName)
+      // Local-mode heartbeat hardening (CORRECTNESS_SF100_r14 find 2,
+      // recurred in the r15 stream_semdedup retry): a 48g driver JVM
+      // under scale-gate load can pause >120 s in one full GC; the
+      // HeartbeatReceiver then removes the SAME-JVM executor and the
+      // context wedges throwing RpcEndpointNotFoundException forever.
+      // In local mode the heartbeat protects nothing (executor death IS
+      // driver death), so an hour-scale timeout only removes the wedge.
+      .config("spark.network.timeout", "3600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture-schema canary: one loud failure on testdata drift, never a

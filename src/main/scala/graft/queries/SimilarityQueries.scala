@@ -888,10 +888,12 @@ object SimilarityQueries {
                FROM emb, range(0, 4) t(m)),
              enc0 AS (
                SELECT vec_id, m, code FROM (
-                 SELECT subs.vec_id, subs.m, cb0n.code,
-                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
-                     ORDER BY cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb0n.code) AS rk
-                 FROM subs JOIN cb0n ON subs.m = cb0n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT subs.vec_id, subs.m, cb0n.code,
+                         cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM subs JOIN cb0n ON subs.m = cb0n.m))
                WHERE rk = 1),
              means AS (
                SELECT j.m, j.code, i AS pos,
@@ -908,10 +910,12 @@ object SimilarityQueries {
              cb1n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb1),
              encoded AS (
                SELECT vec_id, m, code FROM (
-                 SELECT subs.vec_id, subs.m, cb1n.code,
-                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
-                     ORDER BY cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb1n.code) AS rk
-                 FROM subs JOIN cb1n ON subs.m = cb1n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT subs.vec_id, subs.m, cb1n.code,
+                         cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM subs JOIN cb1n ON subs.m = cb1n.m))
                WHERE rk = 1),
              lut AS (
                SELECT q.vec_id AS q_id, cb1n.m, cb1n.code,
@@ -1046,25 +1050,25 @@ object SimilarityQueries {
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              a0 AS (
-               SELECT vec_id, v, n2, c_id AS cell FROM (
-                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+               SELECT vec_id, c_id AS cell FROM (
+                 SELECT emb.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
                      ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
                  FROM emb, cents0 c)
                WHERE rk = 1),
              cmeans AS (
                SELECT cell, i AS dim,
-                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 sum(floor(e.v[i] * 1000000000)::bigint)::double /
                  (count(*) * 1000000000)::double AS m
-               FROM a0, range(1, 65) t(i)
+               FROM a0 JOIN emb e USING (vec_id), range(1, 65) t(i)
                GROUP BY cell, i),
              cents1 AS (
                SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cmeans GROUP BY cell),
              cents1n AS (
                SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
              a1 AS (
-               SELECT vec_id, v, n2, c_id AS cell FROM (
-                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+               SELECT vec_id, c_id AS cell FROM (
+                 SELECT emb.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
                      ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
                  FROM emb, cents1n c)
@@ -1078,10 +1082,12 @@ object SimilarityQueries {
                FROM emb, range(0, 4) t(m)),
              enc0 AS (
                SELECT vec_id, m, code FROM (
-                 SELECT subs.vec_id, subs.m, cb0n.code,
-                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
-                     ORDER BY cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb0n.code) AS rk
-                 FROM subs JOIN cb0n ON subs.m = cb0n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT subs.vec_id, subs.m, cb0n.code,
+                         cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM subs JOIN cb0n ON subs.m = cb0n.m))
                WHERE rk = 1),
              pmeans AS (
                SELECT j.m, j.code, i AS pos,
@@ -1098,10 +1104,12 @@ object SimilarityQueries {
              cb1n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb1),
              encoded AS (
                SELECT vec_id, m, code FROM (
-                 SELECT subs.vec_id, subs.m, cb1n.code,
-                   row_number() OVER (PARTITION BY subs.vec_id, subs.m
-                     ORDER BY cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb1n.code) AS rk
-                 FROM subs JOIN cb1n ON subs.m = cb1n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT subs.vec_id, subs.m, cb1n.code,
+                         cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM subs JOIN cb1n ON subs.m = cb1n.m))
                WHERE rk = 1),
              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
              probes AS (
@@ -1254,41 +1262,44 @@ object SimilarityQueries {
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              a0 AS (
-               SELECT vec_id, v, n2, c_id AS cell FROM (
-                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+               SELECT vec_id, c_id AS cell FROM (
+                 SELECT emb.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
                      ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
                  FROM emb, cents0 c)
                WHERE rk = 1),
              cmeans AS (
                SELECT cell, i AS dim,
-                 sum(floor(v[i] * 1000000000)::bigint)::double /
+                 sum(floor(e.v[i] * 1000000000)::bigint)::double /
                  (count(*) * 1000000000)::double AS m
-               FROM a0, range(1, 65) t(i)
+               FROM a0 JOIN emb e USING (vec_id), range(1, 65) t(i)
                GROUP BY cell, i),
              cents1 AS (
                SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cmeans GROUP BY cell),
              cents1n AS (
                SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
              a1 AS (
-               SELECT vec_id, v, n2, c_id AS cell FROM (
-                 SELECT emb.vec_id, emb.v, emb.n2, c.c_id,
+               SELECT vec_id, c_id AS cell FROM (
+                 SELECT emb.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
                      ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
                  FROM emb, cents1n c)
                WHERE rk = 1),
              rsubs AS (
                SELECT a1.vec_id, m,
-                 list_transform(range(1, 17), i -> a1.v[m*16+i] - c.cv[m*16+i]) AS sub
-               FROM a1 JOIN cents1n c ON a1.cell = c.c_id, range(0, 4) t(m)),
+                 list_transform(range(1, 17), i -> e.v[m*16+i] - c.cv[m*16+i]) AS sub
+               FROM a1 JOIN emb e ON a1.vec_id = e.vec_id
+                 JOIN cents1n c ON a1.cell = c.c_id, range(0, 4) t(m)),
              cb0 AS (SELECT m, vec_id AS code, sub AS cw FROM rsubs WHERE vec_id < 8),
              cb0n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb0),
              enc0 AS (
                SELECT vec_id, m, code FROM (
-                 SELECT rsubs.vec_id, rsubs.m, cb0n.code,
-                   row_number() OVER (PARTITION BY rsubs.vec_id, rsubs.m
-                     ORDER BY cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb0n.code) AS rk
-                 FROM rsubs JOIN cb0n ON rsubs.m = cb0n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT rsubs.vec_id, rsubs.m, cb0n.code,
+                         cb0n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM rsubs JOIN cb0n ON rsubs.m = cb0n.m))
                WHERE rk = 1),
              pmeans AS (
                SELECT j.m, j.code, i AS pos,
@@ -1305,10 +1316,12 @@ object SimilarityQueries {
              cb1n AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwn2 FROM cb1),
              encoded AS (
                SELECT vec_id, m, code FROM (
-                 SELECT rsubs.vec_id, rsubs.m, cb1n.code,
-                   row_number() OVER (PARTITION BY rsubs.vec_id, rsubs.m
-                     ORDER BY cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}), cb1n.code) AS rk
-                 FROM rsubs JOIN cb1n ON rsubs.m = cb1n.m)
+                 SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d2, code) AS rk
+                 FROM (SELECT rsubs.vec_id, rsubs.m, cb1n.code,
+                         cb1n.cwn2 - 2 * (${dotSql("sub", "cw")}) AS d2
+                       FROM rsubs JOIN cb1n ON rsubs.m = cb1n.m))
                WHERE rk = 1),
              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM emb WHERE vec_id < 3),
              probes AS (
@@ -2042,6 +2055,12 @@ object SimilarityQueries {
             }
             graft.streaming.CellVec(bestC, id, v.toIndexedSeq, n2)
           }
+        // near-dup pair emission is ~corpus-sized into the driver-side
+        // memory sink — fail loud on an undersized maxResultSize before
+        // the stream starts (ADVICE r14; the 1000x gate measured a
+        // 1.2 GiB single-task result against the 1g default)
+        StreamFixtures.assertDriverCollectCapacity(
+          s, s"$dir/embeddings.parquet", "stream_semdedup")
         val name = "stream_sd_" + System.nanoTime()
         val sq = graft.streaming.StreamSemDedup(cv, 0.3)
           .writeStream.queryName(name).format("memory")

@@ -129,6 +129,16 @@ object StreamHarness {
     * per-topic-partition parallelism a Kafka source gives. Scoped per
     * query: the batch catalog keeps the default (its parquet is big
     * enough to split on row groups).
+    *
+    * SERIAL-EXECUTION ASSUMPTION (ADVICE r14): the knob is session-global
+    * for the duration of `body` — Spark 4.1 has no per-read equivalent
+    * (FileSourceOptions carries only ignoreCorrupt/MissingFiles; the
+    * bin-packer reads the session conf in FilePartition.maxSplitBytes).
+    * Any OTHER query planned on this session while `body` runs silently
+    * inherits the 4 MB packing. Verify/Bench run the catalog strictly
+    * sequentially on one thread, so nothing else plans during the window;
+    * a future concurrent runner must either pin its own session or plan
+    * outside these windows.
     */
   def withSplitPerFile[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.files.maxPartitionBytes"
@@ -424,6 +434,35 @@ object StreamFixtures {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   def frozen[T <: AnyRef](key: String)(build: => T): T =
     models.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Loud-config guard (ADVICE r14): the bench/gate harness collects
+    * every memory-sink batch onto the DRIVER. For the few queries whose
+    * emission is corpus-sized (the null-passthrough floor, the semdedup
+    * pair emitter) that makes spark.driver.maxResultSize a correctness
+    * knob — at the 1000x gate one stream_semdedup task result measured
+    * 1.2 GiB against Spark's 1g default and failed 40 minutes into the
+    * run. This fails BEFORE the stream starts when the source volume
+    * exceeds the configured cap, naming the SPARK_DRIVER_MAXRESULT knob
+    * (build.sbt javaOptions). On-disk parquet bytes (compressed) are a
+    * conservative LOWER bound on the serialized task-result volume; a
+    * cap of 0 means unlimited and always passes. A deployment sinks to
+    * Kafka/parquet and never hits this — it is a gate-harness guard.
+    */
+  def assertDriverCollectCapacity(s: SparkSession, srcPath: String,
+      query: String): Unit = {
+    val bytes = Files.walk(Paths.get(srcPath)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size(_)).sum
+    val cap = s.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (cap > 0 && bytes > cap)
+      throw new IllegalStateException(
+        s"$query sinks ~the full corpus to the driver-side memory sink: " +
+          s"source parquet is $bytes bytes but spark.driver.maxResultSize " +
+          s"is $cap. Export SPARK_DRIVER_MAXRESULT above the corpus size " +
+          "for scale-gate runs (build.sbt wires it through).")
+  }
 
   /** Fresh per-run scratch directory (source/checkpoint/output roots). */
   def scratchDir(prefix: String): String =

@@ -683,7 +683,10 @@ object TextQueries {
           .toDF("w", "n_toks")
         docs(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z0-9]+$"))
+          // the regex filter is REDUNDANT on this pass: wordToks is
+          // exactly the regex-passing vocabulary, so the broadcast INNER
+          // join drops non-matching tokens for free — measured −25% on
+          // the doc pass at sf1 (VERDICT r14 #4), results bit-identical
           .join(broadcast(wordToks), "w")
           .groupBy("doc_id")
           .agg(sum(col("n_toks")).as("n_tokens"))
@@ -749,7 +752,9 @@ object TextQueries {
             col("e")("q").as("wq"))
         docs(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z0-9]+$"))
+          // regex filter elided: `enc` is exactly the regex-passing
+          // vocabulary, so the broadcast INNER join is the filter
+          // (doc_bpe_encode's measured −25% doc-pass win, VERDICT r14 #4)
           .join(broadcast(enc), "w")
           .groupBy("doc_id")
           .agg(sum(col("n_p")).as("n_pieces"), sum(-col("wq")).as("nll_q"))

@@ -73,10 +73,19 @@ def main(sf_dir, out_dir, only=()):
     # shared with a 48g Spark JVM the kernel OOM-kills it; a capped limit
     # spills to temp instead. GRAFT_DUCK_MEM, e.g. "48GB"; GRAFT_DUCK_TMP
     # points the spill at the roomiest volume.
-    if os.environ.get("GRAFT_DUCK_MEM"):
-        con.execute(f"SET memory_limit = '{os.environ['GRAFT_DUCK_MEM']}'")
-    if os.environ.get("GRAFT_DUCK_TMP"):
-        con.execute(f"SET temp_directory = '{os.environ['GRAFT_DUCK_TMP']}'")
+    # Values are validated (not interpolated blindly) per ADVICE r14: a
+    # stray quote would otherwise break the SET statement.
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        import re
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem):
+            raise SystemExit(f"GRAFT_DUCK_MEM invalid: {mem!r} (want e.g. 24GB)")
+        con.execute(f"SET memory_limit = '{mem}'")  # validated above; SET takes no binds
+    tmp = os.environ.get("GRAFT_DUCK_TMP")
+    if tmp:
+        if not os.path.isdir(tmp) or "'" in tmp:
+            raise SystemExit(f"GRAFT_DUCK_TMP invalid or missing dir: {tmp!r}")
+        con.execute(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
