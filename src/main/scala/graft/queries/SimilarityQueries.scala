@@ -896,14 +896,15 @@ object SimilarityQueries {
                        FROM subs JOIN cb0n ON subs.m = cb0n.m))
                WHERE rk = 1),
              means AS (
-               SELECT j.m, j.code, i AS pos,
-                 sum(floor(j.sub[i] * 1000000000)::bigint)::double /
-                 (count(*) * 1000000000)::double AS mean
-               FROM (SELECT e.m, e.code, s.sub
+               SELECT m, code, i AS pos,
+                 sum(q)::double / (count(*) * 1000000000)::double AS mean
+               FROM (SELECT e.m, e.code,
+                       unnest(generate_series(1, 16)) AS i,
+                       unnest(list_transform(s.sub,
+                         x -> floor(x * 1000000000)::bigint)) AS q
                      FROM enc0 e JOIN subs s
-                       ON e.vec_id = s.vec_id AND e.m = s.m) j,
-                    range(1, 17) t(i)
-               GROUP BY j.m, j.code, i),
+                       ON e.vec_id = s.vec_id AND e.m = s.m)
+               GROUP BY m, code, i),
              cb1 AS (
                SELECT m, code, list(mean ORDER BY pos) AS cw
                FROM means GROUP BY m, code),
@@ -1050,28 +1051,35 @@ object SimilarityQueries {
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              a0 AS (
-               SELECT vec_id, c_id AS cell FROM (
-                 SELECT emb.vec_id, c.c_id,
-                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
-                 FROM emb, cents0 c)
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rk
+                 FROM (SELECT emb.vec_id, c.c_id AS cell,
+                         ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) AS sim
+                       FROM emb, cents0 c))
                WHERE rk = 1),
              cmeans AS (
                SELECT cell, i AS dim,
-                 sum(floor(e.v[i] * 1000000000)::bigint)::double /
-                 (count(*) * 1000000000)::double AS m
-               FROM a0 JOIN emb e USING (vec_id), range(1, 65) t(i)
+                 sum(q)::double / (count(*) * 1000000000)::double AS m
+               FROM (SELECT cell,
+                       unnest(generate_series(1, 64)) AS i,
+                       unnest(list_transform(e.v,
+                         x -> floor(x * 1000000000)::bigint)) AS q
+                     FROM a0 JOIN emb e USING (vec_id))
                GROUP BY cell, i),
              cents1 AS (
                SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cmeans GROUP BY cell),
              cents1n AS (
                SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
              a1 AS (
-               SELECT vec_id, c_id AS cell FROM (
-                 SELECT emb.vec_id, c.c_id,
-                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
-                 FROM emb, cents1n c)
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rk
+                 FROM (SELECT emb.vec_id, c.c_id AS cell,
+                         ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) AS sim
+                       FROM emb, cents1n c))
                WHERE rk = 1),
              cb0 AS (
                SELECT m, vec_id AS code, v[(m*16+1):(m*16+16)] AS cw
@@ -1090,14 +1098,15 @@ object SimilarityQueries {
                        FROM subs JOIN cb0n ON subs.m = cb0n.m))
                WHERE rk = 1),
              pmeans AS (
-               SELECT j.m, j.code, i AS pos,
-                 sum(floor(j.sub[i] * 1000000000)::bigint)::double /
-                 (count(*) * 1000000000)::double AS mean
-               FROM (SELECT e.m, e.code, s.sub
+               SELECT m, code, i AS pos,
+                 sum(q)::double / (count(*) * 1000000000)::double AS mean
+               FROM (SELECT e.m, e.code,
+                       unnest(generate_series(1, 16)) AS i,
+                       unnest(list_transform(s.sub,
+                         x -> floor(x * 1000000000)::bigint)) AS q
                      FROM enc0 e JOIN subs s
-                       ON e.vec_id = s.vec_id AND e.m = s.m) j,
-                    range(1, 17) t(i)
-               GROUP BY j.m, j.code, i),
+                       ON e.vec_id = s.vec_id AND e.m = s.m)
+               GROUP BY m, code, i),
              cb1 AS (
                SELECT m, code, list(mean ORDER BY pos) AS cw
                FROM pmeans GROUP BY m, code),
@@ -1262,28 +1271,35 @@ object SimilarityQueries {
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              a0 AS (
-               SELECT vec_id, c_id AS cell FROM (
-                 SELECT emb.vec_id, c.c_id,
-                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
-                 FROM emb, cents0 c)
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rk
+                 FROM (SELECT emb.vec_id, c.c_id AS cell,
+                         ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) AS sim
+                       FROM emb, cents0 c))
                WHERE rk = 1),
              cmeans AS (
                SELECT cell, i AS dim,
-                 sum(floor(e.v[i] * 1000000000)::bigint)::double /
-                 (count(*) * 1000000000)::double AS m
-               FROM a0 JOIN emb e USING (vec_id), range(1, 65) t(i)
+                 sum(q)::double / (count(*) * 1000000000)::double AS m
+               FROM (SELECT cell,
+                       unnest(generate_series(1, 64)) AS i,
+                       unnest(list_transform(e.v,
+                         x -> floor(x * 1000000000)::bigint)) AS q
+                     FROM a0 JOIN emb e USING (vec_id))
                GROUP BY cell, i),
              cents1 AS (
                SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cmeans GROUP BY cell),
              cents1n AS (
                SELECT c_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cents1),
              a1 AS (
-               SELECT vec_id, c_id AS cell FROM (
-                 SELECT emb.vec_id, c.c_id,
-                   row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-                     ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) DESC, c.c_id) AS rk
-                 FROM emb, cents1n c)
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rk
+                 FROM (SELECT emb.vec_id, c.c_id AS cell,
+                         ${dotSql("c.cv", "v")} / (sqrt(c.cn2) * sqrt(emb.n2)) AS sim
+                       FROM emb, cents1n c))
                WHERE rk = 1),
              rsubs AS (
                SELECT a1.vec_id, m,
@@ -1302,14 +1318,15 @@ object SimilarityQueries {
                        FROM rsubs JOIN cb0n ON rsubs.m = cb0n.m))
                WHERE rk = 1),
              pmeans AS (
-               SELECT j.m, j.code, i AS pos,
-                 sum(floor(j.sub[i] * 1000000000)::bigint)::double /
-                 (count(*) * 1000000000)::double AS mean
-               FROM (SELECT e.m, e.code, s.sub
+               SELECT m, code, i AS pos,
+                 sum(q)::double / (count(*) * 1000000000)::double AS mean
+               FROM (SELECT e.m, e.code,
+                       unnest(generate_series(1, 16)) AS i,
+                       unnest(list_transform(s.sub,
+                         x -> floor(x * 1000000000)::bigint)) AS q
                      FROM enc0 e JOIN rsubs s
-                       ON e.vec_id = s.vec_id AND e.m = s.m) j,
-                    range(1, 17) t(i)
-               GROUP BY j.m, j.code, i),
+                       ON e.vec_id = s.vec_id AND e.m = s.m)
+               GROUP BY m, code, i),
              cb1 AS (
                SELECT m, code, list(mean ORDER BY pos) AS cw
                FROM pmeans GROUP BY m, code),

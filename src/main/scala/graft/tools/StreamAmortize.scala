@@ -57,6 +57,7 @@ object StreamAmortize {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val results = Seq(
+      "stream_ingest_floor" -> measureFloor(spark, sfDir, k),
       "stream_session_window" -> measureSession(spark, sfDir, k),
       "stream_scd2" -> measureScd2(spark, sfDir, k),
       "stream_sliding" -> measureSliding(spark, sfDir, k))
@@ -115,6 +116,38 @@ object StreamAmortize {
       StreamFixtures.feed(root, s"d$i", srcDir)
       sq.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
+    }
+
+  /** The per-BATCH machinery floor: the same event drops through a
+    * stateless passthrough (read every row, emit every row — the
+    * stream_ingest_floor shape). Its MARGINAL is the per-drop toll
+    * every stateful family pays before its operator does any work
+    * (source listing, offset/commit log, state-commit scaffolding,
+    * memory-sink append) — measured under the identical drop protocol,
+    * so the stateful marginals decompose as floor + operator work.
+    */
+  private def measureFloor(s: SparkSession, dir: String, k: Int): Seq[Double] =
+    StreamHarness.withShufflePartitions(s, StreamHarness.wideStreamPartitions(s)) {
+      val ev = graft.core.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          graft.core.Tables.tsUsExpr(
+            s.read.parquet(s"$dir/events.parquet").schema).as("tsu"))
+      val root = writeDrops(ev, "tsu", "user_id", k)
+      val srcDir = StreamFixtures.scratchDir("graft_amz_fl_src_")
+      try {
+        val schema = s.read.parquet(s"$root/d1").schema
+        StreamHarness.withSplitPerFile(s) {
+          val src = s.readStream.schema(schema).parquet(srcDir)
+            .select(col("event_id"), col("user_id"), col("value"))
+          val name = "amz_fl_" + System.nanoTime()
+          val sq = src.writeStream.queryName(name).format("memory")
+            .outputMode("append").start()
+          try timedDrops(root, srcDir, k, sq) finally sq.stop()
+        }
+      } finally {
+        StreamFixtures.deleteRecursively(srcDir)
+        StreamFixtures.deleteRecursively(root)
+      }
     }
 
   private def measureSession(s: SparkSession, dir: String, k: Int): Seq[Double] =

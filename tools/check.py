@@ -86,6 +86,17 @@ def main(sf_dir, out_dir, only=()):
         if not os.path.isdir(tmp) or "'" in tmp:
             raise SystemExit(f"GRAFT_DUCK_TMP invalid or missing dir: {tmp!r}")
         con.execute(f"SET temp_directory = '{tmp}'")
+    # Scale-gate knob: row order never matters to the compare (canon()
+    # sorts), and preserve_insertion_order=false lets DuckDB stream
+    # large materializations instead of buffering them ordered — the
+    # documented memory reducer for exactly the >RAM oracle legs.
+    if os.environ.get("GRAFT_DUCK_NO_ORDER"):
+        con.execute("SET preserve_insertion_order = false")
+    thr = os.environ.get("GRAFT_DUCK_THREADS")
+    if thr:
+        if not thr.isdigit():
+            raise SystemExit(f"GRAFT_DUCK_THREADS invalid: {thr!r}")
+        con.execute(f"SET threads = {int(thr)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
