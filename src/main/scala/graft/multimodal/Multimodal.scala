@@ -99,6 +99,18 @@ object Multimodal {
 /** Codec boundary — all real, all JDK stdlib, no native deps. */
 object Codecs {
 
+  // r15 guide §1.2 step-2 (per-task work): ImageIO's DEFAULT ImageInputStream
+  // is FILE-cache backed — every decode of an in-memory blob created (and
+  // fsync-deleted) a temp file on disk. At 32 decode threads the temp-file
+  // churn serialized on the filesystem: mm_video_frames measured 45-119 s of
+  // SUMMED task time for ~15k tiny-PNG decodes (per-stage probe), swinging
+  // run-to-run with /tmp pressure. Memory-cached streams are the right mode
+  // for byte-array inputs at ANY scale (the blobs are already in memory);
+  // decode output is bit-identical. JVM-global, set once at class load —
+  // every decode path in this object (image stats, pHash, video luma,
+  // thumbnails) goes through ImageIO.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode an encoded image blob to (width, height, ARGB pixels) via
     * `javax.imageio.ImageIO` — executor-local, no native libraries.
     * Returns None for undecodable/unsupported bytes (corrupt-blob rows

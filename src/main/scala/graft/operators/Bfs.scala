@@ -32,17 +32,27 @@ object Bfs {
     * @return (node, dist) for every node within `maxHops` of a seed
     */
   def layers(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // Small graphs broadcast the node-sized frames (frontier, settled set)
+    // and partition edges by DST so the per-hop dst-distinct rides the
+    // edge partitioning — zero per-hop exchanges; large graphs keep the
+    // src-partitioned exchange shape (see PageRank.SmallGraphEdgeBytes).
+    // repartition BEFORE distinct: one setup shuffle, not two.
+    val small = edges.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(PageRank.SmallGraphEdgeBytes)
+    val e = edges.select("src", "dst")
+      .repartition(if (small) col("dst") else col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = dist.select("node")
     var h = 1
     var done = false
     while (h <= maxHops && !done) {
-      val next = e.join(frontier.select(col("node").as("src")), "src")
+      val fr = frontier.select(col("node").as("src"))
+      val settled = dist.select("node")
+      val next = e.join(if (small) broadcast(fr) else fr, "src")
         .select(col("dst").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
+        .join(if (small) broadcast(settled) else settled, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint()
       if (next.isEmpty) done = true

@@ -34,24 +34,39 @@ object LabelProp {
     * @return (node, label) — final community assignment
     */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // Small graphs (plan-estimated input under PageRank.SmallGraphEdgeBytes)
+    // take the broadcast shape (r15 guide §2.4/§3.1): edges partition by
+    // DST once, the node-sized label frame reaches the influence join as a
+    // broadcast, and the per-round (dst,label) count + most-frequent window
+    // both ride the dst partitioning (hash(dst) clusters every group key
+    // subset) — zero per-round exchanges. Large graphs keep the exchange
+    // shape: src-partitioned edges never re-shuffle, labels move. Results
+    // are identical either way (exact counts, total-order tie-break).
+    // repartition BEFORE distinct: one fact-sized setup shuffle, not two
+    // (the dedup agg rides the repartition — PageRank's VERDICT r8 #7 fix).
+    val small = edges.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(PageRank.SmallGraphEdgeBytes)
+    val e = edges.select("src", "dst")
+      .repartition(if (small) col("dst") else col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      val lbl = labels.select(col("node").as("src"), col("label"))
       val counts = e
-        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .join(if (small) broadcast(lbl) else lbl, "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("node")
         .orderBy(col("cnt").desc, col("label").asc)
-      val adopted = counts
+      val adopted0 = counts
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"), col("label"))
+      val adopted = if (small) broadcast(adopted0) else adopted0
       // nodes with no in-neighbors keep their current label
       labels = labels.select(col("node"), col("label").as("old"))
         .join(adopted, Seq("node"), "left")

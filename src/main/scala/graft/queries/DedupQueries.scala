@@ -314,7 +314,7 @@ object DedupQueries {
       "stream_neardup_minhash",
       (s, dir) => StreamHarness.withShufflePartitions(s, StreamHarness.StreamPartitions) {
         import s.implicits._
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val schema = graft.core.Tables.cachedSchema(s, s"$dir/documents.parquet")
         // scanWide: shingling + 8 minhash sweeps dominate — parallelize
         // the signature map before the narrow (band,bh) state shuffle
         val src = StreamHarness.scanWide(s, s.readStream.schema(schema)

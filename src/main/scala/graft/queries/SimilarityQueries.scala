@@ -735,7 +735,7 @@ object SimilarityQueries {
             .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
             .sortBy(_._1)
         }
-        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val schema = graft.core.Tables.cachedSchema(s, s"$dir/embeddings.parquet")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
           .filter(col("vec_id") % 2 === 1)
@@ -2041,7 +2041,7 @@ object SimilarityQueries {
             .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
             .sortBy(_._1)
         }
-        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val schema = graft.core.Tables.cachedSchema(s, s"$dir/embeddings.parquet")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
         // same sequential accumulation order as dotd / the oracle's

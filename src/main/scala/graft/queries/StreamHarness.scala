@@ -219,7 +219,7 @@ object StreamFixtures {
 
   /** Schema of the fixture halves (= Tables.events schema). */
   def eventsHalvesSchema(s: SparkSession, dir: String) =
-    s.read.parquet(eventsHalves(s, dir) + "/lo").schema
+    graft.core.Tables.cachedSchema(s, eventsHalves(s, dir) + "/lo")
 
   /** The orders table split into two halves by o_orderdate (change-log
     * time) — the SCD2 streaming twin feeds these to prove an interval
@@ -255,7 +255,7 @@ object StreamFixtures {
 
   /** Schema of the orders fixture halves. */
   def ordersHalvesSchema(s: SparkSession, dir: String) =
-    s.read.parquet(ordersHalves(s, dir) + "/lo").schema
+    graft.core.Tables.cachedSchema(s, ordersHalves(s, dir) + "/lo")
 
   /** The documents table split by doc_id median — the streaming corpus
     * pipeline feeds lower ids first, so first-wins dedup across batches
@@ -274,7 +274,7 @@ object StreamFixtures {
 
   /** Schema of the documents fixture halves. */
   def docsHalvesSchema(s: SparkSession, dir: String) =
-    s.read.parquet(docsHalves(s, dir) + "/lo").schema
+    graft.core.Tables.cachedSchema(s, docsHalves(s, dir) + "/lo")
 
   /** The documents table split into the FOUR deterministic batches of the
     * TTL-registry gate (`stream_clean_corpus_ttl`): grp = doc_id % 3 →
@@ -300,7 +300,7 @@ object StreamFixtures {
 
   /** Schema of the TTL-gate batches (documents + event-time ts). */
   def docsTtlBatchesSchema(s: SparkSession, dir: String) =
-    s.read.parquet(docsTtlBatches(s, dir) + "/b1").schema
+    graft.core.Tables.cachedSchema(s, docsTtlBatches(s, dir) + "/b1")
 
   def embHalves(s: SparkSession, dir: String): String = cache.synchronized {
     cache.getOrElseUpdate("emb_halves|" + dir, {
@@ -313,7 +313,7 @@ object StreamFixtures {
     })
   }
   def embHalvesSchema(s: SparkSession, dir: String) =
-    s.read.parquet(embHalves(s, dir) + "/lo").schema
+    graft.core.Tables.cachedSchema(s, embHalves(s, dir) + "/lo")
 
   /** The events table hash-partitioned by user_id into one parquet file
     * per core under `keyed/` — the KEYED-TOPIC ingest shape (VERDICT r13
@@ -340,7 +340,7 @@ object StreamFixtures {
 
   /** Schema of the keyed events fixture (= raw events.parquet schema). */
   def eventsKeyedSchema(s: SparkSession, dir: String) =
-    s.read.parquet(eventsKeyed(s, dir) + "/keyed").schema
+    graft.core.Tables.cachedSchema(s, eventsKeyed(s, dir) + "/keyed")
 
   /** One-row session-window FLUSH sentinel (VERDICT r12 #3): raw events
     * schema, key -1, event time tmax + 2·gap. It advances the global

@@ -214,7 +214,8 @@ object TextQueries {
       // is a header parse + one integer pass (measured cheaper than
       // shuffling the clips — 0.48 s narrow vs 1.05 s wide), the same
       // cost rule scanWide documents for the streaming side.
-      val ds = s.read.parquet(p).as[Multimodal.MediaRow]
+      val ds = s.read.schema(graft.core.Tables.cachedSchema(s, p))
+        .parquet(p).as[Multimodal.MediaRow]
       if (wide) ds.repartition(s.sparkContext.defaultParallelism) else ds
     }
 
@@ -799,7 +800,7 @@ object TextQueries {
             .groupBy("w").agg(count(lit(1)).as("wn"))
           graft.operators.BPE.train(words, rounds = 8)
         }
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val schema = graft.core.Tables.cachedSchema(s, s"$dir/documents.parquet")
         // scanWide: the JVM tokenize is the CPU cost here — fan the
         // single-split fixture scan across cores before it
         val src = StreamHarness.scanWide(s, s.readStream.schema(schema)
@@ -2487,7 +2488,7 @@ object TextQueries {
           Encoders.product[Multimodal.MediaRow]
         imageClips(s, dir) // ensure the fixture parquet exists
         val root = MediaFixtures.rootOf(dir, "image")
-        val schema = s.read.parquet(root).schema
+        val schema = graft.core.Tables.cachedSchema(s, root)
         val src = s.readStream.schema(schema).parquet(root)
           .as[Multimodal.MediaRow]
         val hashed = Codecs.imageHashes(src).toDF("id", "phash")

@@ -22,7 +22,13 @@ object Sources {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       implicitly[org.apache.spark.sql.Encoder[T]])
     val rows = values.zipWithIndex.map { case (v, i) => (tsOf(v, i), i.toLong, v) }
-    EStream(spark.createDataset(rows)(enc).toDF("ts", "seq", "v"))
+    // coalesce(1): a driver-side literal Seq is driver-bounded by
+    // construction; the default leaf parallelism spread 200 rows over 32
+    // tasks and every downstream map stage inherited the storm (r15 stage
+    // probe: 130 tasks / 5-7 s summed task time for a 200-row stream).
+    // One slice is the scale-correct shape at ANY volume — a bigger-than-
+    // driver source belongs to the parquet/DSv2 loaders, not fromSeq.
+    EStream(spark.createDataset(rows)(enc).toDF("ts", "seq", "v").coalesce(1))
   }
 
   /** Timer analog (util/Timer.scala:10-30): a periodic event grid over
@@ -46,7 +52,7 @@ object Sources {
       implicitly[org.apache.spark.sql.Encoder[K]])
     KStream(
       spark.createDataset(keys.zipWithIndex.map { case (k, i) => (0L, i.toLong, k) })(enc)
-        .toDF("ts", "seq", "k"),
+        .toDF("ts", "seq", "k").coalesce(1), // literal key universe: one slice (see fromSeq)
       Seq("k"))
   }
 

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for named catalog queries to files —
+  * the r15 optimization round's plan evidence (plans/r15/<q>_{before,after}.txt).
+  *
+  *   sbt "runMain graft.tools.PlanDump before graph_pagerank knn_ivfpq"
+  *
+  * Writes plans/r15/<query>_<tag>.txt for each name. Uses the same session
+  * shape as Bench so plans match what the bench executes.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDump <tag> <query...>")
+    val tag = args.head
+    val names = args.tail
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "3600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get("plans/r15"))
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case None => println(s"$name: not in catalog")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(s"plans/r15/${name}_$tag.txt"), txt)
+            println(s"$name: wrote plans/r15/${name}_$tag.txt (${txt.length} chars)")
+          } catch {
+            case e: Throwable =>
+              println(s"$name: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+      }
+    }
+    spark.stop()
+  }
+}
