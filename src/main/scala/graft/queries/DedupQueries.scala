@@ -39,7 +39,7 @@ object DedupQueries {
     * the projection and re-inline the whole shingle expression per row.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingledFrom(docs(s, dir))
+    shingledFrom(Q.fanWide(docs(s, dir))) // 3-gram shingling on a 1-split scan
 
   /** Same transform over an arbitrary (possibly streaming) documents
     * frame — all pure maps, so it plans identically on a readStream.
@@ -99,7 +99,8 @@ object DedupQueries {
     val hB = (0 until H).map(hashB).toArray
     val nH = H
     val mM = M
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    Q.fanWide(docs(s, dir)).select(col("doc_id"), col("text")) // 1-split scan
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1)
@@ -233,7 +234,7 @@ object DedupQueries {
           acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
         lit(1L << b)).otherwise(lit(0L))
     }
-    docs(s, dir)
+    Q.fanWide(docs(s, dir)) // md5-per-distinct-token over a 1-split scan
       .select(col("doc_id"), transform(dtoks, t => Q.hash60(t)).as("ths"))
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }

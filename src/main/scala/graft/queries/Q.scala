@@ -142,6 +142,32 @@ object Q {
     */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Fan a small unsplittable scan across cores before md5/shingle-heavy
+    * per-row work — the batch twin of `StreamHarness.scanWide` (r15 guide
+    * §2.6 idle capacity). The harness fixtures are single-row-group
+    * parquet, so the map side of every downstream shuffle runs
+    * single-threaded regardless of cores (a byte-range split cannot open
+    * mid-row-group); the doc_maximal_* probe measured two ~1.2-1.4 s
+    * one-task hashing stages while 31 cores idled. One round-robin
+    * exchange of the sub-MB text fixture buys a cores-wide map side.
+    *
+    * SIZE-ADAPTIVE (the r15 rule: nothing tuned to local[32] only): the
+    * fan only fires when the plan-estimated input cannot occupy the
+    * available cores at the configured split size — at deployment scale a
+    * scan has ≥ cores natural splits and a round-robin re-shuffle of the
+    * text would be a fact-sized regression, so the frame passes through
+    * untouched. Apply ONLY where per-row CPU dominates the row-sized
+    * exchange (measured per site; results are partition-independent —
+    * the CPUS=7 determinism gate covers every consumer).
+    */
+  def fanWide(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val split = s.sessionState.conf.filesMaxPartitionBytes
+    if (est <= BigInt(split) * cores / 2) df.repartition(cores) else df
+  }
+
   def lineitem(s: SparkSession, dir: String): DataFrame = graft.core.Tables.lineitem(s, dir)
   def events(s: SparkSession, dir: String): DataFrame = graft.core.Tables.events(s, dir)
   def documents(s: SparkSession, dir: String): DataFrame = graft.core.Tables.documents(s, dir)

@@ -940,7 +940,7 @@ object TextQueries {
       "doc_dsir_sample",
       (s, dir) =>
         graft.operators.Dsir.select(
-          docs(s, dir).select(col("doc_id"), col("lang"), toks.as("t")),
+          Q.fanWide(docs(s, dir)).select(col("doc_id"), col("lang"), toks.as("t")),
           col("doc_id"), col("t"), col("lang") === "en", buckets = 4096)
           .withColumnRenamed("id", "doc_id"),
       Some(s"""WITH d AS (
@@ -1487,7 +1487,7 @@ object TextQueries {
         // does NOT common-subexpression-eliminate inside higher-order
         // function lambdas, so an inline split() re-tokenizes the whole
         // text per element_at — measured 12 s → 1.6 s on this query
-        val spans = docs(s, dir)
+        val spans = Q.fanWide(docs(s, dir)) // 8-gram md5 explode: fan the scan
           .filter(size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"), explode(spanHashes(col("t"))).as("h"))
@@ -1540,7 +1540,7 @@ object TextQueries {
           .partitionBy("doc_id").orderBy("i")
         // (doc_id, start, h) — NOT per-doc distinct: every occurrence of
         // a shared span gets cut, including repeats within one doc
-        val pos = docs(s, dir)
+        val pos = Q.fanWide(docs(s, dir)) // 8-gram md5 explode: fan the scan
           .filter(size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"), explode(transform(
@@ -1603,7 +1603,7 @@ object TextQueries {
     QueryDef(
       "doc_maximal_spans",
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = Q.fanWide(docs(s, dir)) // md5-per-token over a 1-split scan
           .filter(size(split(col("text"), " ")) >= MaxSpanMin)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"),
@@ -1628,7 +1628,7 @@ object TextQueries {
     QueryDef(
       "doc_maximal_cut",
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = Q.fanWide(docs(s, dir)) // md5-per-token over a 1-split scan
           .filter(size(split(col("text"), " ")) >= MaxSpanMin)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"),
@@ -1656,7 +1656,7 @@ object TextQueries {
     QueryDef(
       "doc_sparse_knn",
       (s, dir) => {
-        val tf = docs(s, dir)
+        val tf = Q.fanWide(docs(s, dir)) // tokenize+explode on a 1-split scan
           .select(col("doc_id"), explode(toks).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
           .persist() // feeds df counts, N, and the component frame
