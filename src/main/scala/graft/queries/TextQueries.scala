@@ -1316,7 +1316,7 @@ object TextQueries {
               (0 until 8).map(o => element_at(toks, i + o)): _*))))
         // persist: the hash pass feeds BOTH the benchmark index and the
         // corpus side — without it the md5 sweep runs twice
-        val base = docs(s, dir)
+        val base = Q.fanWide(docs(s, dir)) // 8-gram md5 sweep on a 1-split scan
           .filter(size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"), grams8(col("t")).as("hs"))
@@ -1359,7 +1359,7 @@ object TextQueries {
             sequence(lit(1), greatest(size(toks) - 7, lit(0))),
             i => Q.hash60(concat_ws(" ",
               (0 until 8).map(o => element_at(toks, i + o)): _*))))
-        val base = docs(s, dir)
+        val base = Q.fanWide(docs(s, dir)) // 8-gram md5 sweep on a 1-split scan
           .filter(size(split(col("text"), " ")) >= 8)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .select(col("doc_id"), grams8(col("t")).as("hs"))
