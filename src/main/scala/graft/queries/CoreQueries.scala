@@ -586,7 +586,6 @@ object CoreQueries {
             unix_micros(col("window.start")).as("wstart"),
             col("n"), col("sum_value"))
           .orderBy("user_id", "wstart")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2006,7 +2005,6 @@ object CoreQueries {
           .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
             col("pT").as("p_t"), col("clickT").as("click_t"))
           .orderBy("event_id")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2066,7 +2064,6 @@ object CoreQueries {
           .select(col("eventId").as("event_id"), col("k").cast("long").as("user_id"),
             col("nClicks").as("n_clicks"))
           .orderBy("event_id")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2120,7 +2117,6 @@ object CoreQueries {
           .agg(sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_view"),
             sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_click_after"),
             sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_purchase_after"))
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2169,7 +2165,6 @@ object CoreQueries {
           .groupBy("path").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(20)
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2225,7 +2220,6 @@ object CoreQueries {
           .groupBy(col("cohortW").as("cohort_w"), col("offsetW").as("offset_w"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy("cohort_w", "offset_w")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },

@@ -1462,7 +1462,6 @@ object RelationalQueries {
             col("validFrom").as("valid_from"), col("validTo").as("valid_to"),
             col("n").as("n_orders"))
           .orderBy("o_custkey", "island")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },

@@ -1824,7 +1824,7 @@ object SimilarityQueries {
           .withColumn("acc_pm", expr("n_correct * 1000 DIV n"))
           .select(col("label").cast("long").as("label"), col("n"),
             col("n_correct"), col("acc_pm"))
-          .orderBy("label").localCheckpoint(true)
+          .orderBy("label")
         StreamFixtures.deleteRecursively(root)
         res
       },

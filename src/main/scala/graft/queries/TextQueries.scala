@@ -1157,7 +1157,6 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             Q.dsum(col("nTokens")).cast("long").as("total_tokens"))
           .orderBy("lang")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -1241,7 +1240,6 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             Q.dsum(col("nTokens")).cast("long").as("total_tokens"))
           .orderBy("lang")
-          .localCheckpoint(true)
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -1444,7 +1442,7 @@ object TextQueries {
           StreamFixtures.feed(fx, "hi", srcDir)
           StreamHarness.settle(q) // batch 2: hits accumulate across batches
         } finally q.stop()
-        val res = s.table(name).orderBy("doc_id").localCheckpoint(true)
+        val res = s.table(name).orderBy("doc_id")
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2366,7 +2364,7 @@ object TextQueries {
           StreamFixtures.feed(fx, "hi", srcDir)
           StreamHarness.settle(q) // batch 2: open bins keep filling
         } finally q.stop()
-        val res = s.table(name).orderBy("shard", "bin").localCheckpoint(true)
+        val res = s.table(name).orderBy("shard", "bin")
         StreamFixtures.deleteRecursively(root)
         res
       },
@@ -2437,7 +2435,7 @@ object TextQueries {
           StreamFixtures.feed(fx, "hi", srcDir)
           StreamHarness.settle(q) // batch 2: open bins keep filling
         } finally q.stop()
-        val res = s.table(name).orderBy("shard", "bin").localCheckpoint(true)
+        val res = s.table(name).orderBy("shard", "bin")
         StreamFixtures.deleteRecursively(root)
         res
       },
