@@ -1496,20 +1496,21 @@ object CoreQueries {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts"), col("seq"))
-        // persisted: the row-normalizer reads the same |types|² frame —
-        // without it the user-keyed window pass runs twice. Lifecycle
-        // (ADVICE r6): QueryDefs return lazy frames, so the query can't
-        // unpersist before its own action; both catalog runners release
-        // it — Verify's per-query `finally clearCache()` and Bench's
-        // cleanup() after every timed run — so nothing accumulates
-        // across the 218-query suite. Embedding users own the release.
+        // NOT persisted (r16): the |types|² frame is shared by the
+        // row-normalizer and the join's left side, but both branches end
+        // in the IDENTICAL groupBy(src,dst) exchange subtree, which AQE
+        // covers with ReusedExchange — the user-keyed window pass runs
+        // once either way. The r15-measured persist cost was real: the
+        // InMemoryRelation materializes through the non-AQE path (32
+        // uncoalesced shuffle partitions; 132 tasks / 8 jobs measured,
+        // vs 4 jobs adaptive), the exact class q11's checkpoint swap
+        // removed.
         val tr = Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("seq"),
             col("event_type").as("src"))
           .withColumn("dst", lead("src", 1).over(w))
           .filter(col("dst").isNotNull)
           .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-          .persist()
         val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
         tr.join(broadcast(tot), "src")
           .select(col("src"), col("dst"), col("n"),

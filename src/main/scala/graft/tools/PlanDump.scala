@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Dump `.explain("formatted")` for named catalog queries to files —
-  * the r15 optimization round's plan evidence (plans/r15/<q>_{before,after}.txt).
+  * plan evidence under $SPARK_GRAFT_PLANS_DIR (default plans/r16).
   *
   *   sbt "runMain graft.tools.PlanDump before graph_pagerank knn_ivfpq"
   *
-  * Writes plans/r15/<query>_<tag>.txt for each name. Uses the same session
+  * Writes <dir>/<query>_<tag>.txt for each name. Uses the same session
   * shape as Bench so plans match what the bench executes.
   */
 object PlanDump {
@@ -27,7 +27,8 @@ object PlanDump {
       .config("spark.network.timeout", "3600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r15"))
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16")
+    Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"$name: not in catalog")
@@ -36,8 +37,8 @@ object PlanDump {
             val df = fn(spark, sfDir)
             val txt = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
-            Files.writeString(Paths.get(s"plans/r15/${name}_$tag.txt"), txt)
-            println(s"$name: wrote plans/r15/${name}_$tag.txt (${txt.length} chars)")
+            Files.writeString(Paths.get(s"${outDir}/${name}_$tag.txt"), txt)
+            println(s"$name: wrote ${outDir}/${name}_$tag.txt (${txt.length} chars)")
           } catch {
             case e: Throwable =>
               println(s"$name: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
