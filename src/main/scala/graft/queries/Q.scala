@@ -168,6 +168,36 @@ object Q {
     if (est <= BigInt(split) * cores / 2) df.repartition(cores) else df
   }
 
+  /** Coalesce a plan-estimated-tiny frame to ONE partition — the inverse
+    * of `fanWide`, for frames that are about to be persisted and then
+    * consumed by many small jobs. A persisted frame materializes through
+    * the non-AQE path, so its post-shuffle partition count stays at
+    * spark.sql.shuffle.partitions; every downstream job then schedules
+    * that many near-empty tasks per consuming stage (knn_ivfpq_residual:
+    * ~40 jobs × 32 tasks over ≤8k-row frames, r16 FloorProbe).
+    *
+    * SIZE-ADAPTIVE (r15 rule): packs only when the plan-estimated bytes
+    * fit comfortably in a single split (≤ filesMaxPartitionBytes / 2);
+    * a deployment-scale frame passes through untouched with its full
+    * shuffle parallelism. coalesce is a narrow op — results and row
+    * order semantics are unchanged (consumers are order-insensitive
+    * aggregations/joins; the CPUS=7 determinism gate covers them).
+    */
+  def packTiny(df: DataFrame): DataFrame = packTinyAs(df, df)
+
+  /** packTiny gated on a PROXY frame's plan stats instead of df's own —
+    * for frames downstream of cross/broadcast joins, whose sizeInBytes
+    * estimate multiplies through the join and never passes the gate even
+    * when the true row count is bounded by one input (e.g. a per-row
+    * argmax over corpus × centroids is row-wise ≤ the corpus). Pass the
+    * bounding input as `proxy`.
+    */
+  def packTinyAs(df: DataFrame, proxy: DataFrame): DataFrame = {
+    val est = proxy.queryExecution.optimizedPlan.stats.sizeInBytes
+    val split = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    if (est <= BigInt(split) / 2) df.coalesce(1) else df
+  }
+
   def lineitem(s: SparkSession, dir: String): DataFrame = graft.core.Tables.lineitem(s, dir)
   def events(s: SparkSession, dir: String): DataFrame = graft.core.Tables.events(s, dir)
   def documents(s: SparkSession, dir: String): DataFrame = graft.core.Tables.documents(s, dir)

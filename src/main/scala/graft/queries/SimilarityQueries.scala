@@ -1197,8 +1197,11 @@ object SimilarityQueries {
             call_function("dotd", col("cv"), col("cv")).as("cn2"))
         // persist: the trained assignment feeds BOTH the residual frame
         // and the final candidate→cell join — unpersisted, the whole
-        // corpus×cells argmax window would run twice
-        val a1 = assign(cents1).persist()
+        // corpus×cells argmax window would run twice (measured r16:
+        // removing the persists = 3.35→4.4 s, plan explosion). packTiny:
+        // see Q.packTiny — kills the 32-near-empty-task storms on the
+        // ~40 downstream jobs at this size, passes through at scale
+        val a1 = Q.packTinyAs(assign(cents1), e).persist() // a1 rows ≤ e rows
         // ---- residual subvectors: r = v − c(cell), sub-sliced ----
         val rsubs = a1
           .join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
@@ -1210,7 +1213,9 @@ object SimilarityQueries {
                   (x, c) => x - c).as("sub"))
             }: _*)).as("s"))
           .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-          .persist() // seeds + one refit + final encode consume it
+          .persist() // seeds + one refit + final encode consume it; narrow
+                     // from a1's packed block, so it materializes as one
+                     // task at this size (full width at scale via a1)
         // ---- PQ on residuals: one codebook refit from first-K sub-seeds ----
         val cb0 = rsubs.filter(col("vec_id") < K)
           .select(col("m"), col("vec_id").as("code"), col("sub").as("cw"))
