@@ -22,10 +22,9 @@ import org.apache.spark.sql.functions._
   * variant's weight trajectory depends on row order.
   *
   * Scale shape (the KMeans/PageRank/BPE loop discipline): per step ONE
-  * distributed pass over the corpus (broadcast k×d weights, typed map to
-  * signed per-class vectors, posexplode + partial-agg groupBy to k×d
-  * delta cells) and a k×d-bounded driver collect; weights never live in
-  * a shuffle. Exactness envelope: |x_q| ≤ Q·max|x|, |w| ≤ steps·n·|x_q|,
+  * shuffle-free distributed pass over the corpus (broadcast k×d weights,
+  * per-partition partial k×d delta matrices) and a k×d×partitions-bounded
+  * driver collect+merge; weights never live in a shuffle. Exactness envelope: |x_q| ≤ Q·max|x|, |w| ≤ steps·n·|x_q|,
   * |score| ≤ d·|w|·|x_q| — int64-safe far past 10⁶ examples at Q = 10³,
   * and every double the oracle produces en route (list_sum of integer
   * products) stays integer-valued < 2⁵³, so the cross-engine compare is
@@ -82,22 +81,47 @@ object LinearProbe {
       val iters = Seq.newBuilder[Array[Array[Long]]]
       for (_ <- 1 to steps) {
         val bw = s.sparkContext.broadcast(w)
-        val deltas = ds.flatMap { ex =>
-          require(ex.label >= 0 && ex.label < k,
-            s"label ${ex.label} outside [0, $k) — pass the right class count")
-          require(ex.xq.length == d,
-            s"vector dim ${ex.xq.length} != d=$d")
-          val pred = predict(bw.value, ex.xq)
-          if (pred == ex.label) Iterator.empty
-          else Iterator((ex.label, ex.xq), (pred, ex.xq.map(x => -x)))
-        }.toDF("c", "xs")
-          .select(col("c"), posexplode(col("xs")))
-          .groupBy("c", "pos").agg(sum("col").as("dv"))
-          .collect() // k×d-bounded driver state (the loop discipline)
+        // Per-partition partial k×d delta matrices merged on the driver —
+        // ONE shuffle-free job per step (r16; the flatMap → posexplode →
+        // groupBy formulation cost 2 jobs + a shuffle per step, pure
+        // scheduling floor on small corpora). Bit-identical result:
+        // integer addition is commutative/associative, and the entry
+        // envelope bound |Σ_subset delta| ≤ n·max|xq| covers every
+        // partial, so no intermediate can wrap that the grouped form
+        // wouldn't. Driver merge stays k×d×numPartitions-bounded (the
+        // loop discipline — weights never live in a shuffle).
+        val partials = ds.mapPartitions { it =>
+          val acc = new Array[Long](k * d) // row-major k×d (flat: encoder)
+          var any = false
+          it.foreach { ex =>
+            require(ex.label >= 0 && ex.label < k,
+              s"label ${ex.label} outside [0, $k) — pass the right class count")
+            require(ex.xq.length == d,
+              s"vector dim ${ex.xq.length} != d=$d")
+            val pred = predict(bw.value, ex.xq)
+            if (pred != ex.label) {
+              any = true
+              val xa = ex.xq
+              val ol = ex.label * d; val op = pred * d
+              var j = 0
+              while (j < d) { acc(ol + j) += xa(j); acc(op + j) -= xa(j); j += 1 }
+            }
+          }
+          if (any) Iterator.single(acc) else Iterator.empty
+        }.collect() // k×d-bounded driver state (the loop discipline)
         val next = w.map(_.clone())
-        deltas.foreach { r => // addExact: driver-side k×d, belt to the entry guard
-          val c = r.getInt(0); val j = r.getInt(1)
-          next(c)(j) = Math.addExact(next(c)(j), r.getLong(2))
+        partials.foreach { m => // addExact: driver-side k×d, belt to the entry guard
+          var c = 0
+          while (c < k) {
+            val nc = next(c)
+            var j = 0
+            while (j < d) {
+              val v = m(c * d + j)
+              if (v != 0L) nc(j) = Math.addExact(nc(j), v)
+              j += 1
+            }
+            c += 1
+          }
         }
         w = next
         iters += w
