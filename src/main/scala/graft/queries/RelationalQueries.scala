@@ -1971,9 +1971,14 @@ object RelationalQueries {
         // feeds everything downstream one-task (measured 2.2 s vs 1.8 s
         // persisted in one window). Exact-decimal sums either way, so the
         // materialization mode cannot change results.
-        val v = ps.join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        // packTinyAs (r16): part-bounded (rows ≤ ps's groups) and
+        // plan-estimated tiny, so the persisted materialization collapses
+        // to 1 partition instead of 32 near-empty ones feeding every
+        // downstream stage; proxied on ps because the broadcast-join
+        // estimate multiplies past the gate (see Q.packTinyAs)
+        val v = Q.packTinyAs(ps.join(natSupp, col("l_suppkey") === col("s_suppkey"))
           .groupBy("l_partkey")
-          .agg(sum((col("cost") * col("availqty")).cast("decimal(38,6)")).as("val_dec"))
+          .agg(sum((col("cost") * col("availqty")).cast("decimal(38,6)")).as("val_dec")), ps)
           .persist()
         val total = v.agg(sum("val_dec").as("total"))
         v.join(broadcast(total))
