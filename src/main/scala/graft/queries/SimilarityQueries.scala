@@ -1924,8 +1924,11 @@ object SimilarityQueries {
         val cents = e.filter(col("id") < K)
           .select(col("id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         // persist: the assignment feeds BOTH sides of the removal
-        // self-join (and the window shuffle above it is the expensive part)
-        val assigned = graft.operators.SemDedup.assign(e, cents).persist()
+        // self-join (and the window shuffle above it is the expensive part).
+        // packTinyAs (r16): assigned is row-wise bounded by e — collapse
+        // the 32-partition persisted materialization (see Q.packTinyAs)
+        val assigned = Q.packTinyAs(
+          graft.operators.SemDedup.assign(e, cents), e).persist()
         graft.operators.SemDedup.removed(assigned, 0.3)
           .select(col("id").as("vec_id"), col("cell"))
           .orderBy("vec_id")
@@ -1981,8 +1984,9 @@ object SimilarityQueries {
         val cents = e.filter(col("id") < K)
           .select(col("id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         // persist: assignment feeds both the benchmark index and the
-        // corpus side of the screen
-        val assigned = graft.operators.SemDedup.assign(e, cents).persist()
+        // corpus side of the screen; packTinyAs per emb_semdedup's note
+        val assigned = Q.packTinyAs(
+          graft.operators.SemDedup.assign(e, cents), e).persist()
         val bench = assigned
           .filter(col("id") < B && col("n2") > 0)
           .select(col("id").as("b_id"), col("v").as("bv"),
