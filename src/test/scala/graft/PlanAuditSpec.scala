@@ -508,14 +508,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ev_markov_transitions: the lead window partitions by user; the " +
-    "persisted transition frame is REUSED by the row normalizer (the " +
-    "user-keyed exchange executes once)") {
+    "shared transition subtree is REUSED via AQE exchange reuse (the " +
+    "user-keyed exchange executes once, no persist)") {
     val plan = finalPlan("ev_markov_transitions")
     withClue(plan) {
       plan should include regex "windowspecdefinition\\(user_id"
-      // both consumers read the cached |types|² frame — the fact-sized
-      // window pass is not recomputed per branch
-      plan should include("InMemoryTableScan")
+      // r16: the persist is gone (it forced the non-AQE 32-partition
+      // path — 132 tasks / 8 jobs measured); both branches end in the
+      // identical groupBy(src,dst) exchange, which AQE shares — the
+      // normalizer side reads it as a ReusedQueryStage/ReusedExchange
+      // instead of re-running the fact-sized window pass
+      plan should not include "InMemoryTableScan"
+      plan should include regex "(ReusedQueryStage|ReusedExchange)"
     }
   }
 
