@@ -32,7 +32,13 @@ object Tables {
     scala.collection.concurrent.TrieMap[String, StructType]()
 
   def cachedSchema(spark: SparkSession, path: String): StructType =
-    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    schemaCache.getOrElseUpdate(path, {
+      // inference depends on this conf (ns-timestamp fixtures throw
+      // without it) and the result is memoized JVM-wide — set it HERE so
+      // the first caller's session can never poison the cache (ADVICE r15)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path).schema
+    })
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = path(dir, name)

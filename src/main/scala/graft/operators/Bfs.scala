@@ -42,6 +42,12 @@ object Bfs {
     val e = edges.select("src", "dst")
       .repartition(if (small) col("dst") else col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // broadcast only when the node-sized frames are ALSO bounded (ADVICE
+    // r15: the settled set grows toward the full node count ≤ 2× edge
+    // rows, and explicit broadcast() bypasses the auto threshold; see
+    // PageRank.MaxBroadcastNodes). Lazy &&: the count job runs on the
+    // small path only, over the already-persisted edge frame.
+    val bcast = small && e.count() <= PageRank.MaxBroadcastNodes / 2
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = dist.select("node")
@@ -50,9 +56,9 @@ object Bfs {
     while (h <= maxHops && !done) {
       val fr = frontier.select(col("node").as("src"))
       val settled = dist.select("node")
-      val next = e.join(if (small) broadcast(fr) else fr, "src")
+      val next = e.join(if (bcast) broadcast(fr) else fr, "src")
         .select(col("dst").as("node")).distinct()
-        .join(if (small) broadcast(settled) else settled, Seq("node"), "left_anti")
+        .join(if (bcast) broadcast(settled) else settled, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint()
       if (next.isEmpty) done = true

@@ -54,10 +54,16 @@ object LabelProp {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // broadcast only when the node-sized label frame is ALSO bounded
+    // (ADVICE r15: explicit broadcast() bypasses the auto threshold and
+    // nodes can approach 2× edge rows; see PageRank.MaxBroadcastNodes).
+    // Lazy &&: the count job runs on the small path only, over the
+    // already-materialized persisted node frame.
+    val bcast = small && nodes.count() <= PageRank.MaxBroadcastNodes
     for (_ <- 1 to rounds) {
       val lbl = labels.select(col("node").as("src"), col("label"))
       val counts = e
-        .join(if (small) broadcast(lbl) else lbl, "src")
+        .join(if (bcast) broadcast(lbl) else lbl, "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("node")
@@ -66,7 +72,7 @@ object LabelProp {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"), col("label"))
-      val adopted = if (small) broadcast(adopted0) else adopted0
+      val adopted = if (bcast) broadcast(adopted0) else adopted0
       // nodes with no in-neighbors keep their current label
       labels = labels.select(col("node"), col("label").as("old"))
         .join(adopted, Seq("node"), "left")

@@ -120,6 +120,19 @@ object PageRank {
     */
   val SmallGraphEdgeBytes = 128L * 1024 * 1024
 
+  /** Cap on the NODE count for the broadcast sweep shape (ADVICE r15: the
+    * edge-bytes gate bounds what is SCANNED, but what is BROADCAST per
+    * sweep is node-sized, explicit broadcast() bypasses the auto
+    * threshold, and nodes can approach 2× edge rows — near the 128 MB
+    * edge cutover the hashed relations could reach hundreds of MB
+    * decompressed). 2M two-long rows ≈ 32 MB of data / low hundreds of MB
+    * hashed — safely inside any executor; above it the exchange shape
+    * stands even for byte-small edge sets. The count is read off the
+    * already-materialized node/edge frame, so the gate costs one tiny job
+    * on the small path only.
+    */
+  val MaxBroadcastNodes = 2L * 1000 * 1000
+
   /** Shared setup + sweep: edges hash-partitioned and persisted ONCE; the
     * driver-side `body` decides how many sweeps to take.
     */
@@ -142,6 +155,12 @@ object PageRank {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "PageRank.run: empty graph")
+    // broadcast only when the node frames are ALSO bounded (see
+    // MaxBroadcastNodes); a byte-small edge set over a huge node set
+    // keeps the exchange sweeps (e re-shuffles per sweep at that size —
+    // cheap under the edge-bytes gate — rather than risk an unbounded
+    // broadcast build)
+    val bcast = small && n <= MaxBroadcastNodes
     val base = totalQ / n
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -156,11 +175,11 @@ object PageRank {
       // e never does).
       val contribs0 = ranks.join(outdeg, "node")
         .select(col("node").as("src"), expr("rank_q div deg").as("contrib"))
-      val contribs = if (small) broadcast(contribs0) else contribs0
+      val contribs = if (bcast) broadcast(contribs0) else contribs0
       val inflow0 = e.join(contribs, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      val inflow = if (small) broadcast(inflow0) else inflow0
+      val inflow = if (bcast) broadcast(inflow0) else inflow0
       // `div`, not `/`: Column `/` on longs is DOUBLE division, whose
       // truncation can be off-by-one vs exact integer division. The
       // incoming rank frame (every node, by the r0 invariant) replaces a

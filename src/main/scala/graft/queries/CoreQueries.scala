@@ -1615,6 +1615,11 @@ object CoreQueries {
         val e = Tables.events(s, dir)
           .select(expr("ts div 86400000000").as("day"),
             col("event_type").as("t"))
+        // (r16: deriving nd/ct/n as rollups of cdt measured WORSE —
+        // 282→350 ms, 10 jobs either way: the fact scans are cheap and
+        // map-side partial aggs shrink each exchange, while the rollup
+        // re-runs cdt's final vocab-sized aggregate per consumer above
+        // the AQE-reused exchange. Kept the independent-marginal shape.)
         val cdt = e.groupBy("day", "t").agg(count(lit(1)).as("c_dt"))
         val nd = e.groupBy("day").agg(count(lit(1)).as("n_d"))
         val ct = e.groupBy("t").agg(count(lit(1)).as("c_t"))
@@ -2454,18 +2459,34 @@ object CoreQueries {
     QueryDef(
       "ev_funnel",
       (s, dir) => {
-        val e = Q.events(s, dir).select("user_id", "ts", "event_type")
-        val t1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val t2 = e.filter(col("event_type") === "click")
-          .join(t1, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val t3 = e.filter(col("event_type") === "purchase")
-          .join(t2, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        t1.agg(count(lit(1)).as("n_view"))
-          .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
-          .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+        // ONE fact shuffle (r16, guide §2.4): the three funnel stages are
+        // per-user conditional minima, each defined over the SAME user_id
+        // partitioning — three chained whole-partition window minima ride
+        // one exchange (each stage's window may reference the previous
+        // stage's column), the per-user reduce rides it too, and one
+        // global aggregation reads all three stage counts. The old shape
+        // paid three fact scans, three groupBy shuffles and two joins.
+        // Exact: min(when(cond, ts)) over a user's rows IS the filtered
+        // groupBy min; count(non-null stage time) IS that stage's user
+        // count.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val staged = Q.events(s, dir).select("user_id", "ts", "event_type")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .repartition(col("user_id"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+        staged.groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+          .agg(count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click_after"),
+            count(col("t3")).as("n_purchase_after"))
       },
       Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
                      FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -2829,11 +2850,18 @@ object CoreQueries {
     QueryDef(
       "ev_cohort_retention",
       (s, dir) => {
+        // ONE fact shuffle (r16, guide §2.4): hash the fact by user_id
+        // once; the (user, week) distinct rides it (hash(user) clusters
+        // every (user, week) group), and the per-user cohort week is a
+        // window min over the SAME partitioning — no second fact
+        // aggregation and no join. min(week over distinct weeks) =
+        // min(week over all events): exact integer weeks.
         val week = expr("ts div 604800000000")
-        val first = ev(s, dir).df.groupBy("user_id")
-          .agg(min(week).as("cohort_w"))
-        val act = ev(s, dir).df.select(col("user_id"), week.as("w")).distinct()
-        act.join(first, "user_id")
+        val act = ev(s, dir).df.select(col("user_id"), week.as("w"))
+          .repartition(col("user_id")).distinct()
+        act
+          .withColumn("cohort_w", min(col("w")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
           .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy("cohort_w", "offset_w")

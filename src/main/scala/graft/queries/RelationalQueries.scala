@@ -587,13 +587,22 @@ object RelationalQueries {
     QueryDef(
       "ev_set_ops",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val p = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-        val c = ev.filter(col("event_type") === "click").select("user_id").distinct()
-        val both = p.intersect(c).agg(count(lit(1)).as("n_both"))
-        val pOnly = p.except(c).agg(count(lit(1)).as("n_purchase_only"))
-        val either = p.union(c).distinct().agg(count(lit(1)).as("n_either"))
-        both.crossJoin(pOnly).crossJoin(either)
+        // ONE fact pass (r16, guide §2.3/§2.4): the three set cardinalities
+        // are functions of each user's (purchase?, click?) membership
+        // flags, so reduce the fact to one boolean pair per user (map-side
+        // combinable) and read all three counts off that frame in a single
+        // final aggregation — instead of two fact scans + four
+        // distinct/set-op shuffles (the ev_approx_overlap shape). Exact
+        // set semantics: bool_or over a user's rows IS set membership.
+        val f = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("user_id")
+          .agg(max(col("event_type") === "purchase").as("p"),
+            max(col("event_type") === "click").as("c"))
+        f.agg(
+          sum(when(col("p") && col("c"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("p") && !col("c"), 1L).otherwise(0L)).as("n_purchase_only"),
+          count(lit(1)).as("n_either"))
       },
       Some("""SELECT
              (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'

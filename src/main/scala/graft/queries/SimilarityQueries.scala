@@ -1691,14 +1691,20 @@ object SimilarityQueries {
             sqrt(call_function("dotd", col("cv"), col("cv"))).as("cn"))
         val scored = w.join(broadcast(cents), lit(true))
           .withColumn("ccos", dot(col("w"), col("cv")) / col("cn"))
-        val own = scored.filter(col("clabel") === col("label"))
-          .select(col("vec_id"), col("label"), col("ccos").as("own"))
-        val oth = scored.filter(col("clabel") =!= col("label"))
-          .groupBy("vec_id")
-          .agg(max_by(col("clabel"), struct(col("ccos"), -col("clabel")))
-            .as("best_label"),
-            max(col("ccos")).as("other"))
-        own.join(oth, "vec_id")
+        // ONE pass over the n×L scored frame (r16, guide §2.3): the own-
+        // centroid score, the best OTHER label and its score all reduce
+        // per vec_id in a single map-side-combinable aggregation —
+        // instead of two filtered consumers of the (unpersisted) dot-
+        // product subtree plus a join re-shuffle. Conditional aggregates
+        // preserve the filters exactly: max over the single clabel=label
+        // row IS that row; max_by skips rows whose ordering key is null.
+        scored.groupBy("vec_id")
+          .agg(max(col("label")).as("label"),
+            max(when(col("clabel") === col("label"), col("ccos"))).as("own"),
+            max_by(col("clabel"),
+              when(col("clabel") =!= col("label"),
+                struct(col("ccos"), -col("clabel")))).as("best_label"),
+            max(when(col("clabel") =!= col("label"), col("ccos"))).as("other"))
           .withColumn("margin_q",
             floor((col("own") - col("other")) * 1e6).cast("long"))
           .filter(col("margin_q") < 0)

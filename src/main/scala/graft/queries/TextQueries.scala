@@ -1727,6 +1727,9 @@ object TextQueries {
           .filter(size(col("t")) >= 2).persist()
         val uni = d.select(explode(col("t")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
+        // (r16: n = uni.agg(sum(c)) measured worse — 332→367 ms, same
+        // vocab-final-agg recompute as doc_unigram_nll's tot; kept the
+        // direct corpus pass)
         val n = d.agg(Q.dsum(size(col("t")).cast("long")).cast("long").as("n_tok"))
         val bi = d
           .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
@@ -1859,6 +1862,9 @@ object TextQueries {
         val d = docs(s, dir)
           .select(col("doc_id"), explode(toks).as("w"))
         val cnt = d.groupBy("w").agg(count(lit(1)).as("c"))
+        // (r16: tot = cnt.agg(sum(c)) measured worse — 312→494 ms; the
+        // corpus re-scan + map-side count is cheaper than re-running the
+        // vocab-sized final aggregate above the reused exchange)
         val tot = d.agg(count(lit(1)).as("t"))
         val vocab = cnt.crossJoin(broadcast(tot))
           .select(col("w"),
@@ -1910,6 +1916,10 @@ object TextQueries {
           .select(col("doc_id"), element_at(col("t"), col("i")).as("w1"),
             element_at(col("t"), col("i") + 1).as("w2"))
         val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        // (r16: c1 = c12 rolled up over w2 measured much worse — 567 ms →
+        // 1.1-1.6 s: the bigram re-explode off the persisted d is cheap
+        // and its groupBy(w1) reduces map-side, while the rollup re-runs
+        // c12's bigram-vocab-sized final aggregate and adds an exchange)
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         val model = c12.join(c1, "w1")
           .select(col("w1"), col("w2"),
