@@ -1164,114 +1164,17 @@ object SimilarityQueries {
     QueryDef(
       "knn_ivfpq_residual",
       (s, dir) => {
+        // r16 (VERDICT #4): typed-JVM residual path — the DataFrame
+        // formulation ran ~38 sequential driver jobs over ≤2k-row frames
+        // (pure scheduling floor) with interpreted zip_with/slice
+        // projections; operators.IvfPqResidual computes the identical
+        // values (bit-parity pinned in IvfPqResidualSpec against this
+        // query's previous Column formulation, and hash-matched against
+        // the unchanged oracle) in three shuffle-free passes with
+        // k-bounded driver model state + one tiny top-k window.
         val M = 4; val SUB = DIM / M; val K = 8; val NPROBE = 2
-        val w = org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir).persist() // coarse + residual PQ + queries
-        // ---- IVF coarse: one Lloyd step from the first-K seeds (same
-        // machinery as knn_ivfpq) ----
-        def assign(cents: DataFrame): DataFrame =
-          e.join(broadcast(cents), lit(true))
-            .withColumn("ccos",
-              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            // argmax as a map-side-combinable aggregate, not a ranking
-            // window: the K candidate rows per vector collapse BEFORE the
-            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
-            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
-            .groupBy("vec_id")
-            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
-              struct(col("ccos"), -col("c_id"))).as("b"))
-            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
-              col("b.c_id").as("cell"))
-        val cents0 = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
-        val cents1 = assign(cents0)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .select(col("cell").as("c_id"), col("cv"),
-            call_function("dotd", col("cv"), col("cv")).as("cn2"))
-        // persist: the trained assignment feeds BOTH the residual frame
-        // and the final candidate→cell join — unpersisted, the whole
-        // corpus×cells argmax window would run twice (measured r16:
-        // removing the persists = 3.35→4.4 s, plan explosion). packTiny:
-        // see Q.packTiny — kills the 32-near-empty-task storms on the
-        // ~40 downstream jobs at this size, passes through at scale
-        val a1 = Q.packTinyAs(assign(cents1), e).persist() // a1 rows ≤ e rows
-        // ---- residual subvectors: r = v − c(cell), sub-sliced ----
-        val rsubs = a1
-          .join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
-          .select(col("vec_id"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"),
-                zip_with(slice(col("v"), m * SUB + 1, SUB),
-                  slice(col("cv"), m * SUB + 1, SUB),
-                  (x, c) => x - c).as("sub"))
-            }: _*)).as("s"))
-          .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-          .persist() // seeds + one refit + final encode consume it; narrow
-                     // from a1's packed block, so it materializes as one
-                     // task at this size (full width at scale via a1)
-        // ---- PQ on residuals: one codebook refit from first-K sub-seeds ----
-        val cb0 = rsubs.filter(col("vec_id") < K)
-          .select(col("m"), col("vec_id").as("code"), col("sub").as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        def encodeWith(cb: DataFrame): DataFrame =
-          rsubs.join(broadcast(cb), "m")
-            .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
-            // K candidate rows per (vector, subspace) collapse map-side
-            .groupBy("vec_id", "m")
-            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-        val cb1 = encodeWith(cb0).join(rsubs, Seq("vec_id", "m"))
-          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
-          .groupBy("m", "code", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
-          .groupBy("m", "code")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("mean")))),
-            p => p.getField("mean")).as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        val encoded = encodeWith(cb1)
-        // ---- probes: NPROBE nearest cells + the q·c score constant ----
-        val q = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-        val probes = q.join(broadcast(cents1), lit(true))
-          .withColumn("pcos",
-            dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-          .withColumn("prk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))))
-          .filter(col("prk") <= NPROBE)
-          .select(col("q_id"), col("c_id").as("qcell"),
-            floor(dot(col("qv"), col("cv")) * 1e6).cast("long").as("qc"))
-        // ---- ADC: cell-independent residual LUT + per-cell constant ----
-        val lut = q
-          .select(col("q_id"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"), slice(col("qv"), m * SUB + 1, SUB).as("qsub"))
-            }: _*)).as("s"))
-          .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
-          .join(broadcast(cb1), "m")
-          .select(col("q_id"), col("m"), col("code"),
-            floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
-        encoded.join(a1.select("vec_id", "cell"), "vec_id")
-          .join(broadcast(probes), col("cell") === col("qcell"))
-          .join(broadcast(lut), Seq("q_id", "m", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg((min(col("qc")) + sum(col("pdot_q"))).cast("long").as("score_q"),
-            count(lit(1)).as("nm"))
-          .filter(col("nm") === M)
-          .withColumn("rk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "score_q")
-          .orderBy("q_id", "rk")
+        graft.operators.IvfPqResidual.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), M, SUB, K, NPROBE, 3, 5)
       },
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
