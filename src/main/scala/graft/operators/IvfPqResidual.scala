@@ -43,13 +43,13 @@ object IvfPqResidual {
 
   final case class V(vec_id: Long, v: Seq[Double], n2: Double)
 
-  private final case class Cent(cid: Long, cv: Array[Double], cn2: Double)
+  private[operators] final case class Cent(cid: Long, cv: Array[Double], cn2: Double)
   private final case class Code(code: Long, cw: Array[Double], cwn2: Double)
 
   /** Left-to-right sequential dot product — the [[graft.plans.DotD]] /
     * oracle `list_reduce` accumulation order.
     */
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def dot(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -61,7 +61,7 @@ object IvfPqResidual {
     * is Spark's double ordering; iterating cells in ascending c_id with
     * strict > keeps the lowest id on exact ties.
     */
-  private def assignCell(cents: Array[Cent], v: Array[Double], n2: Double): Int = {
+  private[operators] def assignCell(cents: Array[Cent], v: Array[Double], n2: Double): Int = {
     var best = 0
     var bestS = Double.NaN
     var i = 0
@@ -103,10 +103,13 @@ object IvfPqResidual {
     r
   }
 
+  private def rawSub(v: Array[Double], mm: Int, sub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, mm * sub, (mm + 1) * sub)
+
   /** Quantized-mean rebuild from merged partials: exactly
     * `sum(floor(x·1e9)).cast(double) / (count·1e9).cast(double)`.
     */
-  private def meansOf(sums: Array[Long], cnt: Long): Array[Double] = {
+  private[operators] def meansOf(sums: Array[Long], cnt: Long): Array[Double] = {
     val out = new Array[Double](sums.length)
     var i = 0
     while (i < sums.length) {
@@ -128,7 +131,9 @@ object IvfPqResidual {
     *         formulation (see IvfPqResidualSpec)
     */
   def topk(e: DataFrame, m: Int, sub: Int, k: Int, nprobe: Int,
-           nQueries: Int, topK: Int): DataFrame = {
+           nQueries: Int, topK: Int, residual: Boolean = true,
+           coarse: Boolean = true): DataFrame = {
+    require(coarse || !residual, "residual codebooks need the coarse stage")
     require(nQueries <= k, "queries must be within the collected seed set")
     val s = e.sparkSession
     val sc = s.sparkContext
@@ -139,15 +144,17 @@ object IvfPqResidual {
     val ds: Dataset[V] = e.select(col("vec_id"), col("v"), col("n2"))
       .as[V].persist()
     // ---- seeds (k-bounded driver state) ----
-      val seeds = ds.filter(_.vec_id < k).collect().sortBy(_.vec_id)
+      // Column filter: pushdown, not a full-corpus deserializing lambda
+      val seeds = ds.filter(col("vec_id") < k).collect().sortBy(_.vec_id)
       val cents0 = seeds.map(x => Cent(x.vec_id, x.v.toArray, x.n2))
 
-      // ---- pass A: one Lloyd step → cents1 ----
+      // ---- pass A: one Lloyd step → cents1 (skipped for the pure-PQ
+      // ADC shape, which has no coarse stage) ----
       // partials ride as ONE flat Array[Long] (encoder-friendly, the
       // LinearProbe idiom): [cnt(k) | sums(k×dim) row-major]
       val bc0 = sc.broadcast(cents0)
       val nCells = cents0.length
-      val pa = ds.mapPartitions { it =>
+      val pa = if (!coarse) Array.empty[Array[Long]] else ds.mapPartitions { it =>
         val cents = bc0.value
         val acc = new Array[Long](nCells + nCells * dim)
         var any = false
@@ -184,10 +191,11 @@ object IvfPqResidual {
         val perM = Array.fill(m)(Array.newBuilder[Code])
         seeds.foreach { x =>
           val v = x.v.toArray
-          val cell = assignCell(cents1, v, x.n2)
+          val cell = if (residual) assignCell(cents1, v, x.n2) else -1
           var mm = 0
           while (mm < m) {
-            val r = residualSub(v, cents1(cell).cv, mm, sub)
+            val r = if (residual) residualSub(v, cents1(cell).cv, mm, sub)
+                    else rawSub(v, mm, sub)
             perM(mm) += Code(x.vec_id, r, dot(r, r))
             mm += 1
           }
@@ -207,11 +215,12 @@ object IvfPqResidual {
         var any = false
         it.foreach { x =>
           val v = x.v.toArray
-          val cell = assignCell(cents, v, x.n2)
+          val cell = if (residual) assignCell(cents, v, x.n2) else -1
           any = true
           var mm = 0
           while (mm < m) {
-            val r = residualSub(v, cents(cell).cv, mm, sub)
+            val r = if (residual) residualSub(v, cents(cell).cv, mm, sub)
+                    else rawSub(v, mm, sub)
             val ci = encodeSub(codes(mm), r)
             acc(mm * nC0 + ci) += 1L
             val off = m * nC0 + (mm * nC0 + ci) * sub
@@ -243,8 +252,11 @@ object IvfPqResidual {
       // ---- probes + ADC LUT (driver, query×cell / query×m×code bounded) ----
       val queries = seeds.filter(_.vec_id < nQueries)
       // per query: nprobe cells by (pcos desc, c_id asc) with the qc
-      // score constant floor(⟨qv,cv⟩·1e6)
-      val probes: Array[(Long, Array[(Long, Long)])] = queries.map { q =>
+      // score constant floor(⟨qv,cv⟩·1e6). Empty per-query cell list in
+      // the coarse-less ADC shape = "every vector is a candidate".
+      val probes: Array[(Long, Array[(Long, Long)])] =
+      if (!coarse) queries.map(q => (q.vec_id, Array.empty[(Long, Long)]))
+      else queries.map { q =>
         val qv = q.v.toArray
         val scoredCells = cents1.map { c =>
           val pcos = dot(qv, c.cv) / (math.sqrt(q.n2) * math.sqrt(c.cn2))
@@ -253,7 +265,7 @@ object IvfPqResidual {
         val picked = scoredCells.sortWith { (a, b) =>
           val cmp = java.lang.Double.compare(a._1, b._1)
           if (cmp != 0) cmp > 0 else a._2 < b._2
-        }.take(nprobe).map(t => (t._2, t._3))
+        }.take(nprobe).map(t => (t._2, if (residual) t._3 else 0L))
         (q.vec_id, picked)
       }
       // lut(q)(mm)(code index in cb1(mm)) = floor(⟨qsub, cw⟩·1e6)
@@ -276,23 +288,29 @@ object IvfPqResidual {
         val lt = blut.value
         it.flatMap { x =>
           val v = x.v.toArray
-          val cell = assignCell(cents, v, x.n2)
-          val cid = cents(cell).cid
+          val cell = if (coarse) assignCell(cents, v, x.n2) else -1
+          val cid = if (coarse) cents(cell).cid else -1L
           val codeIdx = new Array[Int](m)
           var mm = 0
           while (mm < m) {
-            codeIdx(mm) = encodeSub(codes(mm), residualSub(v, cents(cell).cv, mm, sub))
+            codeIdx(mm) = encodeSub(codes(mm),
+              if (residual) residualSub(v, cents(cell).cv, mm, sub)
+              else rawSub(v, mm, sub))
             mm += 1
+          }
+          def scoreFrom(qi: Int, base: Long): Long = {
+            var score = base
+            var j = 0
+            while (j < m) { score += lt(qi)(j)(codeIdx(j)); j += 1 }
+            score
           }
           prb.indices.iterator.flatMap { qi =>
             val (qId, cells) = prb(qi)
             if (x.vec_id == qId) Iterator.empty
+            else if (!coarse) Iterator.single((qId, x.vec_id, scoreFrom(qi, 0L)))
             else cells.find(_._1 == cid) match {
               case Some((_, qc)) =>
-                var score = qc
-                var j = 0
-                while (j < m) { score += lt(qi)(j)(codeIdx(j)); j += 1 }
-                Iterator.single((qId, x.vec_id, score))
+                Iterator.single((qId, x.vec_id, scoreFrom(qi, qc)))
               case None => Iterator.empty
             }
           }

@@ -483,35 +483,12 @@ object SimilarityQueries {
     // cosines per row), the probe join keys on cell id.
     QueryDef(
       "knn_ivf",
-      (s, dir) => {
-        val K = 8
-        val e = emb(s, dir)
-        val cents = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
-        // nearest centroid per vector (max cosine, centroid id tie-break)
-        val assigned = e.join(broadcast(cents), lit(true))
-          .withColumn("ccos",
-            dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-          // map-side-combinable argmax (see knn_ivf_trained note)
-          .groupBy("vec_id")
-          .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
-            struct(col("ccos"), -col("c_id"))).as("b"))
-          .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
-            col("b.c_id").as("cell"))
-        val q = assigned.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("n2").as("qn2"), col("cell").as("qcell"))
-        val scored = assigned.join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-        scored.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "cos")
-          .orderBy("q_id", "rk")
-      },
+      (s, dir) =>
+        // r16: typed-JVM collapse (operators.IvfCosTopk, no Lloyd step —
+        // raw seed centroids). Identical values: parity pinned in
+        // IvfCosTopkSpec, oracle unchanged and hash-matched.
+        graft.operators.IvfCosTopk.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), 8, 3, 5, lloyd = false),
       Some(s"""WITH $embSql,
              cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              assigned AS (
@@ -541,51 +518,12 @@ object SimilarityQueries {
     // probe join keys on cell id exactly as knn_ivf.
     QueryDef(
       "knn_ivf_trained",
-      (s, dir) => {
-        val K = 8
-        val w = org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir).persist()
-        def assign(cents: DataFrame): DataFrame =
-          e.join(broadcast(cents), lit(true))
-            .withColumn("ccos",
-              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            // argmax as a map-side-combinable aggregate, not a ranking
-            // window: the K candidate rows per vector collapse BEFORE the
-            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
-            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
-            .groupBy("vec_id")
-            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
-              struct(col("ccos"), -col("c_id"))).as("b"))
-            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
-              col("b.c_id").as("cell"))
-        val cents0 = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
-        // one Lloyd step: quantized dimension-wise means per cell
-        val cents1 = assign(cents0)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .select(col("cell").as("c_id"), col("cv"),
-            call_function("dotd", col("cv"), col("cv")).as("cn2"))
-        val assigned = assign(cents1)
-        val q = assigned.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("n2").as("qn2"), col("cell").as("qcell"))
-        assigned.join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-          .withColumn("rk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "cos")
-          .orderBy("q_id", "rk")
-      },
+      (s, dir) =>
+        // r16: typed-JVM collapse (operators.IvfCosTopk, one Lloyd step).
+        // Identical values: parity pinned in IvfCosTopkSpec, oracle
+        // unchanged and hash-matched.
+        graft.operators.IvfCosTopk.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), 8, 3, 5, lloyd = true),
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
              a0 AS (
@@ -636,32 +574,14 @@ object SimilarityQueries {
     // frozen-quantizer full encode and recall-gated in AnnRecallSpec.
     QueryDef(
       "knn_ivf_append",
-      (s, dir) => {
-        val K = 8
-        val w = org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir).persist() // seed + Lloyd + both assigns + queries
-        val base = e.filter(col("vec_id") % 2 === 0)     // day-0 corpus
-        val incoming = e.filter(col("vec_id") % 2 === 1) // appended batch
-        // seed + one Lloyd step over the BASE half ONLY (the index build);
-        // routing/build logic shared with stream_ivf_append via
-        // ivfAssign/lloyd1Cents
-        val cents1 = lloyd1Cents(base, K)
-        val assignedBase = ivfAssign(base, cents1)     // build-time routing
-        val assignedNew = ivfAssign(incoming, cents1)  // append: frozen cells
-        val all = assignedBase.unionByName(assignedNew)
-        val q = all.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("n2").as("qn2"), col("cell").as("qcell"))
-        all.join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-          .withColumn("rk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "cos")
-          .orderBy("q_id", "rk")
-      },
+      (s, dir) =>
+        // r16: typed-JVM collapse (operators.IvfCosTopk — index built from
+        // the even-id base half, odd ids route to the frozen cells, the
+        // same append shape). Identical values: parity pinned in
+        // IvfCosTopkSpec, oracle unchanged and hash-matched.
+        graft.operators.IvfCosTopk.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), 8, 3, 5,
+          lloyd = true, evenBase = true),
       Some(s"""WITH $embSql,
              base AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
              incoming AS (SELECT * FROM emb WHERE vec_id % 2 = 1),
@@ -816,67 +736,14 @@ object SimilarityQueries {
     QueryDef(
       "emb_pq_adc",
       (s, dir) => {
+        // r16: typed-JVM collapse (operators.IvfPqResidual with
+        // coarse=false — pure-PQ ADC: raw subvector codebooks, every
+        // vector a candidate for every query). Identical values: parity
+        // pinned in IvfPqResidualSpec, oracle unchanged and hash-matched.
         val M = 4; val SUB = DIM / M; val K = 8
-        val w = org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir).persist() // codebook + encode + queries consume it
-        // seed codebook: (m, code, cw, cwn2) — M×K rows, broadcast everywhere
-        val cb0 = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("code"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"),
-                slice(col("v"), m * SUB + 1, SUB).as("cw"))
-            }: _*)).as("s"))
-          .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        val subs = e.select(col("vec_id"),
-          explode(array((0 until M).map { m =>
-            struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
-          }: _*)).as("s"))
-          .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-        // per (vector, subspace) the nearest codeword under codebook `cb`
-        def encodeWith(cb: DataFrame): DataFrame =
-          subs.join(broadcast(cb), "m")
-            .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
-            // K candidate rows per (vector, subspace) collapse map-side
-            .groupBy("vec_id", "m")
-            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-        // one Lloyd refit: exact quantized means per (m, code, dim); codes
-        // with no members drop out (consistently in both engines)
-        val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
-          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
-          .groupBy("m", "code", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
-          .groupBy("m", "code")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("mean")))),
-            p => p.getField("mean")).as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        val encoded = encodeWith(cb1)
-        // per-query LUT: dot of each EXACT query subvector with each
-        // TRAINED codeword, quantized to int64
-        val lut = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("qsub"))
-            }: _*)).as("s"))
-          .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
-          .join(broadcast(cb1), "m")
-          .select(col("q_id"), col("m"), col("code"),
-            floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
-        // ADC: M exact-integer adds per (query, candidate)
-        encoded.join(broadcast(lut), Seq("m", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum(col("pdot_q")).cast("long").as("score_q"),
-            count(lit(1)).as("nm"))
-          .filter(col("nm") === M) // self-exclusion drops no partial rows
-          .withColumn("rk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "score_q")
-          .orderBy("q_id", "rk")
+        graft.operators.IvfPqResidual.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), M, SUB, K, 0, 3, 5,
+          residual = false, coarse = false)
       },
       Some(s"""WITH $embSql,
              cb0 AS (
@@ -952,101 +819,15 @@ object SimilarityQueries {
     QueryDef(
       "knn_ivfpq",
       (s, dir) => {
+        // r16 (guide §1/§2): same typed-JVM collapse as
+        // knn_ivfpq_residual (operators.IvfPqResidual, residual=false —
+        // raw subvector codebooks, no q·c constant). Identical values:
+        // bit-parity pinned in IvfPqResidualSpec for both flag settings
+        // and hash-matched against the unchanged oracle.
         val M = 4; val SUB = DIM / M; val K = 8; val NPROBE = 2
-        val w = org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir).persist() // coarse + PQ + queries consume it
-        // ---- IVF coarse: one Lloyd step from the first-K seeds ----
-        def assign(cents: DataFrame): DataFrame =
-          e.join(broadcast(cents), lit(true))
-            .withColumn("ccos",
-              dot(col("cv"), col("v")) / (sqrt(col("cn2")) * sqrt(col("n2"))))
-            // argmax as a map-side-combinable aggregate, not a ranking
-            // window: the K candidate rows per vector collapse BEFORE the
-            // exchange (n rows shuffle, no sort) — same (ccos desc, c_id)
-            // tie-break, the 100 TB-correct shape for a corpus-wide argmax
-            .groupBy("vec_id")
-            .agg(max_by(struct(col("v"), col("n2"), col("c_id")),
-              struct(col("ccos"), -col("c_id"))).as("b"))
-            .select(col("vec_id"), col("b.v").as("v"), col("b.n2").as("n2"),
-              col("b.c_id").as("cell"))
-        val cents0 = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
-        val cents1 = assign(cents0)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .select(col("cell").as("c_id"), col("cv"),
-            call_function("dotd", col("cv"), col("cv")).as("cn2"))
-        val a1 = assign(cents1)
-        // ---- PQ: one codebook refit from the first-K sub-seeds ----
-        val cb0 = e.filter(col("vec_id") < K)
-          .select(col("vec_id").as("code"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("cw"))
-            }: _*)).as("s"))
-          .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        val subs = e.select(col("vec_id"),
-          explode(array((0 until M).map { m =>
-            struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
-          }: _*)).as("s"))
-          .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-        def encodeWith(cb: DataFrame): DataFrame =
-          subs.join(broadcast(cb), "m")
-            .withColumn("d2", col("cwn2") - lit(2.0) * dot(col("sub"), col("cw")))
-            // argmin-L2 as a partial aggregate (PQ.encodeSubs pattern):
-            // K candidate rows per (vector, subspace) collapse map-side
-            .groupBy("vec_id", "m")
-            .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-        val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
-          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
-          .groupBy("m", "code", "pos")
-          .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
-            (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
-          .groupBy("m", "code")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("mean")))),
-            p => p.getField("mean")).as("cw"))
-          .withColumn("cwn2", dot(col("cw"), col("cw")))
-        val encoded = encodeWith(cb1)
-        // ---- probes: NPROBE nearest trained cells per query ----
-        val q = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-        val probes = q.join(broadcast(cents1), lit(true))
-          .withColumn("pcos",
-            dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-          .withColumn("prk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))))
-          .filter(col("prk") <= NPROBE)
-          .select(col("q_id"), col("c_id").as("qcell"))
-        // ---- ADC inside probed cells ----
-        val lut = q
-          .select(col("q_id"),
-            explode(array((0 until M).map { m =>
-              struct(lit(m).as("m"), slice(col("qv"), m * SUB + 1, SUB).as("qsub"))
-            }: _*)).as("s"))
-          .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
-          .join(broadcast(cb1), "m")
-          .select(col("q_id"), col("m"), col("code"),
-            floor(dot(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
-        encoded.join(a1.select("vec_id", "cell"), "vec_id")
-          .join(broadcast(probes), col("cell") === col("qcell"))
-          .join(broadcast(lut), Seq("q_id", "m", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum(col("pdot_q")).cast("long").as("score_q"),
-            count(lit(1)).as("nm"))
-          .filter(col("nm") === M)
-          .withColumn("rk", row_number().over(
-            w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select("q_id", "rk", "vec_id", "score_q")
-          .orderBy("q_id", "rk")
+        graft.operators.IvfPqResidual.topk(
+          emb(s, dir).select("vec_id", "v", "n2"), M, SUB, K, NPROBE, 3, 5,
+          residual = false)
       },
       Some(s"""WITH $embSql,
              cents0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM emb WHERE vec_id < 8),
@@ -1411,15 +1192,33 @@ object SimilarityQueries {
     QueryDef(
       "emb_rp_project",
       (s, dir) => {
-        val v = col("embedding")
-        val sgn = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
-          when((((i - 1) * 1103515245L + j * 12345L) % 65537L) % 2 === 0, 1L)
-            .otherwise(-1L)
-        val proj = transform(sequence(lit(0), lit(7)), j =>
-          aggregate(sequence(lit(1), size(v)), lit(0L), (acc, i) =>
-            acc + floor(element_at(v, i).cast("double") * 1000) * sgn(i, j)))
+        // r16 guide §4 (expressions): the nested aggregate-over-sequence
+        // fold ran INTERPRETED per element (8 projections × dim closure
+        // calls per row — 450 ms of single-task time at sf0.1). Typed
+        // flatMap mirror: identical integer ops in identical order
+        // (Math.floor(x·1000) = FLOOR(double·1000), long sgn arithmetic,
+        // sequential long adds — exact, so partition-independent; the
+        // oracle hash pins it at both SFs).
+        import s.implicits._
         Q.embeddings(s, dir)
-          .select(col("vec_id"), posexplode(proj).as(Seq("j", "p_q")))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .as[(Long, Seq[Double])]
+          .flatMap { case (id, v) =>
+            (0 until 8).map { j =>
+              var acc = 0L
+              var i = 1
+              while (i <= v.length) {
+                val sgn =
+                  if ((((i - 1) * 1103515245L + j * 12345L) % 65537L) % 2 == 0L) 1L
+                  else -1L
+                acc += Math.floor(v(i - 1) * 1000).toLong * sgn
+                i += 1
+              }
+              (id, j, acc)
+            }
+          }
+          .toDF("vec_id", "j", "p_q")
           .orderBy("vec_id", "j")
       },
       Some("""WITH p AS (

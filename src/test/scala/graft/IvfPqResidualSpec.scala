@@ -38,8 +38,12 @@ class IvfPqResidualSpec extends SparkSpec {
       .withColumn("n2", call_function("dotd", col("v"), col("v")))
   }
 
-  /** The previous DataFrame formulation, verbatim. */
-  private def reference(e0: DataFrame): DataFrame = {
+  /** The previous DataFrame formulation, verbatim (residual = true is
+    * knn_ivfpq_residual's shape; residual = false is knn_ivfpq's: raw
+    * subvector codebooks and no q·c constant — expressed here as qc = 0,
+    * arithmetically identical for exact longs).
+    */
+  private def reference(e0: DataFrame, residual: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("dotd", a, b)
@@ -67,15 +71,20 @@ class IvfPqResidualSpec extends SparkSpec {
       .select(col("cell").as("c_id"), col("cv"),
         call_function("dotd", col("cv"), col("cv")).as("cn2"))
     val a1 = assign(cents1).persist()
-    val rsubs = a1
-      .join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
-      .select(col("vec_id"),
+    val rsubs = (if (residual)
+      a1.join(broadcast(cents1.select(col("c_id").as("cell"), col("cv"))), "cell")
+        .select(col("vec_id"),
+          explode(array((0 until M).map { m =>
+            struct(lit(m).as("m"),
+              zip_with(slice(col("v"), m * SUB + 1, SUB),
+                slice(col("cv"), m * SUB + 1, SUB),
+                (x, c) => x - c).as("sub"))
+          }: _*)).as("s"))
+      else
+      e.select(col("vec_id"),
         explode(array((0 until M).map { m =>
-          struct(lit(m).as("m"),
-            zip_with(slice(col("v"), m * SUB + 1, SUB),
-              slice(col("cv"), m * SUB + 1, SUB),
-              (x, c) => x - c).as("sub"))
-        }: _*)).as("s"))
+          struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
+        }: _*)).as("s")))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
       .persist()
     val cb0 = rsubs.filter(col("vec_id") < K)
@@ -106,7 +115,8 @@ class IvfPqResidualSpec extends SparkSpec {
         w.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))))
       .filter(col("prk") <= NPROBE)
       .select(col("q_id"), col("c_id").as("qcell"),
-        floor(dot(col("qv"), col("cv")) * 1e6).cast("long").as("qc"))
+        (if (residual) floor(dot(col("qv"), col("cv")) * 1e6).cast("long")
+         else lit(0L)).as("qc"))
     val lut = q
       .select(col("q_id"),
         explode(array((0 until M).map { m =>
@@ -138,6 +148,77 @@ class IvfPqResidualSpec extends SparkSpec {
   test("typed pipeline ≡ Column formulation (bit parity, incl. duplicates)") {
     val ref = rowsOf(reference(corpus(3)))
     val got = rowsOf(IvfPqResidual.topk(corpus(3), M, SUB, K, NPROBE, 3, 5))
+    spark.catalog.clearCache()
+    got shouldBe ref
+    ref.nonEmpty shouldBe true
+  }
+
+  test("typed pipeline ≡ Column formulation, residual = false (knn_ivfpq shape)") {
+    val ref = rowsOf(reference(corpus(3), residual = false))
+    val got = rowsOf(IvfPqResidual.topk(corpus(3), M, SUB, K, NPROBE, 3, 5,
+      residual = false))
+    spark.catalog.clearCache()
+    got shouldBe ref
+    ref.nonEmpty shouldBe true
+  }
+
+  test("typed pipeline ≡ Column formulation, coarse = false (emb_pq_adc shape)") {
+    // reference: pure-PQ ADC — encode against the refit codebook, every
+    // vector a candidate for every query (no cells/probes)
+    val e = corpus(3).persist()
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("dotd", a, b)
+    val w = org.apache.spark.sql.expressions.Window
+    val cb0 = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("code"),
+        explode(array((0 until M).map { m =>
+          struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("cw"))
+        }: _*)).as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
+      .withColumn("cwn2", dotc(col("cw"), col("cw")))
+    val subs = e.select(col("vec_id"),
+      explode(array((0 until M).map { m =>
+        struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sub"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    def encodeWith(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), "m")
+        .withColumn("d2", col("cwn2") - lit(2.0) * dotc(col("sub"), col("cw")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val cb1 = encodeWith(cb0).join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy("m", "code", "pos")
+      .agg((sum(floor(col("x") * 1000000000L)).cast("double") /
+        (count(lit(1)) * 1000000000L).cast("double")).as("mean"))
+      .groupBy("m", "code")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("mean")))),
+        p => p.getField("mean")).as("cw"))
+      .withColumn("cwn2", dotc(col("cw"), col("cw")))
+    val lutDf = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"),
+        explode(array((0 until M).map { m =>
+          struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("qsub"))
+        }: _*)).as("s"))
+      .select(col("q_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
+      .join(broadcast(cb1), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        floor(dotc(col("qsub"), col("cw")) * 1e6).cast("long").as("pdot_q"))
+    val refDf = encodeWith(cb1).join(broadcast(lutDf), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pdot_q")).cast("long").as("score_q"),
+        count(lit(1)).as("nm"))
+      .filter(col("nm") === M)
+      .withColumn("rk", row_number().over(
+        w.partitionBy("q_id").orderBy(col("score_q").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "vec_id", "score_q")
+      .orderBy("q_id", "rk")
+    val ref = rowsOf(refDf)
+    val got = rowsOf(IvfPqResidual.topk(corpus(3), M, SUB, K, 0, 3, 5,
+      residual = false, coarse = false))
     spark.catalog.clearCache()
     got shouldBe ref
     ref.nonEmpty shouldBe true

@@ -452,18 +452,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("knn_ivf_append: all three assignment passes broadcast the " +
-    "centroids; base and appended routes union without re-shuffle") {
+  test("knn_ivf_append: typed candidate pass — centroids ride a task " +
+    "broadcast, no join shuffles anything, only the top-k window exchanges") {
+    // r16 shape (operators.IvfCosTopk): the index build and both routing
+    // passes run as shuffle-free typed passes with the centroid table in
+    // a broadcast variable; the ONLY exchanges left are the tiny
+    // candidate top-k window and the output sort
     val df = SparkEntry.queries("knn_ivf_append")(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     withClue(plan) {
-      // seed assign (a0) + build assign (base) + append assign (incoming):
-      // each scores against a broadcast centroid table (the frozen-cell
-      // routing map), never a shuffled join
-      "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 3
-      plan should include("Union")
-      plan should not include "SortMergeJoin [vec_id"
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "SortMergeJoin"
+      plan should include regex "windowspecdefinition\\(q_id"
+      // one hash exchange (the candidate top-k window); the AQE plan
+      // string prints final + initial, so it appears at most twice
+      "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
     }
   }
 
@@ -480,12 +484,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("emb_rp_project: the projection is a pure in-row codegen fold — " +
+  test("emb_rp_project: the projection is a pure in-row typed map — " +
     "no hash exchange anywhere") {
+    // r16 shape: the interpreted aggregate-over-sequence fold became a
+    // typed flatMap (SerializeFromObject in the plan); still narrow —
+    // the only exchange is the output range sort
     val plan = finalPlan("emb_rp_project")
     withClue(plan) {
       "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 0
-      plan should include("Generate posexplode")
+      plan should include("SerializeFromObject")
     }
   }
 
