@@ -33,30 +33,40 @@ object HeavyHitters {
     * an item with true count > N/(k+1) always survives.
     */
   final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
-    def zero: Map[String, Long] = Map.empty
+      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+    // in-place mutation (r16 guide §4: the immutable-Map form rebuilt the
+    // whole k-entry map on every decrement and allocated per token —
+    // ~600 ms of the doc_heavy_tokens constructor); the Aggregator
+    // contract allows mutating and returning the buffer, and the
+    // decrement-all step stays the textbook amortized-O(1) op
+    def reduce(b: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
       b.get(x) match {
-        case Some(c) => b.updated(x, c + 1)
-        case None if b.size < k => b.updated(x, 1L)
+        case Some(c) => b.update(x, c + 1)
+        case None if b.size < k => b.update(x, 1L)
         case None =>
-          // decrement-all; amortized O(1) per element over the stream
-          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+          b.filterInPlace((_, c) => c > 1)
+          b.mapValuesInPlace((_, c) => c - 1)
       }
+      b
+    }
 
-    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-      val m = mutable.Map.from(b1)
+    def merge(b1: mutable.HashMap[String, Long],
+              b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      val m = b1
       b2.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
-      if (m.size <= k) m.toMap
+      if (m.size <= k) m
       else {
         val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
-        m.collect { case (t, c) if c > cut => t -> (c - cut) }.toMap
+        m.filterInPlace((_, c) => c > cut)
+        m.mapValuesInPlace((_, c) => c - cut)
+        m
       }
     }
 
-    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
-    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo
+    def finish(b: mutable.HashMap[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] = Encoders.kryo
     def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
@@ -79,8 +89,13 @@ object HeavyHitters {
       k: Int): DataFrame = {
     require((k + 1).toLong * phiNum >= phiDen,
       s"capacity $k too small for threshold $phiNum/$phiDen")
-    val cands = candidates(items, itemCol, k)
-    val n = items.count()
+    // ONE pass builds the summary AND the exact row count (r16: the
+    // separate items.count() re-ran the full tokenize/explode)
+    val mg = udaf(new MisraGries(k))
+    val r = items.agg(mg(col(itemCol)).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = r.getSeq[String](0)
+    val n = r.getLong(1)
     items.filter(col(itemCol).isInCollection(cands))
       .groupBy(itemCol)
       .agg(count(lit(1)).as("cnt"))
